@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for the documents pipeline.
+  *
+  * All functions are built from codegen'd `org.apache.spark.sql.functions`
+  * (no UDFs) so they stay inside whole-stage codegen and are expressible in
+  * the DuckDB oracle.
+  *
+  * Covers the reference's keyword tokenizer UDTF
+  * (`util/SplitKeywordUDTF.java:19-34`, consumed via `lateral table` at
+  * `app/dws/DwsTrafficSourceKeywordPageViewWindow.java:52-57`) — the
+  * reference uses IKAnalyzer for Chinese segmentation, which is not
+  * available offline; we use deterministic whitespace/regex tokenization
+  * plus CJK-codepoint handling (documented divergence, SURVEY §7.5).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer — the UDTF-equivalent; pair with `explode`. */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  /** BPE-ish sub-token split: runs of letters, runs of digits, single
+    * punctuation — a deterministic stand-in for a real BPE vocab. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  /** Normalize for fingerprinting: lowercase, collapse whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact-dup fingerprint = md5 of normalized text (hex string).
+    * Portable: DuckDB `md5(...)` produces the identical digest. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Bag-of-words signature: md5 over the sorted distinct token set —
+    * catches docs that are permutations of the same vocabulary. */
+  def bowSignature(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(normalized(text))))))
+
+  /** Word-level n-gram shingles (distinct), the MinHash/Jaccard unit. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(normalized(text))
+    // slide an n-window over the token array with transform+slice
+    array_distinct(
+      filter(
+        transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => size(split(s, " ")) === n))
+  }
+
+  /** Language-ID by stopword evidence + script detection.
+    *
+    * Deterministic scorer: count occurrences of high-frequency function
+    * words per language (via replace-count, identical in DuckDB) and CJK
+    * codepoints; argmax with fixed tie-break order en>de>es>fr>zh.
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " a ", " of ", " and "),
+    "de" -> Seq(" der ", " die ", " und ", " das "),
+    "es" -> Seq(" el ", " la ", " de ", " que "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "))
+
+  private def occurrences(padded: Column, needle: String): Column =
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
+
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    langStopwords(lang).map(w => occurrences(padded, w)).reduce(_ + _)
+  }
+
+  /** Count of CJK ideograph codepoints (evidence for zh). */
+  def cjkCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))).cast("long")
+
+  /** Predicted language label. */
+  def langId(text: Column): Column = {
+    val en = langScore(text, "en"); val de = langScore(text, "de")
+    val es = langScore(text, "es"); val fr = langScore(text, "fr")
+    val zh = cjkCount(text) * 3 // script evidence outweighs stopwords
+    val best = greatest(en, de, es, fr, zh)
+    when(best === lit(0L), lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(es === best, lit("es"))
+      .when(fr === best, lit("fr"))
+      .otherwise(lit("zh"))
+  }
+
+  /** Whitespace token count (quality features). */
+  def wordCount(text: Column): Column = size(tokens(normalized(text))).cast("long")
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))).cast("long")
+
+  /** Stopword-hit count over the combined lists (fluency evidence). */
+  def stopwordCount(text: Column): Column =
+    langStopwords.values.flatten.toSeq.distinct.sorted
+      .map(w => occurrences(concat(lit(" "), lower(text), lit(" ")), w))
+      .reduce(_ + _)
+}

@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns.
+  *
+  * Everything is built from higher-order functions (`zip_with`,
+  * `aggregate`) which fold left-to-right in element order — the result is
+  * therefore bit-deterministic and reproducible by a DuckDB
+  * `list_reduce(list_transform(...))` with the same fold order. That is
+  * what lets ANN / near-dup results hash-match the oracle despite floating
+  * point.
+  *
+  * All arithmetic is promoted to double before accumulation (float32
+  * inputs, float64 math — both engines agree on IEEE-754 semantics).
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product of two float-array columns (double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Squared L2 norm (double, sequential fold). */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity; 0.0 for zero-norm inputs. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = sqrt(norm2(a))
+    val nb = sqrt(norm2(b))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+  }
+
+  /** L2 (Euclidean) distance. */
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val diff = x.cast("double") - y.cast("double")
+        diff * diff
+      }),
+      lit(0.0),
+      (acc, x) => acc + x))
+
+  /** Sign-bit LSH key: for each seed hyperplane (given as a literal matrix
+    * of doubles), emit 1 if dot(v, plane) >= 0 — concatenated to a bit
+    * string usable as an ANN bucket id. Deterministic, oracle-portable. */
+  def signBits(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.map { p =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(v, planeCol) >= 0.0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** CDC-envelope style per-record transforms.
+  *
+  * Mirrors the reference's DWD projection/filter family:
+  *  - tolerant JSON parse-or-drop       (`app/dim/DimApp.java:60-74`)
+  *  - map-column projection `data['x']` (`app/dwd/DwdTradeOrderDetail.java:34-119`)
+  *  - CDC event predicates              (`app/dwd/DwdCancelOrderDetail.java:62-67`)
+  *  - conditional delta expressions     (`app/dwd/DwdTradeCartAdd.java:33,42-47`)
+  *  - config-driven column whitelist    (`app/dim/func/DimTableProcessFunction.java:90-93`)
+  *
+  * All expressed as Catalyst expressions (no UDFs) so parse + projection
+  * stay in whole-stage codegen and `from_json` pushdown/pruning applies.
+  */
+object CdcOps {
+
+  /** P1 — tolerant parse: `from_json` yields null on malformed input; the
+    * filter drops those rows (the reference drops Maxwell bootstrap rows
+    * the same way). */
+  def parseOrDrop(df: DataFrame, jsonCol: String, schema: StructType,
+                  parsedName: String = "j"): DataFrame =
+    df.withColumn(parsedName, from_json(col(jsonCol), schema))
+      .filter(col(parsedName).isNotNull)
+
+  /** P2 — project fields out of a map column: data['id'] AS id, ... */
+  def mapProjection(data: Column, fields: Seq[String]): Seq[Column] =
+    fields.map(f => element_at(data, f).as(f))
+
+  /** P4 — conditional delta: insert ⇒ full value, update ⇒ new - old
+    * (cart-add increment semantics). */
+  def conditionalDelta(opType: Column, newVal: Column, oldVal: Column): Column =
+    when(opType === "insert", newVal).otherwise(newVal - oldVal)
+
+  /** P5 — config-driven column whitelist over a map column. */
+  def filterColumns(data: Column, allowed: Seq[String]): Column = {
+    val allowedArr = array(allowed.map(lit): _*)
+    map_filter(data, (k, _) => array_contains(allowedArr, k))
+  }
+
+  /** X1-style multiway split: one cached pass, N filtered branches.
+    * Returns the branches; caller unions or sinks them separately —
+    * the Spark equivalent of Flink side outputs
+    * (`app/dwd/DwdTrafficBaseLogSplit.java:41-48,113-139`). */
+  def splitBy(df: DataFrame, tagCol: String, tags: Seq[String]): Map[String, DataFrame] = {
+    val cached = df // caller may persist for multi-sink fan-out
+    tags.map(t => t -> cached.filter(col(tagCol) === t)).toMap
+  }
+}

@@ -1,0 +1,516 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import graft.operators.{CdcOps, DedupOps, JoinOps, WindowOps}
+
+/** Oracle-gated batch queries covering SURVEY §2's operator inventory
+  * (sources/projections S1/P1-P6, joins J1-J6, aggregations A1-A9, window
+  * machinery W1-W4, routing X1/X2, scalars U3) re-expressed over the
+  * driver's TPC-H-ish tables.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - money math in DECIMAL(18,2) (exact, order-independent), final cast
+  *    to double;
+  *  - ratios as double division of deterministic operands;
+  *  - every output totally ordered by its key columns;
+  *  - counts cast to long (BIGINT on both engines).
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---------------------------------------------------------------- S1/P-family
+
+  /** S1/S2 — scan with pushed filter + pruned projection. */
+  private val s1ScanProject: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < to_timestamp(lit("1995-06-01")))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P1/P2 — tolerant JSON parse + field extraction
+    * (cf. app/dim/DimApp.java:60-74). */
+  private val p1JsonExtract: Q = (s, d) => {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    CdcOps.parseOrDrop(Tables.events(s, d), "props", schema)
+      .select(col("event_id"), col("j.k").as("k"))
+      .orderBy("event_id")
+  }
+
+  /** P3 — CDC-style event predicate (cf. DwdCancelOrderDetail.java:62-67). */
+  private val p3FilterPredicate: Q = (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value") > 100.0)
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+
+  /** P4 — conditional delta aggregation (cf. DwdTradeCartAdd.java:33,42-47). */
+  private val p4ConditionalAgg: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("delta",
+        when(col("event_type") === "purchase", dec(col("value")))
+          .when(col("event_type") === "error", -dec(col("value")))
+          .otherwise(lit(0).cast(DecimalType(18, 2))))
+      .groupBy("user_id")
+      .agg(sum(col("delta")).cast("double").as("net_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
+  /** P5 — config-driven column whitelist over a dynamic map
+    * (cf. DimTableProcessFunction.java:90-93). */
+  private val p5ConfigProjection: Q = (s, d) => {
+    val allowed = Seq("name", "mktsegment")
+    val full = map(
+      lit("name"), col("c_name"),
+      lit("mktsegment"), col("c_mktsegment"),
+      lit("acctbal"), col("c_acctbal").cast("string"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), explode(CdcOps.filterColumns(full, allowed)).as(Seq("key", "value")))
+      .orderBy("c_custkey", "key")
+  }
+
+  /** P6 — is_new repair: flag is 1 only on the user's first-seen day
+    * (cf. DwdTrafficBaseLogSplit.java:70-97). */
+  private val p6IsNewRepair: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .withColumn("first_day",
+        min(date_trunc("DAY", col("ts"))).over(Window.partitionBy("user_id")))
+      .select(col("event_id"), col("user_id"),
+        when(date_trunc("DAY", col("ts")) === col("first_day"), 1L).otherwise(0L).as("is_new"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- J-family
+
+  /** J1 — inner equi-join (cf. DwdTradeOrderDetail.java:122-169). */
+  private val j1JoinInner: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("o_totalprice"), col("l_extendedprice"))
+      .orderBy("o_orderkey", "l_linenumber")
+
+  /** J2 — left outer join with null-padded side
+    * (cf. DwdTradeOrderDetail.java:167-169). */
+  private val j2JoinLeft: Q = (s, d) => {
+    val returns = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_extendedprice"))).as("ret_amt_dec"))
+    Tables.orders(s, d)
+      .join(returns, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("ret_amt_dec").cast("double"), lit(0.0)).as("returned_amount"),
+        col("ret_amt_dec").isNotNull.as("has_returns"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J3 — lookup-join enrichment against broadcast dims
+    * (cf. DwdInterationCommentInfo.java:64-78). */
+  private val j3LookupDim: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    JoinOps.dimChain(c, Seq(
+      (Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"),
+        Seq(col("n_name"), col("n_regionkey"))),
+      (Tables.region(s, d), col("n_regionkey") === col("r_regionkey"),
+        Seq(col("r_name")))))
+      .select("c_custkey", "n_name", "r_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J4 — interval join: purchase within 15 min after a signup by the same
+    * user (cf. DwdTradePayDetailSuc.java:100-127, bounds ±15min/5s). */
+  private val j4IntervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    JoinOps.intervalJoin(signups, purchases,
+      col("s_user"), col("p_user"), col("s_ts"), col("p_ts"),
+      expr("INTERVAL 0 SECONDS"), expr("INTERVAL 15 MINUTES"))
+      .select(col("signup_id"), col("purchase_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("s_ts"))).as("gap_ms"))
+      .orderBy("signup_id", "purchase_id")
+  }
+
+  /** J5/X2 — config-table routing: per-record target topic from a small
+    * broadcast rule table (cf. DwdBaseApp.java:30-36,92-106). */
+  private val j5ConfigRoute: Q = (s, d) => {
+    val rules = Seq(
+      ("click", "dwd_traffic_click"), ("view", "dwd_traffic_page"),
+      ("purchase", "dwd_trade_order"), ("signup", "dwd_user_register"),
+      ("error", "dwd_err_log"))
+    val rulesDf = s.createDataFrame(rules).toDF("event_type", "topic")
+    Tables.events(s, d)
+      .join(broadcast(rulesDf), Seq("event_type"), "inner")
+      .select("event_id", "topic")
+      .orderBy("event_id")
+  }
+
+  /** J6 — chained dimension enrichment then aggregate
+    * (cf. DwsTradeSkuOrderWindow.java:167-254's 6-way chain). */
+  private val j6DimChain: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val enriched = JoinOps.dimChain(li, Seq(
+      (Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"),
+        Seq(col("s_nationkey"))),
+      (Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"),
+        Seq(col("n_regionkey"))),
+      (Tables.region(s, d), col("n_regionkey") === col("r_regionkey"),
+        Seq(col("r_name"))),
+      (Tables.part(s, d), col("l_partkey") === col("p_partkey"),
+        Seq(col("p_brand")))))
+    enriched.groupBy("r_name", "p_brand")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "p_brand")
+  }
+
+  // ---------------------------------------------------------------- A/W-family
+
+  /** A1/A2 + W1-W4 — tumbling-window aggregation with window metadata
+    * (cf. DwsTrafficVcChArIsNewPageViewWindow.java:137-154,
+    * util/WindowUtil.java:17-25). 10-minute windows over a month of events
+    * stand in for the reference's 10-second windows. */
+  private val a1WindowAgg: Q = (s, d) => {
+    val agg = WindowOps.tumbling(Tables.events(s, d), col("ts"), "10 minutes",
+        Seq(col("event_type")))
+      .agg(count(lit(1)).as("pv"),
+        sum(dec(col("value"))).cast("double").as("amount"))
+    WindowOps.withWindowMeta(agg)
+      .select("stt", "edt", "cur_date", "event_type", "pv", "amount")
+      .orderBy("stt", "event_type")
+  }
+
+  /** A3 — exact per-day distinct users (UV), two-phase aggregation so the
+    * distinct never concentrates on one node
+    * (cf. DwsTrafficVcChArIsNewPageViewWindow.java:79-128). */
+  private val a3DailyUv: Q = (s, d) => {
+    val perUser = Tables.events(s, d)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("user_pv"))
+    perUser.groupBy(col("day"))
+      .agg(count(lit(1)).as("uv"), sum(col("user_pv")).as("pv"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("cur_date"), col("uv"), col("pv"))
+      .orderBy("cur_date")
+  }
+
+  /** A4 — new-user detection: users whose first-ever event lands on the day
+    * (cf. DwsTradeOrderWindow.java:62-91). */
+  private val a4NewUsers: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .groupBy(date_format(date_trunc("DAY", col("first_ts")), "yyyy-MM-dd").as("cur_date"))
+      .agg(count(lit(1)).as("new_users"))
+      .orderBy("cur_date")
+
+  /** A5 — deterministic keep-first dedup per key
+    * (cf. DwsTradeSkuOrderWindow.java:111-148). */
+  private val a5DedupFirst: Q = (s, d) =>
+    DedupOps.keepFirst(Tables.events(s, d),
+      Seq(col("user_id"), col("event_type")),
+      Seq(col("ts"), col("event_id")))
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"),
+        unix_millis(col("ts")).as("first_ts_ms"))
+      .orderBy("user_id", "event_type")
+
+  /** A6 — keep-last per user-day (cf. DwsLeftJoinDuplication03Last.java:54-79). */
+  private val a6DedupLast: Q = (s, d) =>
+    DedupOps.keepLast(
+      Tables.events(s, d).withColumn("day", date_trunc("DAY", col("ts"))),
+      Seq(col("user_id"), col("day")),
+      Seq(col("ts"), col("event_id")))
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("cur_date"),
+        col("event_id").as("last_event_id"))
+      .orderBy("user_id", "cur_date")
+
+  /** A8 — returning users: events arriving ≥ 24h after the user's previous
+    * event (cf. DwsUserUserLoginWindow.java:44,104-109 — 7-day back count;
+    * 24h fits this dataset's density). */
+  private val a8Returning: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("prev_ts").isNotNull &&
+        unix_millis(col("ts")) - unix_millis(col("prev_ts")) >= 86400000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("back_ct"))
+      .orderBy("user_id")
+  }
+
+  /** A9 — dedup to one row per order, then aggregate
+    * (cf. DwsTradeProvinceOrderWindow.java:61-111). */
+  private val a9DedupThenAgg: Q = (s, d) => {
+    // (l_orderkey, l_linenumber) is NOT unique in this dataset — extend
+    // the order so every downstream-used column is tie-broken exactly.
+    val firstLine = DedupOps.keepFirst(Tables.lineitem(s, d),
+      Seq(col("l_orderkey")),
+      Seq(col("l_linenumber"), col("l_extendedprice"), col("l_partkey")))
+    Tables.orders(s, d)
+      .join(firstLine, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("first_line_amount"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- classics
+
+  /** TPC-H Q1-style pricing summary — the flagship aggregate. */
+  private val q1Pricing: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style top-revenue orders: 3-way join + agg + top-k. */
+  private val q3TopRevenue: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  // ---------------------------------------------------------------- X-family
+
+  /** X1 — 5-way split with branch-specific payload extraction, re-unioned
+    * with a branch tag (cf. DwdTrafficBaseLogSplit.java:41-48,98-142). */
+  private val x1SplitRoute: Q = (s, d) => {
+    val parsed = Tables.events(s, d).withColumn("j",
+      from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))))
+    val branches = CdcOps.splitBy(parsed, "event_type",
+      Seq("click", "view", "purchase", "signup", "error"))
+    val out = Seq(
+      branches("click").select(lit("click").as("branch"), col("event_id"),
+        col("j.k").cast("long").as("payload")),
+      branches("view").select(lit("view").as("branch"), col("event_id"),
+        col("j.k").cast("long").as("payload")),
+      branches("purchase").select(lit("purchase").as("branch"), col("event_id"),
+        round(col("value") * 100).cast("long").as("payload")),
+      branches("signup").select(lit("signup").as("branch"), col("event_id"),
+        lit(1L).as("payload")),
+      branches("error").select(lit("error").as("branch"), col("event_id"),
+        col("j.k").cast("long").as("payload"))
+    ).reduce(_ unionByName _)
+    out.orderBy("branch", "event_id")
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "s1_scan_project" -> s1ScanProject,
+    "p1_json_extract" -> p1JsonExtract,
+    "p3_filter_predicate" -> p3FilterPredicate,
+    "p4_conditional_agg" -> p4ConditionalAgg,
+    "p5_config_projection" -> p5ConfigProjection,
+    "p6_is_new_repair" -> p6IsNewRepair,
+    "j1_join_inner" -> j1JoinInner,
+    "j2_join_left" -> j2JoinLeft,
+    "j3_lookup_dim" -> j3LookupDim,
+    "j4_interval_join" -> j4IntervalJoin,
+    "j5_config_route" -> j5ConfigRoute,
+    "j6_dim_chain" -> j6DimChain,
+    "a1_window_agg" -> a1WindowAgg,
+    "a3_daily_uv" -> a3DailyUv,
+    "a4_new_users" -> a4NewUsers,
+    "a5_dedup_first" -> a5DedupFirst,
+    "a6_dedup_last" -> a6DedupLast,
+    "a8_returning" -> a8Returning,
+    "a9_dedup_then_agg" -> a9DedupThenAgg,
+    "q1_pricing" -> q1Pricing,
+    "q3_top_revenue" -> q3TopRevenue,
+    "x1_split_route" -> x1SplitRoute)
+
+  val oracles: Map[String, String] = Map(
+    "s1_scan_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+        | strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "p1_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE json_valid(props) ORDER BY event_id""".stripMargin,
+    "p3_filter_predicate" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 100.0 ORDER BY event_id""".stripMargin,
+    "p4_conditional_agg" ->
+      """SELECT user_id,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+        |               WHEN event_type = 'error' THEN -CAST(value AS DECIMAL(18,2))
+        |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS net_value,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "p5_config_projection" ->
+      """SELECT c_custkey, key, value FROM (
+        | SELECT c_custkey, 'name' AS key, c_name AS value FROM customer
+        | UNION ALL
+        | SELECT c_custkey, 'mktsegment' AS key, c_mktsegment AS value FROM customer
+        |) ORDER BY c_custkey, key""".stripMargin,
+    "p6_is_new_repair" ->
+      """SELECT event_id, user_id,
+        | CAST(CASE WHEN date_trunc('day', ts) =
+        |   MIN(date_trunc('day', ts)) OVER (PARTITION BY user_id)
+        |  THEN 1 ELSE 0 END AS BIGINT) AS is_new
+        |FROM events ORDER BY event_id""".stripMargin,
+    "j1_join_inner" ->
+      """SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | o_totalprice, l_extendedprice
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin,
+    "j2_join_left" ->
+      """SELECT o_orderkey,
+        | CAST(COALESCE(ret_amt_dec, 0) AS DOUBLE) AS returned_amount,
+        | ret_amt_dec IS NOT NULL AS has_returns
+        |FROM orders LEFT JOIN (
+        | SELECT l_orderkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS ret_amt_dec
+        | FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+        |) ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "j3_lookup_dim" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "j4_interval_join" ->
+      """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+        | epoch_ms(p.ts) - epoch_ms(s.ts) AS gap_ms
+        |FROM events s JOIN events p
+        | ON s.user_id = p.user_id
+        | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+        | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 15 MINUTE
+        |ORDER BY signup_id, purchase_id""".stripMargin,
+    "j5_config_route" ->
+      """SELECT event_id, topic
+        |FROM events JOIN (VALUES
+        | ('click','dwd_traffic_click'), ('view','dwd_traffic_page'),
+        | ('purchase','dwd_trade_order'), ('signup','dwd_user_register'),
+        | ('error','dwd_err_log')) rules(event_type, topic)
+        |USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "j6_dim_chain" ->
+      """SELECT r_name, p_brand,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |LEFT JOIN nation ON s_nationkey = n_nationkey
+        |LEFT JOIN region ON n_regionkey = r_regionkey
+        |LEFT JOIN part ON l_partkey = p_partkey
+        |GROUP BY r_name, p_brand ORDER BY r_name, p_brand""".stripMargin,
+    "a1_window_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes',
+        |   '%Y-%m-%d %H:%M:%S') AS edt,
+        | strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d') AS cur_date,
+        | event_type, COUNT(*) AS pv,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM events GROUP BY 1, 2, 3, 4 ORDER BY stt, event_type""".stripMargin,
+    "a3_daily_uv" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS cur_date,
+        | COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
+        |FROM events GROUP BY 1 ORDER BY cur_date""".stripMargin,
+    "a4_new_users" ->
+      """SELECT strftime(date_trunc('day', first_ts), '%Y-%m-%d') AS cur_date,
+        | COUNT(*) AS new_users
+        |FROM (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+        |GROUP BY 1 ORDER BY cur_date""".stripMargin,
+    "a5_dedup_first" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+        | epoch_ms(ts) AS first_ts_ms
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts, event_id) = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+    "a6_dedup_last" ->
+      """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS cur_date,
+        | event_id AS last_event_id
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id, cur_date""".stripMargin,
+    "a8_returning" ->
+      """SELECT user_id, COUNT(*) AS back_ct FROM (
+        | SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events)
+        |WHERE prev_ts IS NOT NULL
+        | AND epoch_ms(ts) - epoch_ms(prev_ts) >= 86400000
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a9_dedup_then_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS first_line_amount
+        |FROM orders JOIN (
+        | SELECT * FROM lineitem
+        | QUALIFY row_number() OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_extendedprice, l_partkey) = 1
+        |) ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |   * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        | SUM(l_quantity) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, order_date
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "x1_split_route" ->
+      """SELECT * FROM (
+        | SELECT 'click' AS branch, event_id,
+        |   CAST(json_extract_string(props,'$.k') AS BIGINT) AS payload
+        |  FROM events WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT 'view', event_id, CAST(json_extract_string(props,'$.k') AS BIGINT)
+        |  FROM events WHERE event_type = 'view'
+        | UNION ALL
+        | SELECT 'purchase', event_id, CAST(round(value * 100) AS BIGINT)
+        |  FROM events WHERE event_type = 'purchase'
+        | UNION ALL
+        | SELECT 'signup', event_id, 1 FROM events WHERE event_type = 'signup'
+        | UNION ALL
+        | SELECT 'error', event_id, CAST(json_extract_string(props,'$.k') AS BIGINT)
+        |  FROM events WHERE event_type = 'error'
+        |) ORDER BY branch, event_id""".stripMargin)
+}
