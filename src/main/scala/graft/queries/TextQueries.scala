@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the reference's
+  * tokenizer UDTF surface (`util/SplitKeywordUDTF.java:19-34`) generalized
+  * to the text toolkit a training-data pipeline needs: language-ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from codegen'd column functions — a single narrow
+  * scan of (doc_id, text), no shuffle except the final ORDER BY (and the
+  * token-count aggregation), so the per-document cost is pure map-side
+  * compute that scales linearly to 100 TB.
+  */
+object TextQueries {
+  import CoreQueries.Q
+
+  /** U2/A2 — tokenize + count per token (the keyword-window pipeline,
+    * cf. DwsTrafficSourceKeywordPageViewWindow.java:52-73). */
+  private val u2TokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(tokens(normalized(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("token_ct"))
+      .orderBy(col("token_ct").desc, col("token"))
+
+  /** T1 — language identification by stopword + script evidence. */
+  private val t1LangId: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        langId(col("text")).as("pred_lang"),
+        langScore(col("text"), "en").as("en_evidence"),
+        cjkCount(col("text")).as("cjk_chars"))
+      .orderBy("doc_id")
+
+  /** T2 — document quality scoring (length / stopword / punctuation
+    * heuristics à la C4/Gopher rules). */
+  private val t2QualityScore: Q = (s, d) => {
+    val wc = wordCount(col("text"))
+    val sw = stopwordCount(col("text"))
+    val pc = punctCount(col("text"))
+    val chars = length(col("text")).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        wc.as("word_count"),
+        chars.as("char_count"),
+        (length(normalized(col("text"))).cast("double") / wc).as("avg_word_len"),
+        sw.as("stopword_ct"),
+        pc.as("punct_ct"),
+        (least(wc.cast("double") / 100.0, lit(1.0)) * 0.5
+          + least(sw.cast("double") * 10.0 / wc, lit(1.0)) * 0.3
+          + when(pc * 5 <= chars, 0.2).otherwise(0.0)).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** T3 — token counting: whitespace words vs BPE-ish regex sub-tokens. */
+  private val t3TokenStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        wordCount(col("text")).as("n_words"),
+        size(regexTokens(col("text"))).cast("long").as("n_subtokens"))
+      .orderBy("doc_id")
+
+  /** T4 — document fingerprint: md5 over normalized text. */
+  private val t4Fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** D1 — exact dedup: group by fingerprint, keep canonical min(doc_id)
+    * (the hash-groupBy exact path; generalizes A5 keep-first). */
+  private val d1ExactDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .orderBy("canonical_id")
+
+  /** D2 — bag-of-words dedup: same vocabulary set ⇒ same group. */
+  private val d2BowDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), bowSignature(col("text")).as("sig"))
+      .groupBy("sig")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .orderBy("canonical_id")
+
+  val queries: Map[String, Q] = Map(
+    "u2_token_count" -> u2TokenCount,
+    "t1_langid" -> t1LangId,
+    "t2_quality_score" -> t2QualityScore,
+    "t3_token_stats" -> t3TokenStats,
+    "t4_fingerprint" -> t4Fingerprint,
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_bow_dedup" -> d2BowDedup)
+
+  // -- oracle SQL ----------------------------------------------------------
+
+  /** DuckDB text normalization mirroring TextFunctions.normalized. */
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  private def occSql(needle: String): String = {
+    val pad = "(' ' || lower(text) || ' ')"
+    s"CAST((length($pad) - length(replace($pad, '$needle', ''))) // ${needle.length} AS BIGINT)"
+  }
+
+  private def langScoreSql(lang: String): String =
+    langStopwords(lang).map(occSql).mkString("(", " + ", ")")
+
+  private val cjkSql =
+    "CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT)"
+
+  private val stopSql =
+    langStopwords.values.flatten.toSeq.distinct.sorted.map(occSql).mkString("(", " + ", ")")
+
+  private val wcSql =
+    s"CAST(len(regexp_split_to_array($normSql, '\\s+')) AS BIGINT)"
+
+  private val punctSql =
+    "CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "u2_token_count" ->
+      s"""SELECT token, COUNT(*) AS token_ct FROM (
+         | SELECT unnest(regexp_split_to_array($normSql, '\\s+')) AS token
+         | FROM documents)
+         |GROUP BY token ORDER BY token_ct DESC, token""".stripMargin,
+    "t1_langid" ->
+      s"""WITH scored AS (
+         | SELECT doc_id,
+         |  ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
+         |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+         |  $cjkSql * 3 AS s_zh, $cjkSql AS cjk_chars
+         | FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+         |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+         |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+         |      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+         |      ELSE 'zh' END AS pred_lang,
+         | s_en AS en_evidence, cjk_chars
+         |FROM scored ORDER BY doc_id""".stripMargin,
+    "t2_quality_score" ->
+      s"""SELECT doc_id,
+         | $wcSql AS word_count,
+         | CAST(length(text) AS BIGINT) AS char_count,
+         | CAST(length($normSql) AS DOUBLE) / $wcSql AS avg_word_len,
+         | $stopSql AS stopword_ct,
+         | $punctSql AS punct_ct,
+         | least($wcSql / 100.0, 1.0) * 0.5
+         |  + least($stopSql * 10.0 / $wcSql, 1.0) * 0.3
+         |  + (CASE WHEN $punctSql * 5 <= length(text) THEN 0.2 ELSE 0.0 END)
+         |  AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_token_stats" ->
+      s"""SELECT doc_id, $wcSql AS n_words,
+         | CAST(len(regexp_extract_all(text,
+         |   '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subtokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""",
+    "d1_exact_dedup" ->
+      s"""SELECT md5($normSql) AS fp, MIN(doc_id) AS canonical_id,
+         | COUNT(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "d2_bow_dedup" ->
+      s"""SELECT md5(array_to_string(list_sort(list_distinct(
+         |   regexp_split_to_array($normSql, '\\s+'))), ' ')) AS sig,
+         | MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin)
+}
