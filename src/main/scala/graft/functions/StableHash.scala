@@ -50,6 +50,15 @@ object StableHash {
     Seq.fill(k)((next(), next() - 1))
   }
 
+  /** Fixed integer-valued random hyperplanes for sign-bit LSH. Integer
+    * components (as doubles) keep the plane literals bit-identical when
+    * inlined into both Spark code and DuckDB oracle SQL. */
+  def lshPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var s = 77003917L // fixed seed
+    def next(): Long = { s = (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; s }
+    Seq.fill(nPlanes)(Seq.fill(dim)((next() % 19 - 9).toDouble))
+  }
+
   /** Scala-side mirror of stable60 for unit tests / driver-side checks. */
   def stable60Local(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")

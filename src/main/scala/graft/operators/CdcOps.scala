@@ -41,12 +41,20 @@ object CdcOps {
     map_filter(data, (k, _) => array_contains(allowedArr, k))
   }
 
-  /** X1-style multiway split: one cached pass, N filtered branches.
-    * Returns the branches; caller unions or sinks them separately —
-    * the Spark equivalent of Flink side outputs
-    * (`app/dwd/DwdTrafficBaseLogSplit.java:41-48,113-139`). */
-  def splitBy(df: DataFrame, tagCol: String, tags: Seq[String]): Map[String, DataFrame] = {
-    val cached = df // caller may persist for multi-sink fan-out
-    tags.map(t => t -> cached.filter(col(tagCol) === t)).toMap
+  /** X1-style multiway split for genuine multi-SINK fan-out: the upstream
+    * is persisted once so each branch's sink reads the parsed frame, not
+    * the raw source — the Spark equivalent of Flink side outputs
+    * (`app/dwd/DwdTrafficBaseLogSplit.java:41-48,113-139`). N branches off
+    * an unpersisted frame would re-scan + re-parse the source N times,
+    * which at 100 TB is N full scans.
+    *
+    * Caller MUST `unpersist()` the returned handle after all sinks run.
+    * When branches are re-unioned into ONE output instead, don't split at
+    * all — use a single-pass `when` cascade (see `x1_split_route`).
+    */
+  def splitBy(df: DataFrame, tagCol: String, tags: Seq[String])
+      : (DataFrame, Map[String, DataFrame]) = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (cached, tags.map(t => t -> cached.filter(col(tagCol) === t)).toMap)
   }
 }

@@ -18,20 +18,39 @@ import org.apache.spark.sql.functions._
   *    plans it as a hash join with a residual filter, so cost stays
   *    O(matches-per-key), not O(cartesian).
   *
-  * Scale notes: dims are broadcast (no shuffle on the fact table); the
-  * interval join shuffles both sides once on the equi-key; with AQE on,
-  * skewed keys split automatically.
+  * Scale notes: only dims declared `tiny` (bounded cardinality independent
+  * of scale factor — region, nation, a config table) carry a `broadcast()`
+  * hint. Dims that GROW with the data (part, supplier, customer) must NOT
+  * be force-broadcast — at 100 TB a forced broadcast of a multi-GB dim
+  * OOMs every executor. For those, Catalyst + AQE decide at runtime from
+  * actual sizes (`spark.sql.autoBroadcastJoinThreshold`,
+  * `spark.sql.adaptive.autoBroadcastJoinThreshold`), falling back to
+  * shuffled hash / sort-merge with skew-splitting. The interval join
+  * shuffles both sides once on the equi-key.
   */
 object JoinOps {
 
-  /** J3/J6 — enrich facts with a chain of small dimension tables via
-    * broadcast hash joins. Each element: (dimDf, joinCondition, columns to
-    * keep from the dim side). */
-  def dimChain(fact: DataFrame,
-               dims: Seq[(DataFrame, Column, Seq[Column])]): DataFrame =
-    dims.foldLeft(fact) { case (acc, (dim, cond, keep)) =>
-      acc.join(broadcast(dim), cond, "left")
-        .select(acc.columns.map(acc(_)) ++ keep: _*)
+  /** One step of a dimension-enrichment chain.
+    *
+    * @param dim  the dimension table
+    * @param cond join condition
+    * @param keep columns to carry over from the dim side
+    * @param tiny true ⇒ cardinality is bounded regardless of data scale
+    *             (worth a hard broadcast hint); false ⇒ let AQE choose
+    *             the physical join from runtime sizes.
+    */
+  final case class Dim(dim: DataFrame, cond: Column, keep: Seq[Column],
+                       tiny: Boolean = false)
+
+  /** J3/J6 — enrich facts with a chain of dimension tables. Each join is a
+    * left join keyed on the fact side, so the fact table's partitioning is
+    * reused across the whole chain (no intermediate shuffle of the facts
+    * when dims end up broadcast). */
+  def dimChain(fact: DataFrame, dims: Seq[Dim]): DataFrame =
+    dims.foldLeft(fact) { case (acc, d) =>
+      val rhs = if (d.tiny) broadcast(d.dim) else d.dim
+      acc.join(rhs, d.cond, "left")
+        .select(acc.columns.map(acc(_)) ++ d.keep: _*)
     }
 
   /** J4 — interval join: rows of `left` matched to rows of `right` with the

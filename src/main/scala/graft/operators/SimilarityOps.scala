@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{StableHash, TextFunctions, VectorFunctions}
+
+/** Near-duplicate detection and similarity search, bucketed for scale.
+  *
+  * The common shape of every operator here is BLOCK → VERIFY: a cheap
+  * map-side signature assigns each record to a small number of buckets,
+  * candidate pairs are generated ONLY within a bucket (one shuffle on the
+  * bucket key), and the exact measure (Jaccard, cosine) runs on the
+  * candidates alone. Nothing in this file compares all pairs — an
+  * all-pairs join is O(n²) and unrunnable at 100 TB, while bucket sizes
+  * stay bounded so the candidate join stays near-linear.
+  *
+  * Everything is codegen'd Catalyst expressions over md5 / universal
+  * hashing ([[graft.functions.StableHash]]) so the DuckDB oracle can
+  * reproduce each hash bit-for-bit.
+  *
+  * The reference has no near-dup machinery (its dedup is keyed keep-first,
+  * `app/dws/DwsTradeSkuOrderWindow.java:111-148`); this extends the engine
+  * to the training-data-pipeline surface (MinHash/LSH per Broder '97,
+  * sign-bit LSH per Charikar '02).
+  */
+object SimilarityOps {
+
+  /** MinHash signature: one row per id with columns mh0..mh{k-1}.
+    * Single shuffle: explode distinct shingles → groupBy(id) with k
+    * min-aggregates (map-side partial aggregation applies). */
+  def minhashSignature(df: DataFrame, id: Column, text: Column,
+                       shingleN: Int, k: Int): DataFrame = {
+    val params = StableHash.minhashParams(k)
+    val h = StableHash.stableMod(col("__shingle"))
+    df.select(id.as("__id"),
+        explode(TextFunctions.shingles(text, shingleN)).as("__shingle"))
+      .select(col("__id"), h.as("__h"))
+      .groupBy("__id")
+      .agg(min(StableHash.perm(col("__h"), params.head._1, params.head._2)).as("mh0"),
+        params.zipWithIndex.tail.map { case ((a, b), i) =>
+          min(StableHash.perm(col("__h"), a, b)).as(s"mh$i")
+        }: _*)
+  }
+
+  /** LSH banding: k signature columns → one row per (id, band) with the
+    * band's md5 bucket key. bandSize rows OR-ed into nBands buckets. */
+  def lshBands(sig: DataFrame, k: Int, bandSize: Int): DataFrame = {
+    require(k % bandSize == 0, s"k=$k not divisible by bandSize=$bandSize")
+    val bands = (0 until k / bandSize).map { b =>
+      val cols = (b * bandSize until (b + 1) * bandSize)
+        .map(i => col(s"mh$i").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", cols: _*)).as("sig"))
+    }
+    sig.select(col("__id"), explode(array(bands: _*)).as("bs"))
+      .select(col("__id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs = distinct (a < b) sharing at least one LSH bucket.
+    * The self-join shuffles on (band, sig) — bucket-local, never all-pairs. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val l = bands.select(col("band"), col("sig"), col("__id").as("a"))
+    val r = bands.select(col("band"), col("sig"), col("__id").as("b"))
+    l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the documents'
+    * distinct shingle sets; keeps pairs with jaccard >= threshold. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: Column,
+                    text: Column, shingleN: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(id.as("__id"),
+      TextFunctions.shingles(text, shingleN).as("__sh"))
+    val inter = size(array_intersect(col("__sha"), col("__shb")))
+    val uni = size(col("__sha")) + size(col("__shb")) - inter
+    pairs
+      .join(sets.select(col("__id").as("a"), col("__sh").as("__sha")), "a")
+      .join(sets.select(col("__id").as("b"), col("__sh").as("__shb")), "b")
+      .withColumn("jaccard", inter.cast("double") / uni.cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint over the distinct-token set: bit j of the result
+    * is 1 iff the count of tokens whose stable60 has bit j set exceeds the
+    * count of those that don't. Near-identical vocabularies collapse to
+    * identical fingerprints (Charikar '02). One explode + one groupBy. */
+  def simhash(df: DataFrame, id: Column, text: Column, bits: Int): DataFrame = {
+    val h = StableHash.stable60(col("__tok"))
+    val sums = (0 until bits).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$j")
+    }
+    val fp = (0 until bits).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    df.select(id.as("__id"),
+        explode(array_distinct(TextFunctions.tokens(TextFunctions.normalized(text)))).as("__tok"))
+      .select(col("__id"), h.as("__h"))
+      .groupBy("__id").agg(sums.head, sums.tail: _*)
+      .select(col("__id"), fp.as("simhash"))
+  }
+
+  /** Brute-force cosine top-k: the CORRECTNESS baseline for ANN. Probes
+    * are broadcast (they are few); every (probe, corpus) cosine is
+    * computed map-side; the only shuffle is the per-probe top-k window.
+    * At scale the candidate set must be cut first — see [[lshBucketAnn]]. */
+  def annBruteForce(probes: DataFrame, corpus: DataFrame, topK: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        VectorFunctions.cosine(col("q_vec"), col("embedding")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Sign-bit-LSH ANN: bucket every vector by its hyperplane sign
+    * signature, search only the probe's bucket. Recall is approximate by
+    * construction; cost is bucket-local. This is the 100 TB path — the
+    * full corpus is never shuffled per probe, only equal-signature rows
+    * meet in the join. */
+  def lshBucketAnn(probes: DataFrame, corpus: DataFrame,
+                   planes: Seq[Seq[Double]], topK: Int): DataFrame = {
+    val bucketed = corpus.withColumn("bucket",
+      VectorFunctions.signBits(col("embedding"), planes))
+    val pb = probes.withColumn("bucket",
+      VectorFunctions.signBits(col("q_vec"), planes))
+    val scored = bucketed.join(broadcast(pb), "bucket")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        VectorFunctions.cosine(col("q_vec"), col("embedding")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** Embedding near-dup: pairs (a < b) in the same LSH bucket with cosine
+    * >= threshold. Same block→verify shape as MinHash. */
+  def embeddingNearDup(corpus: DataFrame, planes: Seq[Seq[Double]],
+                       threshold: Double): DataFrame = {
+    val b = corpus.withColumn("bucket",
+      VectorFunctions.signBits(col("embedding"), planes))
+    val l = b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
+    val r = b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
+    l.join(r, "bucket").filter(col("a") < col("b"))
+      .withColumn("cos_sim", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a"), col("b"), col("cos_sim")).distinct()
+  }
+}

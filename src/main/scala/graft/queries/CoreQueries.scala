@@ -118,10 +118,10 @@ object CoreQueries {
   private val j3LookupDim: Q = (s, d) => {
     val c = Tables.customer(s, d)
     JoinOps.dimChain(c, Seq(
-      (Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"),
-        Seq(col("n_name"), col("n_regionkey"))),
-      (Tables.region(s, d), col("n_regionkey") === col("r_regionkey"),
-        Seq(col("r_name")))))
+      JoinOps.Dim(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"),
+        Seq(col("n_name"), col("n_regionkey")), tiny = true),
+      JoinOps.Dim(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"),
+        Seq(col("r_name")), tiny = true)))
       .select("c_custkey", "n_name", "r_name")
       .orderBy("c_custkey")
   }
@@ -160,14 +160,16 @@ object CoreQueries {
     * (cf. DwsTradeSkuOrderWindow.java:167-254's 6-way chain). */
   private val j6DimChain: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
+    // supplier/part GROW with sf — no forced broadcast (AQE decides);
+    // nation/region are bounded (25 / 5 rows) — hint them.
     val enriched = JoinOps.dimChain(li, Seq(
-      (Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"),
+      JoinOps.Dim(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"),
         Seq(col("s_nationkey"))),
-      (Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"),
-        Seq(col("n_regionkey"))),
-      (Tables.region(s, d), col("n_regionkey") === col("r_regionkey"),
-        Seq(col("r_name"))),
-      (Tables.part(s, d), col("l_partkey") === col("p_partkey"),
+      JoinOps.Dim(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"),
+        Seq(col("n_regionkey")), tiny = true),
+      JoinOps.Dim(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"),
+        Seq(col("r_name")), tiny = true),
+      JoinOps.Dim(Tables.part(s, d), col("l_partkey") === col("p_partkey"),
         Seq(col("p_brand")))))
     enriched.groupBy("r_name", "p_brand")
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
@@ -300,25 +302,26 @@ object CoreQueries {
   // ---------------------------------------------------------------- X-family
 
   /** X1 — 5-way split with branch-specific payload extraction, re-unioned
-    * with a branch tag (cf. DwdTrafficBaseLogSplit.java:41-48,98-142). */
+    * with a branch tag (cf. DwdTrafficBaseLogSplit.java:41-48,98-142).
+    *
+    * Single-pass: when the branches are re-unioned (vs fanned out to
+    * separate sinks), the split+union collapses to one scan with a
+    * per-branch `when` cascade — the physical plan has exactly ONE
+    * FileScan of events and ONE `from_json`, where a naive
+    * filter-per-branch union re-scans and re-parses 5×. For genuine
+    * multi-sink fan-out use [[CdcOps.splitBy]] with persist. */
   private val x1SplitRoute: Q = (s, d) => {
-    val parsed = Tables.events(s, d).withColumn("j",
-      from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))))
-    val branches = CdcOps.splitBy(parsed, "event_type",
-      Seq("click", "view", "purchase", "signup", "error"))
-    val out = Seq(
-      branches("click").select(lit("click").as("branch"), col("event_id"),
-        col("j.k").cast("long").as("payload")),
-      branches("view").select(lit("view").as("branch"), col("event_id"),
-        col("j.k").cast("long").as("payload")),
-      branches("purchase").select(lit("purchase").as("branch"), col("event_id"),
-        round(col("value") * 100).cast("long").as("payload")),
-      branches("signup").select(lit("signup").as("branch"), col("event_id"),
-        lit(1L).as("payload")),
-      branches("error").select(lit("error").as("branch"), col("event_id"),
-        col("j.k").cast("long").as("payload"))
-    ).reduce(_ unionByName _)
-    out.orderBy("branch", "event_id")
+    val tags = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(s, d)
+      .filter(col("event_type").isin(tags: _*))
+      .withColumn("j",
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))))
+      .select(col("event_type").as("branch"), col("event_id"),
+        when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long"))
+          .when(col("event_type") === "signup", lit(1L))
+          .otherwise(col("j.k").cast("long")).as("payload"))
+      .orderBy("branch", "event_id")
   }
 
   // ---------------------------------------------------------------- registry

@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.StableHash
+import graft.operators.SimilarityOps
+import graft.sources.Tables
+
+/** Near-duplicate detection + similarity search over `documents` /
+  * `embeddings` — the training-data-pipeline surface (MinHash-LSH,
+  * SimHash, brute-force + LSH-bucketed ANN, embedding near-dup).
+  *
+  * Every pipeline is block→verify (see [[graft.operators.SimilarityOps]]);
+  * the oracle SQL reproduces the exact same md5/universal-hash arithmetic
+  * (see [[graft.functions.StableHash]]) and sequential-fold float math
+  * (see [[graft.functions.VectorFunctions]]), so even the LSH bucket
+  * assignments and cosine doubles hash-match DuckDB bit-for-bit.
+  */
+object SimilarityQueries {
+  import CoreQueries.Q
+
+  // Tuning shared by Spark + oracle. 16 minhash perms in 4 bands of 4
+  // targets the jaccard~0.8 near-dup band; 4 hyperplanes → 16 ANN buckets.
+  private val MinhashK = 16
+  private val BandSize = 4
+  private val ShingleN = 3
+  private val JaccardThreshold = 0.8
+  private val NPlanes = 4
+  private val EmbedDim = 64
+  private val TopK = 5
+  private val NProbes = 10
+  private val CosineThreshold = 0.4
+
+  private val perms = StableHash.minhashParams(MinhashK)
+  private val planes = StableHash.lshPlanes(NPlanes, EmbedDim)
+
+  // ---------------------------------------------------------------- queries
+
+  /** D3 — MinHash-LSH near-dup: band-bucket candidates, exact-Jaccard
+    * verify, never all-pairs. */
+  private val d3MinhashNeardup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val sig = SimilarityOps.minhashSignature(
+      docs, col("doc_id"), col("text"), ShingleN, MinhashK)
+    val bands = SimilarityOps.lshBands(sig, MinhashK, BandSize)
+    val pairs = SimilarityOps.candidatePairs(bands)
+    SimilarityOps.jaccardVerify(pairs, docs, col("doc_id"), col("text"),
+        ShingleN, JaccardThreshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** D4 — SimHash fingerprint groups (16-bit vocabulary fingerprint). */
+  private val d4Simhash: Q = (s, d) =>
+    SimilarityOps.simhash(Tables.documents(s, d), col("doc_id"), col("text"), 16)
+      .groupBy("simhash")
+      .agg(min(col("__id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+      .orderBy("canonical_id")
+
+  /** V1 — brute-force cosine top-k (ANN correctness baseline). */
+  private val v1AnnCosineTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    SimilarityOps.annBruteForce(probes, e, TopK)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** V2 — LSH-bucketed ANN (the 100 TB path: bucket, then search). */
+  private val v2AnnLsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    SimilarityOps.lshBucketAnn(probes, e, planes, TopK)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** V3 — embedding near-dup pairs within LSH buckets. */
+  private val v3EmbedNeardup: Q = (s, d) =>
+    SimilarityOps.embeddingNearDup(Tables.embeddings(s, d), planes, CosineThreshold)
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+
+  val queries: Map[String, Q] = Map(
+    "d3_minhash_neardup" -> d3MinhashNeardup,
+    "d4_simhash" -> d4Simhash,
+    "v1_ann_cosine_topk" -> v1AnnCosineTopk,
+    "v2_ann_lsh" -> v2AnnLsh,
+    "v3_embed_neardup" -> v3EmbedNeardup)
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB text normalization mirroring TextFunctions.normalized. */
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** stable60 mod Mersenne-31 of a string expression (StableHash.stableMod). */
+  private def stableModSql(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT % 2147483647)"
+
+  /** Sequential-fold dot product — matches VectorFunctions.dot exactly
+    * (DuckDB list_reduce folds left-to-right; 0.0 + x1 == x1). */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE), (x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String): String = {
+    val na = s"sqrt(${dotSql(a, a)})"
+    val nb = s"sqrt(${dotSql(b, b)})"
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE ${dotSql(a, b)} / ($na * $nb) END)"
+  }
+
+  private def planeSql(p: Seq[Double]): String =
+    p.map(_.toLong).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** Sign-bit bucket string over the fixed hyperplanes (signBits). */
+  private def bucketSql(v: String): String =
+    planes.map(p =>
+      s"(CASE WHEN ${dotSql(v, planeSql(p))} >= 0 THEN '1' ELSE '0' END)")
+      .mkString("concat(", ", ", ")")
+
+  /** Shared CTEs: distinct 3-gram shingles per doc. */
+  private val shinglesCte =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, array_to_string(t[i:i+${ShingleN - 1}], ' ') AS s
+       |    FROM (SELECT doc_id, t,
+       |            unnest(generate_series(1, len(t) - ${ShingleN - 1})) AS i
+       |          FROM toks)))""".stripMargin
+
+  private val minhashCols = perms.zipWithIndex.map { case ((a, b), i) =>
+    s"MIN(($a * h + $b) % 2147483647) AS mh$i"
+  }.mkString(",\n    ")
+
+  private val bandSelects = (0 until MinhashK / BandSize).map { bandIdx =>
+    val cols = (bandIdx * BandSize until (bandIdx + 1) * BandSize)
+      .map(i => s"mh$i::VARCHAR").mkString(", ")
+    s"SELECT doc_id, $bandIdx AS band, md5(concat_ws(',', $cols)) AS sig FROM mh"
+  }.mkString("\n  UNION ALL\n  ")
+
+  private val d3Sql =
+    s"""WITH $shinglesCte,
+       |hv AS (
+       |  SELECT doc_id, ${stableModSql("s")} AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id,
+       |    $minhashCols
+       |  FROM hv GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+       |sets AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.l, sb.l))::DOUBLE
+       |      / (len(sa.l) + len(sb.l) - len(list_intersect(sa.l, sb.l)))::DOUBLE
+       |      AS jaccard
+       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
+       |            JOIN sets sb ON doc_b = sb.doc_id)
+       |WHERE jaccard >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simhashSums = (0 until 16).map { j =>
+    s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+  }.mkString(",\n    ")
+
+  private val simhashFp = (0 until 16).map { j =>
+    s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString("(", " | ", ")")
+
+  private val d4Sql =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS t
+       |    FROM documents)),
+       |hv AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |sums AS (
+       |  SELECT doc_id,
+       |    $simhashSums
+       |  FROM hv GROUP BY doc_id)
+       |SELECT $simhashFp AS simhash, MIN(doc_id) AS canonical_id,
+       |  COUNT(*) AS n_docs
+       |FROM sums GROUP BY 1 ORDER BY canonical_id""".stripMargin
+
+  private val v1Sql =
+    s"""WITH probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       |  WHERE vec_id < $NProbes),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    ${cosineSql("q_vec", "embedding")} AS cos_sim
+       |  FROM embeddings CROSS JOIN probes WHERE q_id <> vec_id)
+       |SELECT q_id, vec_id, rnk, cos_sim FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
+  private val v2Sql =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM bucketed
+       |  WHERE vec_id < $NProbes),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    ${cosineSql("q_vec", "embedding")} AS cos_sim
+       |  FROM bucketed JOIN probes USING (bucket) WHERE q_id <> vec_id)
+       |SELECT q_id, vec_id, rnk, cos_sim FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
+  private val v3Sql =
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${cosineSql("a.embedding", "b.embedding")} AS cos_sim
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |WHERE cos_sim >= $CosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d3_minhash_neardup" -> d3Sql,
+    "d4_simhash" -> d4Sql,
+    "v1_ann_cosine_topk" -> v1Sql,
+    "v2_ann_lsh" -> v2Sql,
+    "v3_embed_neardup" -> v3Sql)
+}
