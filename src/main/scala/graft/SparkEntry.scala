@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, SimilarityQueries, TextQueries}
+import graft.queries.{CdcQueries, CoreQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries
+    CoreQueries.queries ++ TextQueries.queries ++ SimilarityQueries.queries ++
+      CdcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles
+    CoreQueries.oracles ++ TextQueries.oracles ++ SimilarityQueries.oracles ++
+      CdcQueries.oracles
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** CDC-envelope style per-record transforms.
   *
@@ -18,13 +18,20 @@ import org.apache.spark.sql.types.StructType
   */
 object CdcOps {
 
-  /** P1 — tolerant parse: `from_json` yields null on malformed input; the
-    * filter drops those rows (the reference drops Maxwell bootstrap rows
-    * the same way). */
+  /** P1 — tolerant parse-or-drop (the reference drops Maxwell bootstrap /
+    * malformed rows the same way). PERMISSIVE `from_json` yields an
+    * all-null struct (not a null struct) for malformed input, so the
+    * reliable drop signal is a corrupt-record column inside the schema. */
   def parseOrDrop(df: DataFrame, jsonCol: String, schema: StructType,
-                  parsedName: String = "j"): DataFrame =
-    df.withColumn(parsedName, from_json(col(jsonCol), schema))
-      .filter(col(parsedName).isNotNull)
+                  parsedName: String = "j"): DataFrame = {
+    val corrupt = "_corrupt_record"
+    val withCorrupt = schema.add(corrupt, StringType)
+    df.withColumn(parsedName,
+        from_json(col(jsonCol), withCorrupt,
+          Map("columnNameOfCorruptRecord" -> corrupt)))
+      .filter(col(parsedName).isNotNull &&
+        col(s"$parsedName.$corrupt").isNull)
+  }
 
   /** P2 — project fields out of a map column: data['id'] AS id, ... */
   def mapProjection(data: Column, fields: Seq[String]): Seq[Column] =

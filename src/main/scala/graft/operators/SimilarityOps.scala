@@ -102,15 +102,26 @@ object SimilarityOps {
       .select(col("__id"), fp.as("simhash"))
   }
 
+  /** Cosine from a pairwise dot and two PREcomputed norms. Norms are
+    * hoisted to one-per-vector before any pair join — recomputing them
+    * per candidate pair multiplies the vector-fold cost by the mean
+    * bucket size, which is the dominant cost at scale. Bit-identical to
+    * [[VectorFunctions.cosine]] (same subexpressions, same order). */
+  private def cosineFromParts(d: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+
   /** Brute-force cosine top-k: the CORRECTNESS baseline for ANN. Probes
     * are broadcast (they are few); every (probe, corpus) cosine is
     * computed map-side; the only shuffle is the per-probe top-k window.
     * At scale the candidate set must be cut first — see [[lshBucketAnn]]. */
   def annBruteForce(probes: DataFrame, corpus: DataFrame, topK: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(probes))
+    val c = corpus.withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
+    val p = probes.withColumn("__na", sqrt(VectorFunctions.norm2(col("q_vec"))))
+    val scored = c.crossJoin(broadcast(p))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos_sim",
-        VectorFunctions.cosine(col("q_vec"), col("embedding")))
+      .withColumn("cos_sim", cosineFromParts(
+        VectorFunctions.dot(col("q_vec"), col("embedding")),
+        col("__na"), col("__nb")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -125,14 +136,17 @@ object SimilarityOps {
     * meet in the join. */
   def lshBucketAnn(probes: DataFrame, corpus: DataFrame,
                    planes: Seq[Seq[Double]], topK: Int): DataFrame = {
-    val bucketed = corpus.withColumn("bucket",
-      VectorFunctions.signBits(col("embedding"), planes))
-    val pb = probes.withColumn("bucket",
-      VectorFunctions.signBits(col("q_vec"), planes))
+    val bucketed = corpus
+      .withColumn("bucket", VectorFunctions.signBits(col("embedding"), planes))
+      .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
+    val pb = probes
+      .withColumn("bucket", VectorFunctions.signBits(col("q_vec"), planes))
+      .withColumn("__na", sqrt(VectorFunctions.norm2(col("q_vec"))))
     val scored = bucketed.join(broadcast(pb), "bucket")
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos_sim",
-        VectorFunctions.cosine(col("q_vec"), col("embedding")))
+      .withColumn("cos_sim", cosineFromParts(
+        VectorFunctions.dot(col("q_vec"), col("embedding")),
+        col("__na"), col("__nb")))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -144,12 +158,17 @@ object SimilarityOps {
     * >= threshold. Same block→verify shape as MinHash. */
   def embeddingNearDup(corpus: DataFrame, planes: Seq[Seq[Double]],
                        threshold: Double): DataFrame = {
-    val b = corpus.withColumn("bucket",
-      VectorFunctions.signBits(col("embedding"), planes))
-    val l = b.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("va"))
-    val r = b.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("vb"))
+    val b = corpus
+      .withColumn("bucket", VectorFunctions.signBits(col("embedding"), planes))
+      .withColumn("__n", sqrt(VectorFunctions.norm2(col("embedding"))))
+    val l = b.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("va"), col("__n").as("__na"))
+    val r = b.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("vb"), col("__n").as("__nb"))
     l.join(r, "bucket").filter(col("a") < col("b"))
-      .withColumn("cos_sim", VectorFunctions.cosine(col("va"), col("vb")))
+      .withColumn("cos_sim", cosineFromParts(
+        VectorFunctions.dot(col("va"), col("vb")),
+        col("__na"), col("__nb")))
       .filter(col("cos_sim") >= threshold)
       .select(col("a"), col("b"), col("cos_sim")).distinct()
   }

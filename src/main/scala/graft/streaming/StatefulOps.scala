@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming keyed-state operators — the Structured Streaming forms of the
+  * reference's `keyBy + ValueState` patterns. Batch twins live in
+  * [[graft.operators.DedupOps]] and `CoreQueries` (A3/A4/A5/P6); the specs
+  * in `src/test/scala/graft/streaming/` assert stream == batch on the same
+  * fixture, which is the correctness gate for this layer (the driver's
+  * DuckDB oracle only sees batch).
+  *
+  * State semantics mirrored from the reference:
+  *  - keep-first per key with TTL        (`app/dws/DwsTradeSkuOrderWindow.java:111-148`)
+  *  - once-per-period (per-day UV dedup) (`app/dws/DwsTrafficVcChArIsNewPageViewWindow.java:79-128`)
+  *  - is_new repair via first-seen state (`app/dwd/DwdTrafficBaseLogSplit.java:63-97`)
+  *  - keep-last upsert (changelog tail)  (`app/lab/DwsLeftJoinDuplication03Last.java:54-79`)
+  *
+  * Scale notes: all operators are `groupByKey → *GroupsWithState` — state
+  * is partitioned by key across executors and checkpointed via the state
+  * store (R1); TTLs (W7/W8) bound state size so a 100 TB keyspace cannot
+  * accumulate unboundedly. No driver-side state anywhere.
+  */
+object StatefulOps {
+
+  private implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+  private implicit val stringEnc: Encoder[String] = Encoders.STRING
+
+  /** A5 streaming keep-first: emit each key's first-ever record, swallow
+    * the rest. `ttlMs` > 0 arms a processing-time timeout that clears the
+    * key's marker (W7 state TTL — the reference sets 1-day TTL on its
+    * order-detail dedup state). */
+  def keepFirst[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+                                        ttlMs: Long = 0L): Dataset[V] = {
+    // Arm the timeout machinery only when a TTL is requested: a configured
+    // ProcessingTimeTimeout makes the engine schedule continuous timer
+    // batches even with no data, which burns cycles on an idle stream.
+    val timeoutConf =
+      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(), timeoutConf) {
+      (_: K, it: Iterator[V], state: GroupState[Boolean]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else if (state.exists) Iterator.empty
+        else {
+          state.update(true)
+          if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+          it.take(1)
+        }
+    }
+  }
+
+  /** A3 streaming per-period dedup (daily UV): emit a record when its
+    * period differs from the key's last-seen period. State is ONE string
+    * per key (the reference keeps `lastVisitDate` exactly so), not a set —
+    * bounded regardless of stream length. Assumes period is monotonically
+    * non-decreasing per key (event-time order within key), matching the
+    * reference's watermarked input. */
+  def firstPerPeriod[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+                                             period: V => String): Dataset[V] =
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: K, it: Iterator[V], state: GroupState[String]) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[V]
+        var last = state.getOption.getOrElse("")
+        it.foreach { v =>
+          val p = period(v)
+          if (p != last) { out += v; last = p }
+        }
+        if (last.nonEmpty) state.update(last)
+        out.iterator
+    }
+
+  /** P6 streaming is_new repair: the flag is 1 only while the key's
+    * first-seen period equals the record's period; later periods emit 0
+    * (`DwdTrafficBaseLogSplit.java:70-97`). Emits (record, repairedFlag). */
+  def isNewRepair[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+      period: V => String)(implicit e: Encoder[(V, Int)]): Dataset[(V, Int)] =
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: K, it: Iterator[V], state: GroupState[String]) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(V, Int)]
+        var first = state.getOption.getOrElse("")
+        it.foreach { v =>
+          val p = period(v)
+          if (first.isEmpty) first = p
+          out += ((v, if (p == first) 1 else 0))
+        }
+        if (first.nonEmpty) state.update(first)
+        out.iterator
+    }
+
+  /** A6/W9 streaming keep-last with EVENT-TIME timer flush: hold each
+    * key's latest record; when the watermark passes the held record's
+    * event time + `delayMs`, emit it once and clear state — the
+    * reference's `registerEventTimeTimer` + `onTimer` emit
+    * (`app/lab/DwsLeftJoinDuplication03Last.java:54-79`). Input must be
+    * watermarked (`withWatermark`) for EventTimeTimeout to fire. */
+  def keepLastEventTime[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+      tsMillis: V => Long, delayMs: Long): Dataset[V] =
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (_: K, it: Iterator[V], state: GroupState[V]) =>
+        if (state.hasTimedOut) {
+          val v = state.get; state.remove(); Iterator.single(v)
+        } else {
+          val last = it.foldLeft(state.getOption.getOrElse(null.asInstanceOf[V]))((_, v) => v)
+          state.update(last)
+          // timer must sit strictly above the current watermark
+          state.setTimeoutTimestamp(
+            math.max(tsMillis(last) + delayMs, state.getCurrentWatermarkMs() + 1))
+          Iterator.empty
+        }
+    }
+
+  /** A6/K3 streaming keep-last: every micro-batch emits each touched key's
+    * latest record — the changelog-tail semantics of an upsert sink.
+    * Downstream `foreachBatch` + [[graft.sinks.Sinks.upsertKeyed]] gives
+    * the reference's upsert-Kafka behavior (emit-on-update, last wins).
+    * `ttlMs` > 0 expires idle keys (W8 idle-state retention). */
+  def keepLastUpdates[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+                                              ttlMs: Long = 0L): Dataset[V] =
+    ds.groupByKey(key).mapGroupsWithState(
+      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()) {
+      (_: K, it: Iterator[V], state: GroupState[V]) =>
+        if (state.hasTimedOut) { val v = state.get; state.remove(); v }
+        else {
+          val last = it.foldLeft(state.getOption.getOrElse(null.asInstanceOf[V]))((_, v) => v)
+          state.update(last)
+          if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+          last
+        }
+    }
+}

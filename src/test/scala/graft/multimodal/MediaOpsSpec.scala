@@ -1,0 +1,47 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.MediaOps.{MediaFeatures, MediaRecord}
+
+class MediaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = Seq(
+    MediaRecord(1, "jpeg-bytes-here".getBytes("UTF-8"), "image", 1000L),
+    MediaRecord(2, "wav-bytes".getBytes("UTF-8"), "audio", 2000L),
+    MediaRecord(3, Array.emptyByteArray, "image", 3000L))
+
+  test("decodeFeatures is deterministic and schema-stable") {
+    val a = MediaOps.decodeFeatures(fixture.toDS()).collect().sortBy(_.mediaId)
+    val b = MediaOps.decodeFeatures(fixture.toDS()).collect().sortBy(_.mediaId)
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.mediaId).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("features carry byte counts and bounded dimensions") {
+    val f = MediaOps.decodeFeatures(fixture.toDS()).collect()
+      .map(x => x.mediaId -> x).toMap
+    assert(f(1).nBytes == 15 && f(3).nBytes == 0)
+    f.values.foreach { x: MediaFeatures =>
+      assert(x.width >= 1 && x.width <= 1920)
+      assert(x.height >= 1 && x.height <= 1080)
+      assert(x.contentSha.length == 32)
+    }
+    assert(f(1).durationMs == 0L) // images have no duration
+    assert(f(2).durationMs >= 0L)
+  }
+
+  test("decode runs partition-batched (survives multi-partition datasets)") {
+    val many = (1L to 100L).map(i =>
+      MediaRecord(i, s"payload-$i".getBytes("UTF-8"), "image", i))
+    val got = MediaOps.decodeFeatures(many.toDS().repartition(7)).collect()
+    assert(got.length == 100)
+    assert(got.map(_.contentSha).distinct.length == 100)
+  }
+
+  test("sampleOffsets are evenly spaced mid-bucket points") {
+    assert(MediaOps.sampleOffsets(1000, 4) == Seq(125L, 375L, 625L, 875L))
+    assert(MediaOps.sampleOffsets(0, 4).isEmpty)
+    assert(MediaOps.sampleOffsets(1000, 0).isEmpty)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.DedupOps
+
+/** Correctness gate for the streaming layer: each stateful operator's
+  * streamed output must equal its batch twin on the same fixture (the
+  * driver's DuckDB oracle cannot see streams, so this spec is the gate). */
+case class Ev(user: Long, seq: Long, day: String, v: Double)
+
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Fixture: two users across three days, multiple events per day,
+  // delivered across THREE micro-batches to exercise state persistence.
+  private val batch1 = Seq(
+    Ev(1, 1, "2024-01-01", 1.0), Ev(1, 2, "2024-01-01", 2.0),
+    Ev(2, 3, "2024-01-01", 3.0))
+  private val batch2 = Seq(
+    Ev(1, 4, "2024-01-02", 4.0), Ev(2, 5, "2024-01-01", 5.0))
+  private val batch3 = Seq(
+    Ev(2, 6, "2024-01-03", 6.0), Ev(1, 7, "2024-01-02", 7.0))
+  private val all = batch1 ++ batch2 ++ batch3
+
+  /** Run `op` over the fixture delivered in 3 micro-batches; collect. */
+  private def streamed[U: org.apache.spark.sql.Encoder](
+      name: String, mode: OutputMode)(
+      op: org.apache.spark.sql.Dataset[Ev] => org.apache.spark.sql.Dataset[U]): Seq[U] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = op(mem.toDS()).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    try {
+      Seq(batch1, batch2, batch3).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name).as[U].collect().toSeq
+  }
+
+  test("keepFirst stream == first-arrival per key") {
+    val got = streamed("kf", OutputMode.Append()) { ds =>
+      StatefulOps.keepFirst[Long, Ev](ds, _.user)
+    }
+    // arrival order == seq order here, so first arrival per user:
+    assert(got.toSet == Set(all.find(_.user == 1).get, all.find(_.user == 2).get))
+  }
+
+  test("firstPerPeriod stream == batch keep-first per (user, day)") {
+    val got = streamed("fpp", OutputMode.Append()) { ds =>
+      StatefulOps.firstPerPeriod[Long, Ev](ds, _.user, _.day)
+    }
+    val batch = DedupOps.keepFirst(all.toDF(),
+      Seq(col("user"), col("day")), Seq(col("seq"))).as[Ev].collect()
+    assert(got.toSet == batch.toSet)
+  }
+
+  test("isNewRepair stream: flag 1 only on first-seen day") {
+    val got = streamed("inr", OutputMode.Append()) { ds =>
+      StatefulOps.isNewRepair[Long, Ev](ds, _.user, _.day)
+    }
+    val expected = {
+      val firstDay = all.groupBy(_.user).map { case (u, evs) =>
+        u -> evs.minBy(_.seq).day
+      }
+      all.map(e => (e, if (e.day == firstDay(e.user)) 1 else 0))
+    }
+    assert(got.toSet == expected.toSet)
+  }
+
+  test("keepLastUpdates emits each touched key's latest per batch; final state == batch keep-last") {
+    val got = streamed("klu", OutputMode.Update()) { ds =>
+      StatefulOps.keepLastUpdates[Long, Ev](ds, _.user)
+    }
+    // Update-mode memory sink appends each batch's emissions; the LAST
+    // emission per key must equal the batch keep-last.
+    val finalPerKey = got.groupBy(_.user).map { case (_, evs) => evs.maxBy(_.seq) }.toSet
+    val batch = DedupOps.keepLast(all.toDF(), Seq(col("user")), Seq(col("seq")))
+      .as[Ev].collect().toSet
+    assert(finalPerKey == batch)
+    // and per-batch emission count: one per touched key per batch
+    assert(got.size == 6) // b1: u1,u2; b2: u1,u2; b3: u2,u1
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.operators.WindowOps
+
+case class TsEv(ts: Timestamp, key: String, v: Double)
+
+class WindowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("watermarked tumbling agg == batch agg for on-time data; late rows dropped") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[TsEv]
+    val out = Windows.tumblingAgg(mem.toDF(), "ts", "10 minutes", "2 seconds",
+      Seq(col("key")), Seq(count(lit(1)).as("pv"), sum(col("v")).as("amount")))
+    val q = out.writeStream.format("memory").queryName("win")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: fills window [10:00, 10:10) — not yet emitted (append mode)
+      mem.addData(Seq(
+        TsEv(t("2024-01-01 10:00:01"), "a", 1.0),
+        TsEv(t("2024-01-01 10:03:00"), "a", 2.0),
+        TsEv(t("2024-01-01 10:09:59"), "b", 4.0)))
+      q.processAllAvailable()
+      // batch 2: advances watermark past 10:10 → window emits
+      mem.addData(Seq(TsEv(t("2024-01-01 10:25:00"), "a", 8.0)))
+      q.processAllAvailable()
+      // batch 3: LATE row for the closed window — must be dropped (W5)
+      mem.addData(Seq(TsEv(t("2024-01-01 10:01:00"), "a", 100.0)))
+      q.processAllAvailable()
+      // batch 4: advance watermark past 10:30 to flush the 10:20 window
+      mem.addData(Seq(TsEv(t("2024-01-01 10:45:00"), "b", 16.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("win")
+      .select("stt", "key", "pv", "amount")
+      .as[(String, String, Long, Double)].collect().toSet
+    // the late 100.0 row appears nowhere; on-time rows match the batch agg
+    assert(got == Set(
+      ("2024-01-01 10:00:00", "a", 2L, 3.0),
+      ("2024-01-01 10:00:00", "b", 1L, 4.0),
+      ("2024-01-01 10:20:00", "a", 1L, 8.0)))
+  }
+
+  test("batch tumbling window produces identical buckets and metadata") {
+    val df = Seq(
+      TsEv(t("2024-01-01 10:00:01"), "a", 1.0),
+      TsEv(t("2024-01-01 10:03:00"), "a", 2.0),
+      TsEv(t("2024-01-01 10:09:59"), "b", 4.0),
+      TsEv(t("2024-01-01 10:25:00"), "a", 8.0)).toDF()
+    val agg = WindowOps.tumbling(df, col("ts"), "10 minutes", Seq(col("key")))
+      .agg(count(lit(1)).as("pv"), sum(col("v")).as("amount"))
+    val got = WindowOps.withWindowMeta(agg)
+      .select("stt", "edt", "cur_date", "key", "pv", "amount")
+      .as[(String, String, String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00", "2024-01-01 10:10:00", "2024-01-01", "a", 2L, 3.0),
+      ("2024-01-01 10:00:00", "2024-01-01 10:10:00", "2024-01-01", "b", 1L, 4.0),
+      ("2024-01-01 10:20:00", "2024-01-01 10:30:00", "2024-01-01", "a", 1L, 8.0)))
+  }
+}
