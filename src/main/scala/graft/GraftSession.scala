@@ -18,6 +18,8 @@ object GraftSession {
       .builder()
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
+      // native engine expressions (vec_dot & co.) — see graft.plans
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -40,14 +40,23 @@ object TextFunctions {
   def bowSignature(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(normalized(text))))))
 
-  /** Word-level n-gram shingles (distinct), the MinHash/Jaccard unit. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(normalized(text))
-    // slide an n-window over the token array with transform+slice
-    array_distinct(
-      filter(
-        transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-        s => size(split(s, " ")) === n))
+  /** Word-level n-gram shingles from a token-array column (NOT distinct —
+    * min-hashing is duplicate-insensitive and Jaccard callers distinct at
+    * the point of use, where rows are few).
+    *
+    * Construction: zip_with over n shifted slices of the token array.
+    * Every reference to `toks` sits OUTSIDE the lambdas — expressions
+    * referenced inside a higher-order-function lambda are re-evaluated
+    * PER ELEMENT (and per-element `slice` copies made the naive
+    * transform-with-index formulation O(tokens²) per document, a measured
+    * ~20× slowdown); the zip_with chain is O(tokens · n) with each input
+    * evaluated once per row. */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    val cnt = size(toks) - (n - 1)
+    val joined = (1 until n).foldLeft(slice(toks, lit(1), cnt)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), cnt), (a, b) => concat(a, lit(" "), b))
+    }
+    when(cnt <= 0, array().cast("array<string>")).otherwise(joined)
   }
 
   /** Language-ID by stopword evidence + script detection.

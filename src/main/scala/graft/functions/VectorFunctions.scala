@@ -17,8 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product of two float-array columns (double). */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two float-array columns (double).
+    *
+    * Resolves to the native codegen'd [[graft.plans.VecDot]] expression
+    * (injected by [[graft.plans.GraftExtensions]] — sessions built via
+    * `GraftSession` have it). Bit-identical to [[dotFold]]; the higher-
+    * order-function form is interpreted per element and becomes the
+    * hot-path bottleneck on candidate-pair joins. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Reference formulation of [[dot]] built only from Spark builtins —
+    * kept as the oracle-documentation form (DuckDB mirrors this fold
+    * verbatim) and for sessions without the graft extensions. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

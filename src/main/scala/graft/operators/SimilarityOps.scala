@@ -27,15 +27,24 @@ import graft.functions.{StableHash, TextFunctions, VectorFunctions}
   */
 object SimilarityOps {
 
-  /** MinHash signature: one row per id with columns mh0..mh{k-1}.
-    * Single shuffle: explode distinct shingles → groupBy(id) with k
+  /** Per-document shingle arrays `(__id, __sh)` (duplicates retained —
+    * consumers that need SET semantics distinct at the point of use) —
+    * the shared input of signature building and exact verification.
+    * Persist the returned frame when both consumers run in one query
+    * (tokenization + shingling is the dominant map-side cost). */
+  def shingleSets(df: DataFrame, id: Column, text: Column,
+                  shingleN: Int): DataFrame =
+    df.select(id.as("__id"),
+      TextFunctions.shinglesFromTokens(
+        TextFunctions.tokens(TextFunctions.normalized(text)), shingleN).as("__sh"))
+
+  /** MinHash signature from shingle sets: one row per id with columns
+    * mh0..mh{k-1}. Single shuffle: explode → groupBy(id) with k
     * min-aggregates (map-side partial aggregation applies). */
-  def minhashSignature(df: DataFrame, id: Column, text: Column,
-                       shingleN: Int, k: Int): DataFrame = {
+  def minhashSignature(sets: DataFrame, k: Int): DataFrame = {
     val params = StableHash.minhashParams(k)
     val h = StableHash.stableMod(col("__shingle"))
-    df.select(id.as("__id"),
-        explode(TextFunctions.shingles(text, shingleN)).as("__shingle"))
+    sets.select(col("__id"), explode(col("__sh")).as("__shingle"))
       .select(col("__id"), h.as("__h"))
       .groupBy("__id")
       .agg(min(StableHash.perm(col("__h"), params.head._1, params.head._2)).as("mh0"),
@@ -67,13 +76,15 @@ object SimilarityOps {
   }
 
   /** Exact Jaccard verification of candidate pairs against the documents'
-    * distinct shingle sets; keeps pairs with jaccard >= threshold. */
-  def jaccardVerify(pairs: DataFrame, docs: DataFrame, id: Column,
-                    text: Column, shingleN: Int, threshold: Double): DataFrame = {
-    val sets = docs.select(id.as("__id"),
-      TextFunctions.shingles(text, shingleN).as("__sh"))
-    val inter = size(array_intersect(col("__sha"), col("__shb")))
-    val uni = size(col("__sha")) + size(col("__shb")) - inter
+    * shingle arrays; keeps pairs with jaccard >= threshold. The distinct
+    * (set) view of each array is taken HERE, after the pair join — it
+    * runs on candidate rows only (a few hundred), not the whole corpus. */
+  def jaccardVerify(pairs: DataFrame, sets: DataFrame,
+                    threshold: Double): DataFrame = {
+    val sa = array_distinct(col("__sha"))
+    val sb = array_distinct(col("__shb"))
+    val inter = size(array_intersect(sa, sb))
+    val uni = size(sa) + size(sb) - inter
     pairs
       .join(sets.select(col("__id").as("a"), col("__sh").as("__sha")), "a")
       .join(sets.select(col("__id").as("b"), col("__sh").as("__shb")), "b")
@@ -152,6 +163,58 @@ object SimilarityOps {
         Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** IVF-style ANN: assign every vector to its nearest centroid from a
+    * small broadcast codebook (in production: k-means-trained; here a
+    * deterministic subset), then search only within the probe's cell.
+    * Assignment is |codebook| dots per vector map-side — the inverted-file
+    * structure replaces any per-probe full scan. nprobe=1. */
+  def ivfAnn(corpus: DataFrame, centroids: DataFrame, probeIds: Column,
+             topK: Int): DataFrame = {
+    val cents = broadcast(centroids
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        sqrt(VectorFunctions.norm2(col("embedding"))).as("__nc")))
+    val assigned = corpus
+      .withColumn("__nv", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .crossJoin(cents)
+      .withColumn("__cs", cosineFromParts(
+        VectorFunctions.dot(col("embedding"), col("cvec")),
+        col("__nv"), col("__nc")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("__cs").desc, col("cid"))))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("__nv"), col("cid").as("cluster"))
+    val probes = assigned.filter(probeIds)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("__nv").as("__na"), col("cluster"))
+    assigned.join(broadcast(probes), "cluster")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosineFromParts(
+        VectorFunctions.dot(col("q_vec"), col("embedding")),
+        col("__na"), col("__nv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
+  /** N-gram-Jaccard near-dup: bottom-hash blocking over LONG (`blockN`)
+    * shingles, exact Jaccard verification over SHORT (`shingleN`)
+    * shingles. Blocking = two single-row MinHash bands (collision
+    * probability per band = long-shingle Jaccard), so near-identical
+    * documents collide with probability 1-(1-j)² ≈ 1 while unrelated
+    * documents — whose long n-grams almost never coincide even under a
+    * tiny token vocabulary — stay in singleton buckets. The long/short
+    * split matters: blocking on short n-grams degenerates when the
+    * vocabulary is small (every document shares common bigrams), a
+    * scale-killer this operator deliberately avoids. */
+  def ngramJaccardNearDup(docs: DataFrame, id: Column, text: Column,
+                          blockN: Int, shingleN: Int,
+                          threshold: Double): DataFrame = {
+    val sig = minhashSignature(shingleSets(docs, id, text, blockN), k = 2)
+    val pairs = candidatePairs(lshBands(sig, k = 2, bandSize = 1))
+    jaccardVerify(pairs, shingleSets(docs, id, text, shingleN), threshold)
   }
 
   /** Embedding near-dup: pairs (a < b) in the same LSH bucket with cosine

@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NullType}
+
+/** Native dot product over two `array<float>` columns, with whole-stage
+  * codegen.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) express the
+  * same fold but evaluate the lambda per element through the interpreter —
+  * they are excluded from whole-stage codegen, which makes them the
+  * hottest instruction in every ANN / embedding-dedup pipeline (millions
+  * of candidate pairs × vector length). This expression compiles to a
+  * tight primitive loop instead.
+  *
+  * The fold is left-to-right with a 0.0 accumulator and per-element
+  * promotion to double — BIT-IDENTICAL to the
+  * [[graft.functions.VectorFunctions.dotFold]] formulation and to the
+  * DuckDB oracle's `list_reduce(list_transform(list_zip(a, b), …))`
+  * (asserted in `VecDotSpec`), so swapping it into a query cannot change
+  * any hash-checked result.
+  *
+  * Null vector ⇒ null (BinaryExpression default); null ELEMENTS are not
+  * expected (embedding arrays are dense) and are read as 0.0-contributing
+  * garbage-free floats by ArrayData contract.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Arrays of float (stored embeddings) or double (literal hyperplanes /
+  // pre-promoted math) are both accepted; elements widen to double exactly,
+  // matching the HOF form's per-element `cast("double")`.
+  private def isFloatArr(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def isVec(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case NullType => true // untyped NULL literal; null-propagates to null
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isVec(left.dataType) && isVec(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects (array<float|double>, array<float|double>), " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val xf = isFloatArr(left.dataType)
+    val yf = isFloatArr(right.dataType)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, dt: DataType): String =
+        if (isFloatArr(dt)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${get(a, left.dataType)} * ${get(b, right.dataType)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}

@@ -38,15 +38,18 @@ object SimilarityQueries {
   // ---------------------------------------------------------------- queries
 
   /** D3 — MinHash-LSH near-dup: band-bucket candidates, exact-Jaccard
-    * verify, never all-pairs. */
+    * verify, never all-pairs. The shingle sets feed both the signature
+    * and the verification, so they are computed once and cached (a few
+    * KB per partition — bounded by documents-per-partition, not corpus
+    * size, so the cache is safe at any scale). */
   private val d3MinhashNeardup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val sig = SimilarityOps.minhashSignature(
-      docs, col("doc_id"), col("text"), ShingleN, MinhashK)
+    val sets = SimilarityOps.shingleSets(docs, col("doc_id"), col("text"), ShingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = SimilarityOps.minhashSignature(sets, MinhashK)
     val bands = SimilarityOps.lshBands(sig, MinhashK, BandSize)
     val pairs = SimilarityOps.candidatePairs(bands)
-    SimilarityOps.jaccardVerify(pairs, docs, col("doc_id"), col("text"),
-        ShingleN, JaccardThreshold)
+    SimilarityOps.jaccardVerify(pairs, sets, JaccardThreshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -78,6 +81,24 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** V4 — IVF ANN: nearest-centroid cells from a deterministic codebook
+    * (vec_id < 16), search within the probe's cell only (nprobe=1). */
+  private val v4AnnIvf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    SimilarityOps.ivfAnn(e, e.filter(col("vec_id") < 16),
+        col("vec_id") < NProbes, TopK)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** D5 — n-gram Jaccard near-dup with rarest-shingle blocking. */
+  private val d5NgramJaccard: Q = (s, d) =>
+    SimilarityOps.ngramJaccardNearDup(Tables.documents(s, d),
+        col("doc_id"), col("text"), blockN = 5, shingleN = 2,
+        threshold = 0.5)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+
   /** V3 — embedding near-dup pairs within LSH buckets. */
   private val v3EmbedNeardup: Q = (s, d) =>
     SimilarityOps.embeddingNearDup(Tables.embeddings(s, d), planes, CosineThreshold)
@@ -87,9 +108,11 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "d3_minhash_neardup" -> d3MinhashNeardup,
     "d4_simhash" -> d4Simhash,
+    "d5_ngram_jaccard" -> d5NgramJaccard,
     "v1_ann_cosine_topk" -> v1AnnCosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
-    "v3_embed_neardup" -> v3EmbedNeardup)
+    "v3_embed_neardup" -> v3EmbedNeardup,
+    "v4_ann_ivf" -> v4AnnIvf)
 
   // ---------------------------------------------------------------- oracles
 
@@ -236,10 +259,82 @@ object SimilarityQueries {
        |WHERE cos_sim >= $CosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  private val v4Sql =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid AS cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cid) AS arn
+       |    FROM embeddings e CROSS JOIN cents c)
+       |  WHERE arn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec, cluster FROM assigned
+       |  WHERE vec_id < $NProbes),
+       |scored AS (
+       |  SELECT q_id, vec_id,
+       |    ${cosineSql("q_vec", "embedding")} AS cos_sim
+       |  FROM assigned JOIN probes USING (cluster) WHERE q_id <> vec_id)
+       |SELECT q_id, vec_id, rnk, cos_sim FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
+  /** d5: 2-gram verify sets + two single-row minhash bands over 5-grams
+    * (perms = the first two of the shared LCG family). */
+  private val d5Perms = StableHash.minhashParams(2)
+  private val d5Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, array_to_string(t[i:i+1], ' ') AS s
+       |    FROM (SELECT doc_id, t,
+       |            unnest(generate_series(1, len(t) - 1)) AS i
+       |          FROM toks))),
+       |sh5 AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
+       |    FROM (SELECT doc_id, t,
+       |            unnest(generate_series(1, len(t) - 4)) AS i
+       |          FROM toks))),
+       |hv5 AS (
+       |  SELECT doc_id, ${stableModSql("s")} AS h FROM sh5),
+       |mh AS (
+       |  SELECT doc_id,
+       |    MIN((${d5Perms(0)._1} * h + ${d5Perms(0)._2}) % 2147483647) AS mh0,
+       |    MIN((${d5Perms(1)._1} * h + ${d5Perms(1)._2}) % 2147483647) AS mh1
+       |  FROM hv5 GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0::VARCHAR)) AS sig FROM mh
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, md5(concat_ws(',', mh1::VARCHAR)) AS sig FROM mh),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+       |sets AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.l, sb.l))::DOUBLE
+       |      / (len(sa.l) + len(sb.l) - len(list_intersect(sa.l, sb.l)))::DOUBLE
+       |      AS jaccard
+       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
+       |            JOIN sets sb ON doc_b = sb.doc_id)
+       |WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d3_minhash_neardup" -> d3Sql,
     "d4_simhash" -> d4Sql,
+    "d5_ngram_jaccard" -> d5Sql,
     "v1_ann_cosine_topk" -> v1Sql,
     "v2_ann_lsh" -> v2Sql,
-    "v3_embed_neardup" -> v3Sql)
+    "v3_embed_neardup" -> v3Sql,
+    "v4_ann_ivf" -> v4Sql)
 }

@@ -14,16 +14,24 @@ class TextVectorSpec extends SparkSpec {
     assert(got == Seq("foo", "bar", "baz"))
   }
 
+  private def shingled(text: String, n: Int): Seq[String] =
+    Seq(text).toDF("text")
+      .withColumn("toks",
+        TextFunctions.tokens(TextFunctions.normalized(col("text"))))
+      .select(TextFunctions.shinglesFromTokens(col("toks"), n))
+      .as[Seq[String]].head()
+
   test("shingles produce exactly the n-grams, distinct") {
-    val got = Seq("a b c d a b c d").toDF("text")
-      .select(TextFunctions.shingles(col("text"), 3)).as[Seq[String]].head()
-    assert(got.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+    assert(shingled("a b c d a b c d", 3).toSet ==
+      Set("a b c", "b c d", "c d a", "d a b"))
   }
 
   test("shingles of a too-short doc are empty") {
-    val got = Seq("a b").toDF("text")
-      .select(TextFunctions.shingles(col("text"), 3)).as[Seq[String]].head()
-    assert(got.isEmpty)
+    assert(shingled("a b", 3).isEmpty)
+  }
+
+  test("shingles of an exactly-n doc is the single n-gram") {
+    assert(shingled("a b c", 3) == Seq("a b c"))
   }
 
   test("langId picks the language with stopword evidence; CJK wins scripts") {
