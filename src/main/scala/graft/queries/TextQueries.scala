@@ -51,9 +51,7 @@ object TextQueries {
         (length(normalized(col("text"))).cast("double") / wc).as("avg_word_len"),
         sw.as("stopword_ct"),
         pc.as("punct_ct"),
-        (least(wc.cast("double") / 100.0, lit(1.0)) * 0.5
-          + least(sw.cast("double") * 10.0 / wc, lit(1.0)) * 0.3
-          + when(pc * 5 <= chars, 0.2).otherwise(0.0)).as("quality_score"))
+        qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -88,7 +86,30 @@ object TextQueries {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
       .orderBy("canonical_id")
 
+  /** C1 — end-to-end corpus cleaning: quality gate + length gate + exact
+    * dedup (fingerprint canonical) + near-dup removal (MinHash-LSH
+    * losers), the composition a real training-data pipeline runs. One
+    * pass over documents plus the shared pair pipeline; the anti-join
+    * against losers is broadcast-size (pairs are rare by construction). */
+  private val c1CleanCorpus: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val losers = SimilarityQueries.minhashPairs(s, d)
+      .select(col("doc_b")).distinct()
+    Tables.documents(s, d)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("canon_id", min(col("doc_id")).over(Window.partitionBy("fp")))
+      .withColumn("pred_lang", langId(col("text")))
+      .withColumn("quality_score", qualityScore(col("text")))
+      .withColumn("wc", wordCount(col("text")))
+      .filter(col("quality_score") >= 0.5 && col("wc") >= 20 &&
+        col("doc_id") === col("canon_id"))
+      .join(losers, col("doc_id") === col("doc_b"), "left_anti")
+      .select("doc_id", "pred_lang", "quality_score")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c1_clean_corpus" -> c1CleanCorpus,
     "u2_token_count" -> u2TokenCount,
     "t1_langid" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
@@ -124,6 +145,34 @@ object TextQueries {
     "CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "c1_clean_corpus" ->
+      s"""WITH pairs AS (${SimilarityQueries.d3PairsCore}),
+         |scored AS (
+         | SELECT doc_id,
+         |  ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
+         |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+         |  $cjkSql * 3 AS s_zh,
+         |  least($wcSql / 100.0, 1.0) * 0.5
+         |   + least($stopSql * 10.0 / $wcSql, 1.0) * 0.3
+         |   + (CASE WHEN $punctSql * 5 <= length(text) THEN 0.2 ELSE 0.0 END)
+         |   AS quality_score,
+         |  $wcSql AS wc,
+         |  md5($normSql) AS fp
+         | FROM documents),
+         |canon AS (
+         | SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon_id FROM scored)
+         |SELECT doc_id,
+         | CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+         |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+         |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+         |      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+         |      ELSE 'zh' END AS pred_lang,
+         | quality_score
+         |FROM canon
+         |WHERE quality_score >= 0.5 AND wc >= 20 AND doc_id = canon_id
+         | AND doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
     "u2_token_count" ->
       s"""SELECT token, COUNT(*) AS token_ct FROM (
          | SELECT unnest(regexp_split_to_array($normSql, '\\s+')) AS token

@@ -42,8 +42,13 @@ object StatefulOps {
       OutputMode.Append(), timeoutConf) {
       (_: K, it: Iterator[V], state: GroupState[Boolean]) =>
         if (state.hasTimedOut) { state.remove(); Iterator.empty }
-        else if (state.exists) Iterator.empty
-        else {
+        else if (state.exists) {
+          // every invocation clears the key's pending timer — re-arm, or
+          // the marker would never expire (idle-state-retention
+          // semantics: TTL counts from the last event, W8)
+          if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
+          Iterator.empty
+        } else {
           state.update(true)
           if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
           it.take(1)

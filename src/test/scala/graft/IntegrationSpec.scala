@@ -1,0 +1,128 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{CdcOps, WindowOps}
+import graft.sinks.Sinks
+import graft.streaming.StatefulOps
+
+/** End-to-end pipeline mirroring the reference's richest app
+  * (`app/dws/DwsTradeSkuOrderWindow.java`, SURVEY §3.1): JSON source →
+  * tolerant parse → watermark → keyed dedup → tumbling windowed agg →
+  * broadcast dim enrichment → keyed upsert sink. The streamed result must
+  * equal the batch computation over the same inputs. */
+class IntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("order_detail_id", LongType),
+    StructField("sku", LongType),
+    StructField("amount", DoubleType),
+    StructField("ts_sec", LongType)))
+
+  private def line(id: Long, sku: Long, amount: Double, tsSec: Long): String =
+    s"""{"order_detail_id": $id, "sku": $sku, "amount": $amount, "ts_sec": $tsSec}"""
+
+  private val base = 1700000000L // fixed epoch anchor
+  // duplicates (retraction re-emits, J2/K3 artifacts) + one malformed line
+  private val batch1 = Seq(
+    line(1, 10, 5.0, base + 1), line(1, 10, 5.0, base + 1), // dup of od 1
+    line(2, 10, 7.0, base + 8), line(3, 20, 9.0, base + 9),
+    "not json at all")
+  private val batch2 = Seq(
+    line(2, 10, 7.0, base + 8), // cross-batch dup
+    line(4, 20, 1.0, base + 11),
+    line(9, 10, 2.0, base + 700)) // advances watermark, flushes window 1
+  private val batch3 = Seq(
+    line(99, 30, 1.0, base + 2000)) // flushes window 2
+
+  test("parse→dedup→window→dim-join→upsert stream equals the batch pipeline") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("it-out").toString + "/dws"
+    val ckpt = java.nio.file.Files.createTempDirectory("it-ckpt").toString
+    val dim = Seq((10L, "electronics"), (20L, "books"), (30L, "toys"))
+      .toDF("sku", "category")
+
+    val mem = MemoryStream[String]
+    val parsed = CdcOps.parseOrDrop(mem.toDF().toDF("value"), "value", schema)
+      .select(col("j.order_detail_id").as("od_id"), col("j.sku").as("sku"),
+        col("j.amount").as("amount"),
+        timestamp_seconds(col("j.ts_sec")).as("ts"))
+    val agg = parsed
+      .withWatermark("ts", "2 seconds")
+      .dropDuplicates("od_id") // A5: undo upstream emit-then-retract dups
+      .groupBy(window(col("ts"), "10 minutes"), col("sku"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("amount")).as("amount"))
+    val q = WindowOps.withWindowMeta(agg).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val enriched = batch.join(broadcast(dim), Seq("sku"), "left")
+        Sinks.upsertKeyed(batch.sparkSession,
+          enriched.withColumn("__b", lit(batchId)),
+          keys = Seq("stt", "sku"), order = Seq("__b"), path = outDir,
+          dropCols = Seq("__b"))
+      }
+      .start()
+    try {
+      Seq(batch1, batch2, batch3).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+      .select("stt", "sku", "n_orders", "amount", "category")
+      .as[(String, Long, Long, Double, String)].collect().toSet
+
+    // batch twin over the same lines (malformed dropped, dups removed)
+    val lines = (batch1 ++ batch2 ++ batch3).toDF("value")
+    val batchResult = WindowOps.withWindowMeta(
+      CdcOps.parseOrDrop(lines, "value", schema)
+        .select(col("j.order_detail_id").as("od_id"), col("j.sku").as("sku"),
+          col("j.amount").as("amount"),
+          timestamp_seconds(col("j.ts_sec")).as("ts"))
+        .dropDuplicates("od_id")
+        .groupBy(window(col("ts"), "10 minutes"), col("sku"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("amount")).as("amount")))
+      .join(broadcast(dim), Seq("sku"), "left")
+      .select("stt", "sku", "n_orders", "amount", "category")
+      .as[(String, Long, Long, Double, String)].collect().toSet
+    // the stream never emits the still-open last window; compare the closed ones
+    val lastStt = batchResult.map(_._1).max
+    assert(got == batchResult.filter(_._1 != lastStt))
+    assert(got.nonEmpty)
+  }
+
+  test("keepFirst state TTL expires and re-admits a key (W7)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = StatefulOps.keepFirst[Long, (Long, String)](
+      mem.toDS(), _._1, ttlMs = 2000L)
+    val q = out.writeStream.format("memory").queryName("ttl")
+      .outputMode("append").start()
+    // An armed ProcessingTimeTimeout keeps the engine scheduling timer
+    // batches, so processAllAvailable never settles — poll the sink.
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (spark.table("ttl").count() < n &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(spark.table("ttl").count() >= n, s"timed out waiting for $n rows")
+    }
+    try {
+      mem.addData(Seq((1L, "first"))); awaitRows(1)
+      mem.addData(Seq((1L, "suppressed"))) // well inside the 2 s TTL
+      Thread.sleep(4000) // let the TTL lapse
+      // a processing-time timer fires only in a batch where its key has
+      // NO data — this unrelated-key batch expires key 1's marker
+      mem.addData(Seq((2L, "other"))); awaitRows(2)
+      mem.addData(Seq((1L, "readmitted"))); awaitRows(3)
+    } finally q.stop()
+    val got = spark.table("ttl").as[(Long, String)].collect().toSeq
+    assert(got.contains((1L, "first")) && got.contains((1L, "readmitted")))
+    assert(!got.contains((1L, "suppressed")))
+  }
+}
