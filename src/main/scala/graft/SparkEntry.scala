@@ -13,9 +13,12 @@ import graft.queries.{CdcQueries, CoreQueries, SimilarityQueries, TextQueries}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * c1 composes the widest slice of the engine: quality + language
+    * scoring, exact-dedup canonicalization, and MinHash-LSH near-dup
+    * removal in one pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+    TextQueries.queries("c1_clean_corpus")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

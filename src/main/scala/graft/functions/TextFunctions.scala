@@ -22,6 +22,17 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(trim(text), "\\s+")
 
+  /** Tokenizer with CJK handling: CJK ideographs become single-character
+    * tokens (space-isolated before the whitespace split), Latin text
+    * tokenizes by whitespace. A deterministic stand-in for the
+    * reference's IKAnalyzer segmentation (`util/SplitKeywordUDTF.java:
+    * 19-34` — IK is unavailable offline; divergence documented in
+    * SURVEY §7.5): unigram CJK is the standard degraded mode of CJK
+    * search tokenization. */
+  def tokensWithCjk(text: Column): Column =
+    tokens(normalized(
+      regexp_replace(text, "([\\x{4e00}-\\x{9fff}])", " $1 ")))
+
   /** BPE-ish sub-token split: runs of letters, runs of digits, single
     * punctuation — a deterministic stand-in for a real BPE vocab. */
   def regexTokens(text: Column): Column =

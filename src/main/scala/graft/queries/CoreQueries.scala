@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
-import graft.operators.{CdcOps, DedupOps, JoinOps, WindowOps}
+import graft.operators.{CdcOps, DedupOps, JoinOps, SkewOps, WindowOps}
 
 /** Oracle-gated batch queries covering SURVEY §2's operator inventory
   * (sources/projections S1/P1-P6, joins J1-J6, aggregations A1-A9, window
@@ -324,6 +324,18 @@ object CoreQueries {
       .orderBy("branch", "event_id")
   }
 
+  /** A10 — salted two-phase aggregation over a genuinely skewed key
+    * (5 event types across the whole table): identical result to the
+    * plain GROUP BY, hot key spread over 8 reducers (SkewOps). */
+  private val a10SaltedAgg: Q = (s, d) =>
+    SkewOps.saltedAgg(Tables.events(s, d),
+        keys = Seq(col("event_type")), saltBuckets = 8,
+        partial = Seq(sum(dec(col("value"))).as("__s"),
+          count(lit(1)).as("__c")),
+        merge = Seq(sum(col("__s")).cast("double").as("amount"),
+          sum(col("__c")).as("n_events")))
+      .orderBy("event_type")
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -346,6 +358,7 @@ object CoreQueries {
     "a6_dedup_last" -> a6DedupLast,
     "a8_returning" -> a8Returning,
     "a9_dedup_then_agg" -> a9DedupThenAgg,
+    "a10_salted_agg" -> a10SaltedAgg,
     "q1_pricing" -> q1Pricing,
     "q3_top_revenue" -> q3TopRevenue,
     "x1_split_route" -> x1SplitRoute)
@@ -476,6 +489,11 @@ object CoreQueries {
         |   ORDER BY l_linenumber, l_extendedprice, l_partkey) = 1
         |) ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a10_salted_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
