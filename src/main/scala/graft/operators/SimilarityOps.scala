@@ -140,6 +140,27 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
   }
 
+  /** Brute-force ANN via the bounded top-k AGGREGATOR instead of a
+    * row_number window: identical output to [[annBruteForce]], but the
+    * per-probe top-k is computed with map-side partial aggregation
+    * ([[graft.functions.TopK]]) — only k rows per (probe × partition)
+    * reach the shuffle, where the window form shuffles every scored
+    * candidate. The 100 TB form of per-group top-k. */
+  def annBruteForceAgg(probes: DataFrame, corpus: DataFrame, topK: Int): DataFrame = {
+    val c = corpus.withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
+    val p = probes.withColumn("__na", sqrt(VectorFunctions.norm2(col("q_vec"))))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim", cosineFromParts(
+        VectorFunctions.dot(col("q_vec"), col("embedding")),
+        col("__na"), col("__nb")))
+    scored.groupBy("q_id")
+      .agg(graft.functions.TopK.topK(topK)(col("cos_sim"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("q_id"), col("sc._2").as("vec_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("sc._1").as("cos_sim"))
+  }
+
   /** Sign-bit-LSH ANN: bucket every vector by its hyperplane sign
     * signature, search only the probe's bucket. Recall is approximate by
     * construction; cost is bucket-local. This is the 100 TB path — the

@@ -135,6 +135,18 @@ object SimilarityQueries {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** V5 — same contract as v1 but per-probe top-k computed by the bounded
+    * TopK AGGREGATOR (map-side partial top-k) instead of a row_number
+    * window; shares v1's oracle — proving the rewrite is exact. */
+  private val v5AnnTopkAgg: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    SimilarityOps.annBruteForceAgg(probes, e, TopK)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** V3 — embedding near-dup pairs within LSH buckets. */
   private val v3EmbedNeardup: Q = (s, d) =>
     SimilarityOps.embeddingNearDup(Tables.embeddings(s, d), planes, CosineThreshold)
@@ -149,7 +161,8 @@ object SimilarityQueries {
     "v1_ann_cosine_topk" -> v1AnnCosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embed_neardup" -> v3EmbedNeardup,
-    "v4_ann_ivf" -> v4AnnIvf)
+    "v4_ann_ivf" -> v4AnnIvf,
+    "v5_ann_topk_agg" -> v5AnnTopkAgg)
 
   // ---------------------------------------------------------------- oracles
 
@@ -404,5 +417,6 @@ object SimilarityQueries {
     "v1_ann_cosine_topk" -> v1Sql,
     "v2_ann_lsh" -> v2Sql,
     "v3_embed_neardup" -> v3Sql,
-    "v4_ann_ivf" -> v4Sql)
+    "v4_ann_ivf" -> v4Sql,
+    "v5_ann_topk_agg" -> v1Sql) // same contract as v1 by construction
 }
