@@ -324,6 +324,35 @@ object CoreQueries {
       .orderBy("branch", "event_id")
   }
 
+  /** W10a — session windows (gap-merged), a Spark capability beyond the
+    * reference's tumbling-only surface: per-user sessions closed after
+    * 30 min of inactivity; start = first event, end = last event + gap. */
+  private val w10SessionWindow: Q = (s, d) => {
+    val agg = Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("window"),
+        col("user_id"))
+      .agg(count(lit(1)).as("pv"),
+        sum(dec(col("value"))).cast("double").as("amount"))
+    agg.select(
+        date_format(col("window.start"), WindowOps.Fmt).as("stt"),
+        date_format(col("window.end"), WindowOps.Fmt).as("edt"),
+        col("user_id"), col("pv"), col("amount"))
+      .orderBy("user_id", "stt")
+  }
+
+  /** W10b — sliding windows (20 min size, 10 min slide): each event lands
+    * in two overlapping buckets. */
+  private val w11SlidingWindow: Q = (s, d) => {
+    val agg = Tables.events(s, d)
+      .groupBy(window(col("ts"), "20 minutes", "10 minutes").as("window"),
+        col("event_type"))
+      .agg(count(lit(1)).as("pv"))
+    agg.select(
+        date_format(col("window.start"), WindowOps.Fmt).as("stt"),
+        col("event_type"), col("pv"))
+      .orderBy("stt", "event_type")
+  }
+
   /** A10 — salted two-phase aggregation over a genuinely skewed key
     * (5 event types across the whole table): identical result to the
     * plain GROUP BY, hot key spread over 8 reducers (SkewOps). */
@@ -359,6 +388,8 @@ object CoreQueries {
     "a8_returning" -> a8Returning,
     "a9_dedup_then_agg" -> a9DedupThenAgg,
     "a10_salted_agg" -> a10SaltedAgg,
+    "w10_session_window" -> w10SessionWindow,
+    "w11_sliding_window" -> w11SlidingWindow,
     "q1_pricing" -> q1Pricing,
     "q3_top_revenue" -> q3TopRevenue,
     "x1_split_route" -> x1SplitRoute)
@@ -489,6 +520,32 @@ object CoreQueries {
         |   ORDER BY l_linenumber, l_extendedprice, l_partkey) = 1
         |) ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "w10_session_window" ->
+      """WITH o AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events),
+        |i AS (
+        | SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM o)
+        |SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS stt,
+        | strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS edt,
+        | user_id, COUNT(*) AS pv,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount
+        |FROM i GROUP BY user_id, sid ORDER BY user_id, stt""".stripMargin,
+    "w11_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS stt, event_type,
+        | COUNT(*) AS pv
+        |FROM (
+        | SELECT event_type, unnest([
+        |   time_bucket(INTERVAL '10 minutes', ts),
+        |   time_bucket(INTERVAL '10 minutes', ts) - INTERVAL 10 MINUTE]) AS ws
+        | FROM events)
+        |GROUP BY ws, event_type ORDER BY stt, event_type""".stripMargin,
     "a10_salted_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,
