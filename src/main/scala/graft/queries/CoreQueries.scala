@@ -156,6 +156,27 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** J5b — same routing as j5 but the rules live in an external CONFIG
+    * TABLE (written once, read back as a parquet table and broadcast) —
+    * the batch face of the reference's `gmall_config.table_process`
+    * plane; the streaming face (hot reload per micro-batch) is
+    * [[graft.streaming.ConfigBroadcast]]. */
+  private val j5bConfigTable: Q = (s, d) => {
+    val cfgDir = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_config_rules").getAbsolutePath
+    val rules = Seq(
+      ("click", "dwd_traffic_click"), ("view", "dwd_traffic_page"),
+      ("purchase", "dwd_trade_order"), ("signup", "dwd_user_register"),
+      ("error", "dwd_err_log"))
+    s.createDataFrame(rules).toDF("event_type", "topic")
+      .write.mode("overwrite").parquet(cfgDir)
+    val cfg = s.read.parquet(cfgDir)
+    Tables.events(s, d)
+      .join(broadcast(cfg), Seq("event_type"), "inner")
+      .select("event_id", "topic")
+      .orderBy("event_id")
+  }
+
   /** J6 — chained dimension enrichment then aggregate
     * (cf. DwsTradeSkuOrderWindow.java:167-254's 6-way chain). */
   private val j6DimChain: Q = (s, d) => {
@@ -379,6 +400,7 @@ object CoreQueries {
     "j3_lookup_dim" -> j3LookupDim,
     "j4_interval_join" -> j4IntervalJoin,
     "j5_config_route" -> j5ConfigRoute,
+    "j5b_config_table" -> j5bConfigTable,
     "j6_dim_chain" -> j6DimChain,
     "a1_window_agg" -> a1WindowAgg,
     "a3_daily_uv" -> a3DailyUv,
@@ -454,6 +476,14 @@ object CoreQueries {
         | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 15 MINUTE
         |ORDER BY signup_id, purchase_id""".stripMargin,
     "j5_config_route" ->
+      """SELECT event_id, topic
+        |FROM events JOIN (VALUES
+        | ('click','dwd_traffic_click'), ('view','dwd_traffic_page'),
+        | ('purchase','dwd_trade_order'), ('signup','dwd_user_register'),
+        | ('error','dwd_err_log')) rules(event_type, topic)
+        |USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+    "j5b_config_table" ->
       """SELECT event_id, topic
         |FROM events JOIN (VALUES
         | ('click','dwd_traffic_click'), ('view','dwd_traffic_page'),
