@@ -233,9 +233,16 @@ object SimilarityOps {
   def ngramJaccardNearDup(docs: DataFrame, id: Column, text: Column,
                           blockN: Int, shingleN: Int,
                           threshold: Double): DataFrame = {
-    val sig = minhashSignature(shingleSets(docs, id, text, blockN), k = 2)
+    // tokenize once — both shingle lengths derive from the same token
+    // frame (tokenization is the dominant map-side cost at corpus scale)
+    val toks = docs.select(id.as("__id"),
+        TextFunctions.tokens(TextFunctions.normalized(text)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def sets(n: Int): DataFrame = toks.select(col("__id"),
+      TextFunctions.shinglesFromTokens(col("__toks"), n).as("__sh"))
+    val sig = minhashSignature(sets(blockN), k = 2)
     val pairs = candidatePairs(lshBands(sig, k = 2, bandSize = 1))
-    jaccardVerify(pairs, shingleSets(docs, id, text, shingleN), threshold)
+    jaccardVerify(pairs, sets(shingleN), threshold)
   }
 
   /** Embedding near-dup: pairs (a < b) in the same LSH bucket with cosine
