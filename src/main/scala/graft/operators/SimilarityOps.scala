@@ -67,10 +67,20 @@ object SimilarityOps {
   }
 
   /** Candidate pairs = distinct (a < b) sharing at least one LSH bucket.
-    * The self-join shuffles on (band, sig) — bucket-local, never all-pairs. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val l = bands.select(col("band"), col("sig"), col("__id").as("a"))
-    val r = bands.select(col("band"), col("sig"), col("__id").as("b"))
+    * The self-join shuffles on (band, sig) — bucket-local, never
+    * all-pairs. Buckets larger than `maxBucket` are SKIPPED: a flood of
+    * identical/near-identical documents would otherwise make one bucket
+    * quadratic (cap² pairs per bucket is the worst case this guard
+    * admits). Exact-duplicate floods belong to the exact-dedup pass
+    * (d1), which handles them linearly — the cap is the documented
+    * recall trade that keeps the pair join bounded on adversarial
+    * corpora. */
+  def candidatePairs(bands: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val sized = bands.withColumn("__bc", count(lit(1)).over(
+      Window.partitionBy("band", "sig")))
+      .filter(col("__bc") <= maxBucket)
+    val l = sized.select(col("band"), col("sig"), col("__id").as("a"))
+    val r = sized.select(col("band"), col("sig"), col("__id").as("b"))
     l.join(r, Seq("band", "sig")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }

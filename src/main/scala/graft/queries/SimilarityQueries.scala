@@ -228,10 +228,13 @@ object SimilarityQueries {
        |  FROM hv GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
+       |bsz AS (SELECT band, sig, COUNT(*) AS c FROM bands GROUP BY band, sig),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |  JOIN bsz ON l.band = bsz.band AND l.sig = bsz.sig
+       |  WHERE bsz.c <= 1000),
        |sets AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b,
@@ -394,10 +397,13 @@ object SimilarityQueries {
        |  SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0::VARCHAR)) AS sig FROM mh
        |  UNION ALL
        |  SELECT doc_id, 1 AS band, md5(concat_ws(',', mh1::VARCHAR)) AS sig FROM mh),
+       |bsz AS (SELECT band, sig, COUNT(*) AS c FROM bands GROUP BY band, sig),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |  JOIN bsz ON l.band = bsz.band AND l.sig = bsz.sig
+       |  WHERE bsz.c <= 1000),
        |sets AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id)
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b,
