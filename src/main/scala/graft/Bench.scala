@@ -20,7 +20,7 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
+        } finally spark.catalog.clearCache() // per-query persists don't leak
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     def jstr(s: String): String =

@@ -33,11 +33,15 @@ object DwsSkuOrderApp {
     StructField("ts_sec", LongType)))
 
   /** Build the windowed-aggregation stream from a parsed, watermarked
-    * order-detail stream. */
+    * order-detail stream. Dedup state is bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`) — plain `dropDuplicates` on a
+    * non-event-time subset never evicts and grows state forever in the
+    * continuous deployment; the reference bounds the same state with a
+    * TTL (`DwsTradeSkuOrderWindow.java:118-119`). */
   def aggregate(parsed: DataFrame): DataFrame =
     WindowOps.withWindowMeta(
       parsed
-        .dropDuplicates("order_detail_id")
+        .dropDuplicatesWithinWatermark("order_detail_id")
         .groupBy(window(col("rt"), "10 minutes"), col("sku"))
         .agg(count(lit(1)).as("n_orders"), sum(col("amount")).as("amount")))
 

@@ -52,23 +52,32 @@ case class VecDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even for non-null inputs: ragged arrays produce NULL
+  override def nullable: Boolean = true
+
   override def prettyName: String = "vec_dot"
 
+  // Length mismatch ⇒ NULL: `zip_with` pads the shorter array with null,
+  // so the fold yields null, and DuckDB's list_zip does the same — a
+  // truncated partial sum would silently diverge from both.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val xf = isFloatArr(left.dataType)
-    val yf = isFloatArr(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val xf = isFloatArr(left.dataType)
+      val yf = isFloatArr(right.dataType)
+      val n = x.numElements()
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -79,12 +88,16 @@ case class VecDot(left: Expression, right: Expression)
       def get(arr: String, dt: DataType): String =
         if (isFloatArr(dt)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, left.dataType)} * ${get(b, right.dataType)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${get(a, left.dataType)} * ${get(b, right.dataType)};
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -162,7 +162,7 @@ object CdcQueries {
         | (min(CASE WHEN etype = 'click' AND k IS NOT NULL
         |   THEN struct_pack(ts := ts, eid := event_id, k := k) END)).k
         |   AS first_click_k,
-        | (min(CASE WHEN etype = 'purchase'
+        | (min(CASE WHEN etype = 'purchase' AND value IS NOT NULL
         |   THEN struct_pack(ts := ts, eid := event_id, v := value) END)).v
         |   AS first_purchase_value,
         | COUNT(*) AS n_events

@@ -162,8 +162,10 @@ object CoreQueries {
     * plane; the streaming face (hot reload per micro-batch) is
     * [[graft.streaming.ConfigBroadcast]]. */
   private val j5bConfigTable: Q = (s, d) => {
-    val cfgDir = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_config_rules").getAbsolutePath
+    // per-invocation dir: a fixed shared path would let two sessions race
+    // (overwrite deleting files under the other's broadcast scan)
+    val cfgDir = java.nio.file.Files
+      .createTempDirectory("graft_config_rules").toString + "/rules"
     val rules = Seq(
       ("click", "dwd_traffic_click"), ("view", "dwd_traffic_page"),
       ("purchase", "dwd_trade_order"), ("signup", "dwd_user_register"),

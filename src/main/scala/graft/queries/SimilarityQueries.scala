@@ -58,11 +58,12 @@ object SimilarityQueries {
     minhashPairs(s, d).orderBy("doc_a", "doc_b")
 
   /** D6 — near-dup clustering: connected components over the verified
-    * pair graph via min-label propagation (the scalable CC formulation —
-    * each round is one join + one aggregation, O(log component-diameter)
-    * rounds; no driver-side graph). Runs on the pair-touched vertex set
-    * only; untouched documents join back as singletons. */
-  private val PropagationRounds = 5
+    * pair graph via min-label propagation TO FIXPOINT (each round one
+    * join + one aggregation; rounds needed = component diameter, with a
+    * convergence check so long chains are never split; no driver-side
+    * graph). Runs on the pair-touched vertex set only; untouched
+    * documents join back as singletons. */
+  private val MaxPropagationRounds = 50
   private val d6DedupClusters: Q = (s, d) => {
     val pairs = minhashPairs(s, d)
     // Materialize the edge list once — every propagation round references
@@ -72,15 +73,21 @@ object SimilarityQueries {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("id")).distinct()
-    var labels = nodes.withColumn("lbl", col("id"))
-    for (_ <- 1 to PropagationRounds) {
+    // eager localCheckpoint truncates lineage each round — iterative
+    // DataFrame algorithms otherwise stack plans exponentially (the
+    // standard Pregel-style materialization step)
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxPropagationRounds) {
       val prop = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
-      // eager localCheckpoint truncates lineage each round — iterative
-      // DataFrame algorithms otherwise stack plans exponentially (the
-      // standard Pregel-style materialization step)
-      labels = labels.unionByName(prop).groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.lbl") < col("o.lbl")).isEmpty
+      labels = next
+      round += 1
     }
     val singles = Tables.documents(s, d)
       .join(nodes, col("doc_id") === col("id"), "left_anti")
@@ -247,32 +254,27 @@ object SimilarityQueries {
 
   private val d3Sql = s"$d3PairsCore\nORDER BY doc_a, doc_b"
 
-  /** d6: unrolled min-label propagation (identical round count to the
-    * Spark loop; components are tiny so both converge long before the
-    * last round). */
-  private val d6Sql = {
-    val rounds = (1 to PropagationRounds).map { i =>
-      s"""l$i AS (
-         |  SELECT id, MIN(lbl) AS lbl FROM (
-         |    SELECT id, lbl FROM l${i - 1}
-         |    UNION ALL
-         |    SELECT e.dst AS id, l.lbl FROM edges e JOIN l${i - 1} l ON e.src = l.id)
-         |  GROUP BY id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH pairs AS ($d3PairsCore),
+  /** d6: exact connected components via recursive reachability — every
+    * node collects the ids of all reachable nodes (UNION dedup terminates
+    * the recursion), the component label is their minimum. Matches the
+    * Spark side's propagation FIXPOINT for any component diameter. */
+  private val d6Sql =
+    s"""WITH RECURSIVE pairs AS ($d3PairsCore),
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL
        |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
-       |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM edges),
-       |$rounds,
+       |reach(id, lbl) AS (
+       |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id),
        |singles AS (
        |  SELECT doc_id AS id, doc_id AS lbl FROM documents
-       |  WHERE doc_id NOT IN (SELECT id FROM l0))
+       |  WHERE doc_id NOT IN (SELECT id FROM comp))
        |SELECT id AS doc_id, lbl AS canonical_id FROM (
-       |  SELECT * FROM l$PropagationRounds UNION ALL SELECT * FROM singles)
+       |  SELECT * FROM comp UNION ALL SELECT * FROM singles)
        |ORDER BY doc_id""".stripMargin
-  }
 
   private val simhashSums = (0 until 16).map { j =>
     s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"

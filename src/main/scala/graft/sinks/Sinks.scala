@@ -41,9 +41,13 @@ object Sinks {
     df.write.mode("append").partitionBy(topicCol).parquet(path)
 
   /** K3/K4 — keyed upsert, deterministic last-wins under `order`.
-    * Merge = union(current, incoming) → keep-last per key → atomic swap.
-    * (With a transactional table format this would be a MERGE INTO; plain
-    * parquet needs the rewrite-and-swap.) */
+    * Merge = union(current, incoming) → keep-last per key → rename-based
+    * swap: the live table is renamed aside BEFORE the staged result takes
+    * its place, so a crash at any single point leaves either the old or
+    * the new table intact on disk (never neither). The swap is still two
+    * renames, not one atomic commit — readers can race the window between
+    * them, and a crash inside it needs the `.old` dir restored by hand; a
+    * transactional table format (MERGE INTO) is the production answer. */
   def upsertKeyed(spark: SparkSession, incoming: DataFrame, keys: Seq[String],
                   order: Seq[String], path: String,
                   dropCols: Seq[String] = Nil): Unit = {
@@ -56,11 +60,16 @@ object Sinks {
       case None => incoming
     }
     val deduped = DedupOps.keepLast(merged, keys.map(col), order.map(col))
-    // stage → swap so a failed write never truncates the live table
+    // stage → move old aside → promote staged → drop old: no point in
+    // this sequence has zero live copies on disk
     val tmp = new Path(path + ".staging")
+    val old = new Path(path + ".old")
     deduped.drop(dropCols: _*).write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    val hadCurrent = fs.exists(target)
+    if (hadCurrent) fs.rename(target, old)
     fs.rename(tmp, target)
+    if (hadCurrent) fs.delete(old, true)
   }
 
   /** K7 — debug sink. */

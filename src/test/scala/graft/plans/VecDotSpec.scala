@@ -43,4 +43,11 @@ class VecDotSpec extends SparkSpec {
     val got = spark.sql("SELECT vec_dot(NULL, array(1.0f))").collect().head
     assert(got.isNullAt(0))
   }
+
+  test("ragged arrays yield null — matching the zip_with fold, not a truncated sum") {
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f, 5.0f))).toDF("a", "b")
+    val native = df.select(VectorFunctions.dot(col("a"), col("b"))).collect().head
+    val fold = df.select(VectorFunctions.dotFold(col("a"), col("b"))).collect().head
+    assert(native.isNullAt(0) && fold.isNullAt(0))
+  }
 }
