@@ -60,11 +60,19 @@ object Sinks {
       case None => incoming
     }
     val deduped = DedupOps.keepLast(merged, keys.map(col), order.map(col))
-    // stage → move old aside → promote staged → drop old: no point in
-    // this sequence has zero live copies on disk
+    overwriteSwapped(spark, deduped.drop(dropCols: _*), path)
+  }
+
+  /** Replace the table at `path` with `df` via stage → move old aside →
+    * promote staged → drop old: no point in this sequence has zero live
+    * copies on disk. `df` MAY read from `path` itself (it is staged to a
+    * side directory before the live table moves). */
+  def overwriteSwapped(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
     val tmp = new Path(path + ".staging")
     val old = new Path(path + ".old")
-    deduped.drop(dropCols: _*).write.mode("overwrite").parquet(tmp.toString)
+    df.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     val hadCurrent = fs.exists(target)
     if (hadCurrent) fs.rename(target, old)
