@@ -30,40 +30,53 @@ object DimRouterApp {
     StructField("ts", LongType),
     StructField("data", MapType(StringType, StringType))))
 
-  /** Route one micro-batch against the CURRENT config. Deletes remove the
-    * key from the dim (keep-last on a tombstone marker then filter). */
+  /** Route one micro-batch against the CURRENT config.
+    *
+    * Delete ops are stored as TOMBSTONE rows, not physically purged: a
+    * retained tombstone keeps winning the (ts, batch, seq) keep-last
+    * against any late-arriving lower-ts event, so a deleted key cannot
+    * be resurrected by out-of-order delivery. Read live rows with
+    * [[readDim]]; a periodic compaction may purge tombstones older than
+    * the pipeline's out-of-orderness bound. */
   def routeBatch(batch: DataFrame, config: DataFrame, outRoot: String,
                  batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val parsed = CdcOps.parseOrDrop(batch, "value", envelopeSchema)
+    // ts is second-granularity in Maxwell — an insert and its follow-up
+    // update can tie; the arrival-order sequence breaks the tie so
+    // keep-last has a total order (DedupOps' determinism contract).
+    val parsed = CdcOps.parseOrDrop(
+        batch.withColumn("__seq", monotonically_increasing_id()),
+        "value", envelopeSchema)
       .select(col("j.table").as("table"), col("j.type").as("op"),
-        col("j.ts").as("ts"), col("j.data").as("data"))
+        col("j.ts").as("ts"), col("j.data").as("data"), col("__seq"))
       .filter(col("op").isin("insert", "update", "delete", "bootstrap-insert"))
+    // ONE parse of the batch shared by every rule's sink (re-scanning the
+    // source per rule is the X1 anti-pattern splitBy documents)
     val routed = parsed.join(broadcast(config), Seq("table"), "inner")
-    // per configured rule: whitelist columns, upsert by id, apply deletes
-    val rules = config.collect() // config tables are small by contract
-    rules.foreach { r =>
-      val table = r.getAs[String]("table")
-      val sinkTable = r.getAs[String]("sink_table")
-      val allowed = r.getAs[String]("columns").split(",").map(_.trim).toSeq
-      val rows = routed.filter(col("table") === table)
-        .select(
-          element_at(col("data"), "id").as("id"),
-          (col("op") === "delete").as("__tombstone"),
-          col("ts"),
-          CdcOps.filterColumns(col("data"), allowed).as("data"))
-        .withColumn("__b", lit(batchId))
-      Sinks.upsertKeyed(spark, rows, keys = Seq("id"),
-        order = Seq("ts", "__b"), path = s"$outRoot/$sinkTable",
-        dropCols = Seq("__b"))
-      // a delete that won the keep-last race removes the key entirely
-      val live = spark.read.parquet(s"$outRoot/$sinkTable")
-      if (live.filter(col("__tombstone")).limit(1).count() > 0) {
-        Sinks.overwriteSwapped(spark, live.filter(!col("__tombstone")),
-          s"$outRoot/$sinkTable")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rules = config.collect() // config tables are small by contract
+      rules.foreach { r =>
+        val table = r.getAs[String]("table")
+        val sinkTable = r.getAs[String]("sink_table")
+        val allowed = r.getAs[String]("columns").split(",").map(_.trim).toSeq
+        val rows = routed.filter(col("table") === table)
+          .select(
+            element_at(col("data"), "id").as("id"),
+            (col("op") === "delete").as("__tombstone"),
+            col("ts"), col("__seq"),
+            CdcOps.filterColumns(col("data"), allowed).as("data"))
+          .withColumn("__b", lit(batchId))
+        Sinks.upsertKeyed(spark, rows, keys = Seq("id"),
+          order = Seq("ts", "__b", "__seq"), path = s"$outRoot/$sinkTable",
+          dropCols = Seq("__b", "__seq"))
       }
-    }
+    } finally routed.unpersist()
   }
+
+  /** Live view of a routed dim table (tombstones filtered). */
+  def readDim(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).filter(!col("__tombstone")).drop("__tombstone")
 
   /** One AvailableNow pass over the source; config re-read per batch. */
   def run(spark: SparkSession, srcDir: String, configPath: String,

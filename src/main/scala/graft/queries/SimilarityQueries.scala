@@ -89,6 +89,10 @@ object SimilarityQueries {
       labels = next
       round += 1
     }
+    // never return silently-split components — a >50-diameter chain is a
+    // data pathology the caller must see, not a truncated answer
+    require(converged,
+      s"d6 label propagation did not converge in $MaxPropagationRounds rounds")
     val singles = Tables.documents(s, d)
       .join(nodes, col("doc_id") === col("id"), "left_anti")
       .select(col("doc_id").as("id"), col("doc_id").as("lbl"))

@@ -72,12 +72,22 @@ object Sinks {
     val target = new Path(path)
     val tmp = new Path(path + ".staging")
     val old = new Path(path + ".old")
+    // Hadoop FS mutations report failure by RETURNING false, not
+    // throwing — an unchecked rename followed by the delete below would
+    // silently destroy the only live copy. Fail loudly instead.
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"$what failed for $path")
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(old)) {
+      // leftover from a crash inside a previous swap: only safe to drop
+      // when a live target exists; otherwise it IS the last copy — restore
+      if (fs.exists(target)) must(fs.delete(old, true), "delete stale .old")
+      else must(fs.rename(old, target), "restore .old")
+    }
     val hadCurrent = fs.exists(target)
-    if (hadCurrent) fs.rename(target, old)
-    fs.rename(tmp, target)
-    if (hadCurrent) fs.delete(old, true)
+    if (hadCurrent) must(fs.rename(target, old), "move live aside")
+    must(fs.rename(tmp, target), "promote staged")
+    if (hadCurrent) must(fs.delete(old, true), "drop old")
   }
 
   /** K7 — debug sink. */

@@ -35,7 +35,7 @@ class DimRouterSpec extends SparkSpec {
         "corrupt line")
     DimRouterApp.run(spark, src, cfg, out, ckpt)
 
-    val first = spark.read.parquet(s"$out/dim_orders")
+    val first = DimRouterApp.readDim(spark, s"$out/dim_orders")
       .select(col("id"), element_at(col("data"), "status").as("st"),
         element_at(col("data"), "noise").as("noise"))
       .as[(String, String, Option[String])].collect().toSet
@@ -50,9 +50,31 @@ class DimRouterSpec extends SparkSpec {
           "amount" -> "20"))
     DimRouterApp.run(spark, src, cfg, out, ckpt)
 
-    val second = spark.read.parquet(s"$out/dim_orders")
+    val second = DimRouterApp.readDim(spark, s"$out/dim_orders")
       .select(col("id"), element_at(col("data"), "status").as("st"))
       .as[(String, String)].collect().toSet
     assert(second == Set(("1", "paid"))) // id 2 deleted, id 1 updated
+    // the delete survives as a tombstone so a late lower-ts event for id 2
+    // cannot resurrect it
+    val raw = spark.read.parquet(s"$out/dim_orders")
+      .select(col("id"), col("__tombstone")).as[(String, Boolean)].collect().toSet
+    assert(raw.contains(("2", true)))
+  }
+
+  test("same-second insert+update in one batch: arrival order breaks the tie") {
+    val src = Files.createTempDirectory("dimsrc2").toString
+    val cfg = Files.createTempDirectory("dimcfg2").toString + "/config"
+    val out = Files.createTempDirectory("dimout2").toString
+    val ckpt = Files.createTempDirectory("dimckpt2").toString
+    Seq(("orders", "dim_orders", "status"))
+      .toDF("table", "sink_table", "columns").write.parquet(cfg)
+    // identical ts — only the per-record sequence distinguishes them
+    Files.writeString(Paths.get(s"$src/b1.json"),
+      env("orders", "insert", 100, "id" -> "1", "status" -> "created") + "\n" +
+        env("orders", "update", 100, "id" -> "1", "status" -> "paid"))
+    DimRouterApp.run(spark, src, cfg, out, ckpt)
+    val got = DimRouterApp.readDim(spark, s"$out/dim_orders")
+      .select(element_at(col("data"), "status")).as[String].collect().toSeq
+    assert(got == Seq("paid"))
   }
 }
