@@ -82,8 +82,12 @@ object TextFunctions {
     "es" -> Seq(" el ", " la ", " de ", " que "),
     "fr" -> Seq(" le ", " la ", " et ", " les "))
 
+  // literal (non-regex) replace — the needle is a plain string, and the
+  // regex engine costs ~an NFA walk per character; `replace` is a memcmp
+  // scan. Same counting formula as the DuckDB oracle's replace-based occSql.
   private def occurrences(padded: Column, needle: String): Column =
-    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
+    ((length(padded) - length(call_function("replace", padded, lit(needle))))
+      / needle.length).cast("long")
 
   def langScore(text: Column, lang: String): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
