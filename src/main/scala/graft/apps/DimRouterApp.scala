@@ -74,9 +74,9 @@ object DimRouterApp {
     } finally routed.unpersist()
   }
 
-  /** Live view of a routed dim table (tombstones filtered). */
+  /** Live view of a routed dim table (tombstones + layout col filtered). */
   def readDim(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).filter(!col("__tombstone")).drop("__tombstone")
+    Sinks.readKeyed(spark, path).filter(!col("__tombstone")).drop("__tombstone")
 
   /** One AvailableNow pass over the source; config re-read per batch. */
   def run(spark: SparkSession, srcDir: String, configPath: String,

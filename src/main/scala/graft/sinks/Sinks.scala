@@ -1,10 +1,11 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
+import graft.functions.StableHash
 import graft.operators.DedupOps
 
 /** Sink layer — local-filesystem analogues of the reference's connector
@@ -22,11 +23,12 @@ import graft.operators.DedupOps
   *  - K7 debug/print sink             (`print()` calls throughout the apps)
   *
   * Exactly-once (R1/R2): streaming variants take a mandatory checkpoint
-  * directory; Structured Streaming's WAL + idempotent batch-id tracking in
-  * `foreachBatch` give end-to-end exactly-once on restart, replacing the
-  * reference's Flink checkpoint + two-phase-commit Kafka producer. The
-  * restart path is asserted in `SinksSpec` (stop mid-stream, restart,
-  * no duplicates).
+  * directory. `streamAppend` rides the file-sink commit log; `streamUpsert`
+  * folds the batch id into the merge order so replays are idempotent;
+  * `streamDynamic` writes each micro-batch under its own `__batch=<id>`
+  * partition with dynamic partition overwrite, so a replayed batch
+  * REPLACES its own output instead of appending duplicates. The restart
+  * paths are asserted in `SinksSpec`.
   */
 object Sinks {
 
@@ -40,54 +42,143 @@ object Sinks {
   def dynamicByColumn(df: DataFrame, topicCol: String, path: String): Unit =
     df.write.mode("append").partitionBy(topicCol).parquet(path)
 
-  /** K3/K4 — keyed upsert, deterministic last-wins under `order`.
-    * Merge = union(current, incoming) → keep-last per key → rename-based
-    * swap: the live table is renamed aside BEFORE the staged result takes
-    * its place, so a crash at any single point leaves either the old or
-    * the new table intact on disk (never neither). The swap is still two
-    * renames, not one atomic commit — readers can race the window between
-    * them, and a crash inside it needs the `.old` dir restored by hand; a
-    * transactional table format (MERGE INTO) is the production answer. */
+  /** K2 batch body of [[streamDynamic]], exposed for direct testing:
+    * the batch lands under `topic=<v>/__batch=<id>/` with DYNAMIC
+    * partition overwrite, so re-applying the same batch id replaces its
+    * own partitions (idempotent under streaming replay) and never touches
+    * other batches' output. */
+  def dynamicIdempotent(batch: DataFrame, topicCol: String, path: String,
+                        batchId: Long): Unit =
+    batch.withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(topicCol, "__batch")
+      .parquet(path)
+
+  /** Number of hash buckets a keyed table is partitioned into. Sized so
+    * one bucket ≈ table/64 — at 100 TB, raise via the `nBuckets` knob
+    * (the layout is self-describing, but a table must keep one value for
+    * its lifetime: the bucket of a key is `stable60(key) % nBuckets`). */
+  val DefaultUpsertBuckets = 64
+
+  /** Engine-portable bucket id of the concatenated key columns — the same
+    * `stable60 % n` the salting UDF (U1) uses, so the oracle/driver can
+    * reproduce the layout. */
+  def bucketOf(keys: Seq[String], nBuckets: Int) =
+    StableHash.bucket60(
+      concat_ws("", keys.map(k => col(k).cast("string")): _*), nBuckets)
+      .cast("int")
+
+  /** K3/K4 — keyed upsert, deterministic last-wins under `order`, with an
+    * INCREMENTAL bucket-partitioned merge.
+    *
+    * Layout: the table lives as `path/__bucket=<b>/` Hive partitions,
+    * `b = stable60(key) % nBuckets`. A merge
+    *   1. computes the incoming rows' buckets (every key lives in exactly
+    *      one bucket, so keep-last within touched buckets is globally
+    *      correct),
+    *   2. reads ONLY the touched buckets (partition-pruned scan),
+    *   3. merges + keep-lasts them (union → row_number, one shuffle over
+    *      touched-bucket data, not the table),
+    *   4. stages the result partitioned by bucket, then swaps each touched
+    *      bucket directory into place by rename.
+    * Untouched buckets are never read or written — cost scales with
+    * O(batch ∪ touched buckets), not O(table), which is what lets a
+    * continuously-running stream upsert survive a 100 TB table. (A
+    * transactional table format's MERGE INTO is the managed version of
+    * exactly this.)
+    *
+    * Crash safety: the staging write completes before any live mutation;
+    * each bucket swap is the move-aside / promote / drop-old sequence of
+    * [[overwriteSwapped]] with the `.old` copy held OUTSIDE the table root
+    * (a `__bucket=5.old` dir inside it would poison partition discovery).
+    * A crash between bucket swaps leaves some buckets new and some old —
+    * re-applying the batch (streaming replay does this) converges, because
+    * the merge is idempotent under `order` (callers fold the batch id into
+    * `order`). Leftover `.old` dirs from a crash are healed at the start
+    * of the next merge. */
   def upsertKeyed(spark: SparkSession, incoming: DataFrame, keys: Seq[String],
                   order: Seq[String], path: String,
-                  dropCols: Seq[String] = Nil): Unit = {
+                  dropCols: Seq[String] = Nil,
+                  nBuckets: Int = DefaultUpsertBuckets): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(path)
+    healBuckets(fs, path)
+    val withB = incoming.withColumn("__bucket", bucketOf(keys, nBuckets))
+    val touched = withB.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ nBuckets values, driver-safe
+    if (touched.isEmpty) return
+    val liveDirs = touched.map(b => new Path(path, s"__bucket=$b"))
+      .filter(fs.exists).map(_.toString)
     val current =
-      if (fs.exists(target)) Some(spark.read.parquet(path)) else None
+      if (liveDirs.isEmpty) None
+      else Some(spark.read.option("basePath", path).parquet(liveDirs: _*))
     val merged = current match {
-      case Some(cur) => cur.unionByName(incoming, allowMissingColumns = true)
-      case None => incoming
+      case Some(cur) => cur.unionByName(withB, allowMissingColumns = true)
+      case None => withB
     }
     val deduped = DedupOps.keepLast(merged, keys.map(col), order.map(col))
-    overwriteSwapped(spark, deduped.drop(dropCols: _*), path)
+      .drop(dropCols: _*)
+    val staging = new Path(path + ".staging")
+    deduped.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(staging.toString)
+    fs.mkdirs(new Path(path))
+    touched.foreach { b =>
+      val staged = new Path(staging, s"__bucket=$b")
+      if (fs.exists(staged))
+        swapDir(fs, staged, new Path(path, s"__bucket=$b"),
+          new Path(path + ".old", s"__bucket=$b"))
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Read a table written by [[upsertKeyed]] without its layout column. */
+  def readKeyed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__bucket")
+
+  /** Promote `staged` over `live` via move-aside → promote → drop-old:
+    * no point in this sequence has zero live copies on disk. Hadoop FS
+    * mutations report failure by RETURNING false, not throwing — an
+    * unchecked rename followed by a delete would silently destroy the
+    * only copy, so every step is checked. */
+  private def swapDir(fs: FileSystem, staged: Path, live: Path, old: Path): Unit = {
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"$what failed for $live")
+    fs.mkdirs(old.getParent)
+    if (fs.exists(old)) {
+      // leftover from a crash inside a previous swap: only safe to drop
+      // when a live copy exists; otherwise it IS the last copy — restore
+      if (fs.exists(live)) must(fs.delete(old, true), "delete stale .old")
+      else must(fs.rename(old, live), "restore .old")
+    }
+    val hadLive = fs.exists(live)
+    if (hadLive) must(fs.rename(live, old), "move live aside")
+    must(fs.rename(staged, live), "promote staged")
+    if (hadLive) must(fs.delete(old, true), "drop old")
+  }
+
+  /** Heal bucket dirs orphaned by a crash mid-swap: a `.old` copy whose
+    * live dir is missing is the last copy — restore it; one whose live dir
+    * exists is stale — drop it. Runs on the (tiny) `.old` listing only. */
+  private def healBuckets(fs: FileSystem, path: String): Unit = {
+    val oldRoot = new Path(path + ".old")
+    if (!fs.exists(oldRoot)) return
+    fs.listStatus(oldRoot).foreach { st =>
+      val live = new Path(path, st.getPath.getName)
+      if (fs.exists(live)) fs.delete(st.getPath, true)
+      else fs.rename(st.getPath, live)
+    }
   }
 
   /** Replace the table at `path` with `df` via stage → move old aside →
     * promote staged → drop old: no point in this sequence has zero live
     * copies on disk. `df` MAY read from `path` itself (it is staged to a
-    * side directory before the live table moves). */
+    * side directory before the live table moves). Full-table form — the
+    * keyed sinks use the incremental [[upsertKeyed]] instead. */
   def overwriteSwapped(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(path)
     val tmp = new Path(path + ".staging")
-    val old = new Path(path + ".old")
-    // Hadoop FS mutations report failure by RETURNING false, not
-    // throwing — an unchecked rename followed by the delete below would
-    // silently destroy the only live copy. Fail loudly instead.
-    def must(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(s"$what failed for $path")
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) {
-      // leftover from a crash inside a previous swap: only safe to drop
-      // when a live target exists; otherwise it IS the last copy — restore
-      if (fs.exists(target)) must(fs.delete(old, true), "delete stale .old")
-      else must(fs.rename(old, target), "restore .old")
-    }
-    val hadCurrent = fs.exists(target)
-    if (hadCurrent) must(fs.rename(target, old), "move live aside")
-    must(fs.rename(tmp, target), "promote staged")
-    if (hadCurrent) must(fs.delete(old, true), "drop old")
+    swapDir(fs, tmp, new Path(path), new Path(path + ".old-full"))
   }
 
   /** K7 — debug sink. */
@@ -103,13 +194,14 @@ object Sinks {
       .outputMode(OutputMode.Append())
       .start()
 
-  /** K2 streaming — dynamic per-record target via foreachBatch. */
+  /** K2 streaming — dynamic per-record target via foreachBatch; replayed
+    * batches overwrite their own `__batch` partition (idempotent). */
   def streamDynamic(df: DataFrame, topicCol: String, path: String,
                     checkpoint: String): StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dynamicByColumn(batch, topicCol, path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dynamicIdempotent(batch, topicCol, path, batchId)
       }
       .start()
 

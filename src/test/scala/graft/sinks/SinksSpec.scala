@@ -38,6 +38,44 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[KV].collect().toSet == expect)
   }
 
+  test("upsertKeyed is incremental: untouched buckets are not rewritten") {
+    val dir = tmp("incr") + "/table"
+    val n = Sinks.DefaultUpsertBuckets
+    def bucket(k: Long): Int =
+      (graft.functions.StableHash.stable60Local(k.toString) % n).toInt
+    val k1 = 1L
+    // any key hashing to a different bucket than k1 exercises the split
+    val k2 = (2L to 1000L).find(bucket(_) != bucket(k1)).get
+    Sinks.upsertKeyed(spark, Seq(KV(k1, 1, "a"), KV(k2, 1, "b")).toDF(),
+      Seq("k"), Seq("seq"), dir)
+    def files(b: Int): Set[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/__bucket=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    }
+    val untouchedBefore = files(bucket(k2))
+    assert(untouchedBefore.nonEmpty)
+    Sinks.upsertKeyed(spark, Seq(KV(k1, 2, "a2")).toDF(),
+      Seq("k"), Seq("seq"), dir)
+    // k2's bucket: same file names, sizes, and mtimes — never rewritten
+    assert(files(bucket(k2)) == untouchedBefore)
+    // k1's bucket DID change
+    assert(spark.read.parquet(dir).as[KV].collect().toSet ==
+      Set(KV(k1, 2, "a2"), KV(k2, 1, "b")))
+  }
+
+  test("dynamicIdempotent: replaying a batch id does not duplicate rows") {
+    val dir = tmp("dynidem")
+    val b0 = Seq(("t_click", 1), ("t_order", 2)).toDF("topic", "v")
+    Sinks.dynamicIdempotent(b0, "topic", dir, batchId = 0)
+    Sinks.dynamicIdempotent(Seq(("t_click", 3)).toDF("topic", "v"), "topic", dir, 1)
+    // crash-replay of batch 0: overwrites its own partitions, no dups
+    Sinks.dynamicIdempotent(b0, "topic", dir, batchId = 0)
+    val got = spark.read.parquet(dir).select("topic", "v")
+      .as[(String, Int)].collect().toSet
+    assert(got == Set(("t_click", 1), ("t_order", 2), ("t_click", 3)))
+  }
+
   test("streamUpsert: upsert state tracks the stream's keep-last") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = tmp("sups") + "/table"
