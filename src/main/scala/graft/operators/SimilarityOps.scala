@@ -123,6 +123,52 @@ object SimilarityOps {
       .select(col("__id"), fp.as("simhash"))
   }
 
+  /** Hamming-distance bands over a SimHash fingerprint column `simhash`:
+    * the `bits`-bit fingerprint splits into `nBands` contiguous bit-bands
+    * (one row per (id, band) with the band value as the bucket key). By
+    * pigeonhole, two fingerprints within Hamming distance `nBands - 1`
+    * differ in at most `nBands - 1` bands and therefore SHARE at least one
+    * band unchanged — banding is a lossless blocker for any
+    * `maxHamming <= nBands - 1`. Same explode shape as [[lshBands]]. */
+  def simhashBands(fp: DataFrame, bits: Int, nBands: Int): DataFrame = {
+    require(bits % nBands == 0, s"bits=$bits not divisible by nBands=$nBands")
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
+    val bands = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+          .cast("string").as("sig"))
+    }
+    fp.select(col("__id"), explode(array(bands: _*)).as("bs"))
+      .select(col("__id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** SimHash NEAR-dup (Hamming-band blocked): fingerprints band-bucketed
+    * per [[simhashBands]], candidate pairs share at least one band, exact
+    * verification keeps pairs with popcount(xor) <= maxHamming — the
+    * block→verify shape of [[candidatePairs]]/[[jaccardVerify]], never
+    * all-pairs. (Exact-equality grouping — the d4 variant — only finds
+    * identical fingerprints; the whole point of SimHash (Charikar '02) is
+    * that NEAR-identical vocabularies land within a small Hamming ball,
+    * which needs this banded search.) */
+  def simhashNearDup(df: DataFrame, id: Column, text: Column, bits: Int,
+                     nBands: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < nBands,
+      s"banding is lossless only for maxHamming < nBands ($maxHamming >= $nBands)")
+    // the fingerprint frame feeds both banding and verification — one
+    // compute, bounded by one row per document
+    val fp = simhash(df, id, text, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidatePairs(simhashBands(fp, bits, nBands))
+    pairs
+      .join(fp.select(col("__id").as("a"), col("simhash").as("__fa")), "a")
+      .join(fp.select(col("__id").as("b"), col("simhash").as("__fb")), "b")
+      .withColumn("hamming",
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Cosine from a pairwise dot and two PREcomputed norms. Norms are
     * hoisted to one-per-vector before any pair join — recomputing them
     * per candidate pair multiplies the vector-fold cost by the mean

@@ -23,9 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, N
   * (asserted in `VecDotSpec`), so swapping it into a query cannot change
   * any hash-checked result.
   *
-  * Null vector ⇒ null (BinaryExpression default); null ELEMENTS are not
-  * expected (embedding arrays are dense) and are read as 0.0-contributing
-  * garbage-free floats by ArrayData contract.
+  * Null vector ⇒ null (BinaryExpression default); a null ELEMENT at any
+  * position ⇒ null result, matching the HOF form (`zip_with` yields a
+  * null product, the `aggregate` fold then propagates it) and DuckDB's
+  * `list_reduce`. The per-element null check is emitted ONLY when the
+  * input's `containsNull` says nulls are possible — dense embedding
+  * arrays (containsNull = false) keep the branch-free hot loop.
   */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -60,6 +63,11 @@ case class VecDot(left: Expression, right: Expression)
   // Length mismatch ⇒ NULL: `zip_with` pads the shorter array with null,
   // so the fold yields null, and DuckDB's list_zip does the same — a
   // truncated partial sum would silently diverge from both.
+  private def mayContainNull(dt: DataType): Boolean = dt match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -67,10 +75,12 @@ case class VecDot(left: Expression, right: Expression)
     else {
       val xf = isFloatArr(left.dataType)
       val yf = isFloatArr(right.dataType)
+      val checkNulls = mayContainNull(left.dataType) || mayContainNull(right.dataType)
       val n = x.numElements()
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
         val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
         acc += xv * yv
@@ -87,6 +97,14 @@ case class VecDot(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       def get(arr: String, dt: DataType): String =
         if (isFloatArr(dt)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      // emit the per-element null branch only when the schema admits null
+      // elements — dense embeddings keep the branch-free loop
+      val nullCheck =
+        if (mayContainNull(left.dataType) || mayContainNull(right.dataType))
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |      ${ev.isNull} = true; break;
+             |    }""".stripMargin
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -94,9 +112,12 @@ case class VecDot(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += ${get(a, left.dataType)} * ${get(b, right.dataType)};
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
        """.stripMargin
     })

@@ -359,6 +359,70 @@ object CoreQueries {
       .orderBy("branch", "event_id")
   }
 
+  /** X2 — nested-array explode with parent-field carry-over: parse a log
+    * line whose payload holds an ARRAY of structs, explode the array, and
+    * attach the parent's fields to every element — the `displays`/
+    * `actions` shape of DwdTrafficBaseLogSplit.java:98-142.
+    *
+    * The log lines are BUILT here from orders ⋈ lineitem (one JSON line
+    * per order with its items array), so the parse→explode→carry step
+    * under test must reproduce the plain relational join — which is
+    * exactly the oracle. Scale shape: explode is map-side (no shuffle);
+    * the parent fields are carried by column reference, never a re-join. */
+  private val x2LogExplode: Q = (s, d) => {
+    val itemSchema = StructType(Seq(
+      StructField("line", IntegerType), StructField("qty", DoubleType),
+      StructField("price", DoubleType)))
+    val logSchema = StructType(Seq(
+      StructField("order_id", LongType), StructField("cust", LongType),
+      StructField("items", ArrayType(itemSchema))))
+    val lines = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(to_json(struct(
+        col("o_orderkey").as("order_id"), col("o_custkey").as("cust"),
+        sort_array(collect_list(struct(
+          col("l_linenumber").cast("int").as("line"),
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price")))).as("items"))).as("value"))
+      .select("value")
+    lines.select(from_json(col("value"), logSchema).as("j"))
+      .select(col("j.order_id").as("order_id"), col("j.cust").as("cust"),
+        explode(col("j.items")).as("item"))
+      .select(col("order_id"), col("cust"),
+        col("item.line").cast("long").as("line"),
+        col("item.qty").as("qty"), col("item.price").as("price"))
+      // ORDER BY every output column: (order_id, line) is NOT unique in
+      // the source, but full-row ties are value-identical → hash-stable
+      .orderBy("order_id", "line", "qty", "price")
+  }
+
+  /** J7 — double self-lookup: the SAME dim table joined TWICE under two
+    * aliases (customer's nation vs supplier's nation — the reference
+    * aliases one HBase dim twice, DwdTradeRefundOrderDetail.java:83-106).
+    * Both aliases are tiny ⇒ two chained broadcast joins, zero extra
+    * shuffles of the fact side. */
+  private val j7DoubleLookup: Q = (s, d) => {
+    val custNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val suppNation = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val fact = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+    JoinOps.dimChain(fact, Seq(
+      JoinOps.Dim(custNation, col("c_nationkey") === col("cn_key"),
+        Seq(col("cust_nation")), tiny = true),
+      JoinOps.Dim(suppNation, col("s_nationkey") === col("sn_key"),
+        Seq(col("supp_nation")), tiny = true)))
+      .groupBy("cust_nation", "supp_nation")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("cust_nation", "supp_nation")
+  }
+
   /** W10a — session windows (gap-merged), a Spark capability beyond the
     * reference's tumbling-only surface: per-user sessions closed after
     * 30 min of inactivity; start = first event, end = last event + gap. */
@@ -428,7 +492,9 @@ object CoreQueries {
     "w11_sliding_window" -> w11SlidingWindow,
     "q1_pricing" -> q1Pricing,
     "q3_top_revenue" -> q3TopRevenue,
-    "x1_split_route" -> x1SplitRoute)
+    "x1_split_route" -> x1SplitRoute,
+    "x2_log_explode" -> x2LogExplode,
+    "j7_double_lookup" -> j7DoubleLookup)
 
   val oracles: Map[String, String] = Map(
     "s1_scan_project" ->
@@ -634,5 +700,24 @@ object CoreQueries {
         | UNION ALL
         | SELECT 'error', event_id, CAST(json_extract_string(props,'$.k') AS BIGINT)
         |  FROM events WHERE event_type = 'error'
-        |) ORDER BY branch, event_id""".stripMargin)
+        |) ORDER BY branch, event_id""".stripMargin,
+    "x2_log_explode" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS cust,
+        | CAST(l_linenumber AS BIGINT) AS line, l_quantity AS qty,
+        | l_extendedprice AS price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY order_id, line, qty, price""".stripMargin,
+    "j7_double_lookup" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |LEFT JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |LEFT JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |GROUP BY cust_nation, supp_nation
+        |ORDER BY cust_nation, supp_nation""".stripMargin)
 }

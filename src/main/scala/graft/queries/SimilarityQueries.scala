@@ -82,11 +82,17 @@ object SimilarityQueries {
     while (!converged && round < MaxPropagationRounds) {
       val prop = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") < col("o.lbl")).isEmpty
-      labels = next
+      // carry each id's PREVIOUS label through the aggregate (__old: set on
+      // the identity rows, null on propagated ones, min ignores nulls) so
+      // convergence falls out of the already-materialized frame — no extra
+      // join-per-round, just a scan of the checkpointed result
+      val merged = labels.select(col("id"), col("lbl"), col("lbl").as("__old"))
+        .unionByName(prop.withColumn("__old",
+          lit(null).cast(prop.schema("lbl").dataType)))
+        .groupBy("id").agg(min("lbl").as("lbl"), min("__old").as("__old"))
+        .localCheckpoint(true)
+      converged = merged.filter(col("lbl") < col("__old")).isEmpty
+      labels = merged.drop("__old")
       round += 1
     }
     // never return silently-split components — a >50-diameter chain is a
@@ -101,12 +107,26 @@ object SimilarityQueries {
       .orderBy("doc_id")
   }
 
-  /** D4 — SimHash fingerprint groups (16-bit vocabulary fingerprint). */
+  /** D4 — SimHash fingerprint groups (16-bit vocabulary fingerprint,
+    * exact-equality variant; the near-dup search is [[d7SimhashHamming]]). */
   private val d4Simhash: Q = (s, d) =>
     SimilarityOps.simhash(Tables.documents(s, d), col("doc_id"), col("text"), 16)
       .groupBy("simhash")
       .agg(min(col("__id")).as("canonical_id"), count(lit(1)).as("n_docs"))
       .orderBy("canonical_id")
+
+  /** D7 — SimHash NEAR-dup: 60-bit fingerprint (the full width of the
+    * engine-portable stable60 hash), 4 bands × 15 bits, verify Hamming
+    * <= 3 (lossless blocking: 3 < 4 bands ⇒ a qualifying pair always
+    * shares a band). */
+  private val SimhashBits = 60
+  private val SimhashBands = 4
+  private val MaxHamming = 3
+  private val d7SimhashHamming: Q = (s, d) =>
+    SimilarityOps.simhashNearDup(Tables.documents(s, d),
+        col("doc_id"), col("text"), SimhashBits, SimhashBands, MaxHamming)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
 
   /** V1 — brute-force cosine top-k (ANN correctness baseline). */
   private val v1AnnCosineTopk: Q = (s, d) => {
@@ -169,6 +189,7 @@ object SimilarityQueries {
     "d4_simhash" -> d4Simhash,
     "d6_dedup_clusters" -> d6DedupClusters,
     "d5_ngram_jaccard" -> d5NgramJaccard,
+    "d7_simhash_hamming" -> d7SimhashHamming,
     "v1_ann_cosine_topk" -> v1AnnCosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embed_neardup" -> v3EmbedNeardup,
@@ -280,11 +301,11 @@ object SimilarityQueries {
        |  SELECT * FROM comp UNION ALL SELECT * FROM singles)
        |ORDER BY doc_id""".stripMargin
 
-  private val simhashSums = (0 until 16).map { j =>
+  private def simhashSums(bits: Int) = (0 until bits).map { j =>
     s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
   }.mkString(",\n    ")
 
-  private val simhashFp = (0 until 16).map { j =>
+  private def simhashFp(bits: Int) = (0 until bits).map { j =>
     s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString("(", " | ", ")")
 
@@ -297,11 +318,49 @@ object SimilarityQueries {
        |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
        |sums AS (
        |  SELECT doc_id,
-       |    $simhashSums
+       |    ${simhashSums(16)}
        |  FROM hv GROUP BY doc_id)
-       |SELECT $simhashFp AS simhash, MIN(doc_id) AS canonical_id,
+       |SELECT ${simhashFp(16)} AS simhash, MIN(doc_id) AS canonical_id,
        |  COUNT(*) AS n_docs
        |FROM sums GROUP BY 1 ORDER BY canonical_id""".stripMargin
+
+  /** d7: same fingerprint construction at 60 bits, 4×15-bit band
+    * blocking, popcount(xor) verification — mirrors
+    * [[SimilarityOps.simhashNearDup]] including the 1000 bucket cap. */
+  private val d7BandSelects = (0 until SimhashBands).map { b =>
+    val shift = b * (SimhashBits / SimhashBands)
+    val mask = (1L << (SimhashBits / SimhashBands)) - 1
+    s"SELECT doc_id, $b AS band, ((f >> $shift) & $mask)::VARCHAR AS sig FROM fp"
+  }.mkString("\n  UNION ALL\n  ")
+
+  private val d7Sql =
+    s"""WITH tok AS (
+       |  SELECT DISTINCT doc_id, t FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS t
+       |    FROM documents)),
+       |hv AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+       |sums AS (
+       |  SELECT doc_id,
+       |    ${simhashSums(SimhashBits)}
+       |  FROM hv GROUP BY doc_id),
+       |fp AS (SELECT doc_id, ${simhashFp(SimhashBits)} AS f FROM sums),
+       |bands AS (
+       |  $d7BandSelects),
+       |bsz AS (SELECT band, sig, COUNT(*) AS c FROM bands GROUP BY band, sig),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+       |  JOIN bsz ON l.band = bsz.band AND l.sig = bsz.sig
+       |  WHERE bsz.c <= 1000)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(bit_count(xor(fa.f, fb.f)) AS INT) AS hamming
+       |  FROM cand JOIN fp fa ON doc_a = fa.doc_id
+       |            JOIN fp fb ON doc_b = fb.doc_id)
+       |WHERE hamming <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private val v1Sql =
     s"""WITH probes AS (
@@ -424,6 +483,7 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "d3_minhash_neardup" -> d3Sql,
     "d4_simhash" -> d4Sql,
+    "d7_simhash_hamming" -> d7Sql,
     "d5_ngram_jaccard" -> d5Sql,
     "d6_dedup_clusters" -> d6Sql,
     "v1_ann_cosine_topk" -> v1Sql,

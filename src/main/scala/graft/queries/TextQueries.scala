@@ -28,6 +28,20 @@ object TextQueries {
       .agg(count(lit(1)).as("token_ct"))
       .orderBy(col("token_ct").desc, col("token"))
 
+  /** U3 — CJK-aware token counting (the IK-divergence path of U2): CJK
+    * ideographs isolate to unigram tokens before the whitespace split.
+    * The driver corpus has no CJK text, so a fixed CJK suffix is appended
+    * IN the query (same derivation on both engines) — without it this row
+    * would never exercise the isolation path it exists to test. */
+  private val u3CjkTokens: Q = (s, d) => {
+    val t = concat(col("text"), lit(" 汉字分词测试"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(tokensWithCjk(t)).cast("long").as("n_tokens"),
+        cjkCount(t).as("cjk_chars"))
+      .orderBy("doc_id")
+  }
+
   /** T1 — language identification by stopword + script evidence. */
   private val t1LangId: Q = (s, d) =>
     Tables.documents(s, d)
@@ -111,6 +125,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "c1_clean_corpus" -> c1CleanCorpus,
     "u2_token_count" -> u2TokenCount,
+    "u3_cjk_tokens" -> u3CjkTokens,
     "t1_langid" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_stats" -> t3TokenStats,
@@ -178,6 +193,16 @@ object TextQueries {
          | SELECT unnest(regexp_split_to_array($normSql, '\\s+')) AS token
          | FROM documents)
          |GROUP BY token ORDER BY token_ct DESC, token""".stripMargin,
+    "u3_cjk_tokens" -> {
+      val t = "(text || ' 汉字分词测试')"
+      val isolated = s"regexp_replace($t, '([\\x{4e00}-\\x{9fff}])', ' \\1 ', 'g')"
+      val norm = s"trim(regexp_replace(lower($isolated), '\\s+', ' ', 'g'))"
+      s"""SELECT doc_id,
+         | CAST(len(regexp_split_to_array($norm, '\\s+')) AS BIGINT) AS n_tokens,
+         | CAST(length($t) - length(regexp_replace($t,
+         |   '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS cjk_chars
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "t1_langid" ->
       s"""WITH scored AS (
          | SELECT doc_id,

@@ -59,17 +59,23 @@ object StatefulOps {
   /** A3 streaming per-period dedup (daily UV): emit a record when its
     * period differs from the key's last-seen period. State is ONE string
     * per key (the reference keeps `lastVisitDate` exactly so), not a set —
-    * bounded regardless of stream length. Assumes period is monotonically
-    * non-decreasing per key (event-time order within key), matching the
-    * reference's watermarked input. */
+    * bounded regardless of stream length.
+    *
+    * `order` fixes the scan order WITHIN a micro-batch: Spark gives no
+    * ordering guarantee for the group iterator (source order does not
+    * survive the groupByKey shuffle), so the batch's rows are buffered and
+    * sorted by it before the period scan — bounded by micro-batch size,
+    * not stream length. ACROSS batches the period must be non-decreasing
+    * per key (watermarked delivery), matching the reference's input. */
   def firstPerPeriod[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
-                                             period: V => String): Dataset[V] =
+                                             period: V => String,
+                                             order: V => Long): Dataset[V] =
     ds.groupByKey(key).flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (_: K, it: Iterator[V], state: GroupState[String]) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[V]
         var last = state.getOption.getOrElse("")
-        it.foreach { v =>
+        it.toSeq.sortBy(order).foreach { v =>
           val p = period(v)
           if (p != last) { out += v; last = p }
         }
@@ -79,15 +85,18 @@ object StatefulOps {
 
   /** P6 streaming is_new repair: the flag is 1 only while the key's
     * first-seen period equals the record's period; later periods emit 0
-    * (`DwdTrafficBaseLogSplit.java:70-97`). Emits (record, repairedFlag). */
+    * (`DwdTrafficBaseLogSplit.java:70-97`). Emits (record, repairedFlag).
+    * `order` fixes the intra-batch scan order (see [[firstPerPeriod]]) so
+    * "first-seen" is well-defined when one batch spans periods. */
   def isNewRepair[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
-      period: V => String)(implicit e: Encoder[(V, Int)]): Dataset[(V, Int)] =
+      period: V => String, order: V => Long)(
+      implicit e: Encoder[(V, Int)]): Dataset[(V, Int)] =
     ds.groupByKey(key).flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
       (_: K, it: Iterator[V], state: GroupState[String]) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(V, Int)]
         var first = state.getOption.getOrElse("")
-        it.foreach { v =>
+        it.toSeq.sortBy(order).foreach { v =>
           val p = period(v)
           if (first.isEmpty) first = p
           out += ((v, if (p == first) 1 else 0))
@@ -110,7 +119,13 @@ object StatefulOps {
         if (state.hasTimedOut) {
           val v = state.get; state.remove(); Iterator.single(v)
         } else {
-          val last = it.foldLeft(state.getOption.getOrElse(null.asInstanceOf[V]))((_, v) => v)
+          // explicit max-by event time — the group iterator's order is
+          // NOT arrival order (it does not survive the shuffle), so
+          // "latest" must be chosen by timestamp, not iterator position;
+          // >= lets a same-ts row from a later batch supersede held state
+          val last = it.foldLeft(state.getOption.getOrElse(null.asInstanceOf[V])) {
+            (acc, v) => if (acc == null || tsMillis(v) >= tsMillis(acc)) v else acc
+          }
           state.update(last)
           // timer must sit strictly above the current watermark
           state.setTimeoutTimestamp(
@@ -123,8 +138,12 @@ object StatefulOps {
     * latest record — the changelog-tail semantics of an upsert sink.
     * Downstream `foreachBatch` + [[graft.sinks.Sinks.upsertKeyed]] gives
     * the reference's upsert-Kafka behavior (emit-on-update, last wins).
-    * `ttlMs` > 0 expires idle keys (W8 idle-state retention). */
+    * `seq` supplies the per-key total order "last" is judged by (the
+    * group iterator's order is not arrival order — it does not survive
+    * the shuffle). `ttlMs` > 0 expires idle keys (W8 idle-state
+    * retention). */
   def keepLastUpdates[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+                                              seq: V => Long,
                                               ttlMs: Long = 0L): Dataset[V] =
     ds.groupByKey(key).mapGroupsWithState(
       if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout()
@@ -132,7 +151,9 @@ object StatefulOps {
       (_: K, it: Iterator[V], state: GroupState[V]) =>
         if (state.hasTimedOut) { val v = state.get; state.remove(); v }
         else {
-          val last = it.foldLeft(state.getOption.getOrElse(null.asInstanceOf[V]))((_, v) => v)
+          val last = it.foldLeft(state.getOption.getOrElse(null.asInstanceOf[V])) {
+            (acc, v) => if (acc == null || seq(v) >= seq(acc)) v else acc
+          }
           state.update(last)
           if (ttlMs > 0L) state.setTimeoutDuration(ttlMs)
           last

@@ -50,4 +50,29 @@ class VecDotSpec extends SparkSpec {
     val fold = df.select(VectorFunctions.dotFold(col("a"), col("b"))).collect().head
     assert(native.isNullAt(0) && fold.isNullAt(0))
   }
+
+  test("null ELEMENT yields null — matching the zip_with fold, not garbage") {
+    // array() of boxed Floats with a null slot → containsNull = true
+    val df = Seq(1).toDF("x").select(
+      array(lit(1.0f), lit(null).cast("float"), lit(3.0f)).as("a"),
+      array(lit(2.0f), lit(5.0f), lit(7.0f)).as("b"))
+    val native = df.select(VectorFunctions.dot(col("a"), col("b"))).collect().head
+    val fold = df.select(VectorFunctions.dotFold(col("a"), col("b"))).collect().head
+    assert(native.isNullAt(0) && fold.isNullAt(0))
+  }
+
+  test("dot falls back to the builtin fold when vec_dot is not registered") {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    assert(reg.dropFunction(id)) // simulate a session without GraftExtensions
+    try {
+      val got = df.select(VectorFunctions.dot(col("a"), col("b")))
+        .as[Double].head()
+      assert(got == 11.0) // resolved via dotFold, no AnalysisException
+    } finally graft.plans.GraftExtensions.functions.foreach { case (fid, info, builder) =>
+      reg.registerFunction(fid, info, builder)
+    }
+    assert(spark.catalog.functionExists("vec_dot"))
+  }
 }

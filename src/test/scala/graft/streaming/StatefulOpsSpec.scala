@@ -52,7 +52,7 @@ class StatefulOpsSpec extends SparkSpec {
 
   test("firstPerPeriod stream == batch keep-first per (user, day)") {
     val got = streamed("fpp", OutputMode.Append()) { ds =>
-      StatefulOps.firstPerPeriod[Long, Ev](ds, _.user, _.day)
+      StatefulOps.firstPerPeriod[Long, Ev](ds, _.user, _.day, _.seq)
     }
     val batch = DedupOps.keepFirst(all.toDF(),
       Seq(col("user"), col("day")), Seq(col("seq"))).as[Ev].collect()
@@ -61,7 +61,7 @@ class StatefulOpsSpec extends SparkSpec {
 
   test("isNewRepair stream: flag 1 only on first-seen day") {
     val got = streamed("inr", OutputMode.Append()) { ds =>
-      StatefulOps.isNewRepair[Long, Ev](ds, _.user, _.day)
+      StatefulOps.isNewRepair[Long, Ev](ds, _.user, _.day, _.seq)
     }
     val expected = {
       val firstDay = all.groupBy(_.user).map { case (u, evs) =>
@@ -74,7 +74,7 @@ class StatefulOpsSpec extends SparkSpec {
 
   test("keepLastUpdates emits each touched key's latest per batch; final state == batch keep-last") {
     val got = streamed("klu", OutputMode.Update()) { ds =>
-      StatefulOps.keepLastUpdates[Long, Ev](ds, _.user)
+      StatefulOps.keepLastUpdates[Long, Ev](ds, _.user, _.seq)
     }
     // Update-mode memory sink appends each batch's emissions; the LAST
     // emission per key must equal the batch keep-last.
