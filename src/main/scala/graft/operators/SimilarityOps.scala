@@ -217,42 +217,118 @@ object SimilarityOps {
         (col("pos") + 1).cast("int").as("rank"), col("sc._1").as("cos_sim"))
   }
 
-  /** Sign-bit-LSH ANN: bucket every vector by its hyperplane sign
-    * signature, search only the probe's bucket. Recall is approximate by
-    * construction; cost is bucket-local. This is the 100 TB path — the
-    * full corpus is never shuffled per probe, only equal-signature rows
-    * meet in the join. */
+  /** Sign-bit-LSH ANN, multi-table with in-band multiprobe (the classic
+    * Indyk–Motwani OR-of-L-tables construction, same banding shape as
+    * MinHash-LSH): the `planes.size` sign bits split into `nTables` bands
+    * of k bits; a candidate matches the probe in ANY band — and with
+    * `multiprobe = 1` also in any band at Hamming distance 1 (near
+    * neighbors that landed just across ONE hyperplane are single-bucket
+    * LSH's dominant recall loss, and flipping one band bit is exactly
+    * where they are).
+    *
+    * Scale shape: corpus rows fan out to `nTables` (map-side explode, no
+    * shuffle — the probe side is the broadcast one and additionally fans
+    * out k+1 variants per band under multiprobe); the join is band-
+    * bucket-local; the pair set dedups before ranking because one pair
+    * can collide in several tables. Recall at a given (L, k) IMPROVES
+    * with corpus density (denser corpus ⇒ true neighbors angularly
+    * closer ⇒ higher per-band collision probability), so a sparse test
+    * corpus is the worst case; the knobs trade candidates for recall the
+    * standard way (more tables / probes up, k down ⇒ higher recall). */
   def lshBucketAnn(probes: DataFrame, corpus: DataFrame,
-                   planes: Seq[Seq[Double]], topK: Int): DataFrame = {
+                   planes: Seq[Seq[Double]], topK: Int,
+                   nTables: Int = 1, multiprobe: Int = 0): DataFrame = {
+    val nP = planes.size
+    require(nP % nTables == 0, s"planes=$nP not divisible by nTables=$nTables")
+    val k = nP / nTables
+    def bands(sig: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("tbl"), substring(sig, t * k + 1, k).as("bucket"))
+    }: _*)
+    // the full signature is aliased in its OWN projection before the
+    // explode: referenced 2·nTables times by the band structs, the alias
+    // blocks CollapseProject from inlining — inlined, the nP plane dots
+    // would be recomputed per band and the generated code grows nTables×
+    // (measured 8.4s → this shape's cost at sf0.1: the signature is
+    // computed once per row)
     val bucketed = corpus
-      .withColumn("bucket", VectorFunctions.signBits(col("embedding"), planes))
       .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
-    val pb = probes
-      .withColumn("bucket", VectorFunctions.signBits(col("q_vec"), planes))
+      .withColumn("__sig", VectorFunctions.signBits(col("embedding"), planes))
+      .withColumn("tb", explode(bands(col("__sig"))))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("vec_id"), col("embedding"), col("__nb"))
+    val pb0 = probes
       .withColumn("__na", sqrt(VectorFunctions.norm2(col("q_vec"))))
-    val scored = bucketed.join(broadcast(pb), "bucket")
+      .withColumn("__sig", VectorFunctions.signBits(col("q_vec"), planes))
+      .withColumn("tb", explode(bands(col("__sig"))))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket0"),
+        col("q_id"), col("q_vec"), col("__na"))
+    val pb =
+      if (multiprobe == 0) pb0.withColumnRenamed("bucket0", "bucket")
+      else {
+        val variants = col("bucket0") +: (0 until k).map { i =>
+          concat(substring(col("bucket0"), 1, i),
+            when(substring(col("bucket0"), i + 1, 1) === "1", lit("0"))
+              .otherwise(lit("1")),
+            substring(col("bucket0"), i + 2, k - i - 1))
+        }
+        pb0.withColumn("bucket", explode(array(variants: _*))).drop("bucket0")
+      }
+    val cand = bucketed.join(broadcast(pb), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos_sim", cosineFromParts(
         VectorFunctions.dot(col("q_vec"), col("embedding")),
         col("__na"), col("__nb")))
-    scored
+      .select(col("q_id"), col("vec_id"), col("cos_sim"))
+      .distinct() // one pair may collide in several tables
+    cand
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))))
       .filter(col("rank") <= topK)
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
   }
 
-  /** IVF-style ANN: assign every vector to its nearest centroid from a
-    * small broadcast codebook (in production: k-means-trained; here a
-    * deterministic subset), then search only within the probe's cell.
-    * Assignment is |codebook| dots per vector map-side — the inverted-file
-    * structure replaces any per-probe full scan. nprobe=1. */
-  def ivfAnn(corpus: DataFrame, centroids: DataFrame, probeIds: Column,
-             topK: Int): DataFrame = {
+  /** Deterministic Lloyd's k-means codebook, oracle-reproducible.
+    *
+    * Init: the k lowest vec_ids (fixed seed). Each iteration assigns every
+    * vector to its nearest centroid by cosine (ties → lowest cid) and
+    * recomputes each centroid as the member mean. The mean is computed
+    * over SCALED INTEGERS — `sum(round(x·10⁶))` is an exact, ORDER-
+    * INDEPENDENT integer sum, where a float sum would depend on Spark's
+    * nondeterministic partial-aggregation order and could never hash-match
+    * the oracle; the single division back to double is correctly rounded
+    * identically in both engines. A cluster that loses all members drops
+    * out (both engines agree).
+    *
+    * Scale shape: one explode + one (cid, pos) aggregation per iteration
+    * (map-side partial applies); centroids stay a broadcast-size frame. */
+  def kmeansCodebook(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = corpus.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(corpus, cents, nprobe = 1)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+      cents = assigned
+        .select(col("cluster").as("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(round(col("x").cast("double") * 1e6).cast("long"))
+          / count(lit(1)) / lit(1e6)).as("c"))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+    }
+    cents
+  }
+
+  /** Assign each corpus vector to its `nprobe` nearest codebook cells by
+    * cosine (ties → lowest cid). nprobe=1 is cell assignment; nprobe>1 is
+    * the probe-side multi-cell search list. */
+  private def assignCells(corpus: DataFrame, centroids: DataFrame,
+                          nprobe: Int): DataFrame = {
     val cents = broadcast(centroids
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
-        sqrt(VectorFunctions.norm2(col("embedding"))).as("__nc")))
-    val assigned = corpus
+      .select(col("cid"), col("cvec"),
+        sqrt(VectorFunctions.norm2(col("cvec"))).as("__nc")))
+    corpus
       .withColumn("__nv", sqrt(VectorFunctions.norm2(col("embedding"))))
       .crossJoin(cents)
       .withColumn("__cs", cosineFromParts(
@@ -260,12 +336,23 @@ object SimilarityOps {
         col("__nv"), col("__nc")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("__cs").desc, col("cid"))))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("__nv"), col("cid").as("cluster"))
-    val probes = assigned.filter(probeIds)
+      .filter(col("__rn") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("__nv"),
+        col("cid").as("cluster"))
+  }
+
+  /** IVF ANN with a trained codebook and multi-cell probing: every vector
+    * lives in its nearest cell (the inverted file); a probe searches its
+    * `nprobe` nearest cells, not the full corpus. Assignment is |codebook|
+    * dots per vector map-side; the candidate join is cell-local. Raising
+    * nprobe trades compute for recall — the standard IVF knob. */
+  def ivfAnn(corpus: DataFrame, centroids: DataFrame, probeIds: Column,
+             topK: Int, nprobe: Int = 1): DataFrame = {
+    val assigned = assignCells(corpus, centroids, nprobe = 1)
+    val probeCells = assignCells(corpus.filter(probeIds), centroids, nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("__nv").as("__na"), col("cluster"))
-    assigned.join(broadcast(probes), "cluster")
+    assigned.join(broadcast(probeCells), "cluster")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos_sim", cosineFromParts(
         VectorFunctions.dot(col("q_vec"), col("embedding")),

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Recall gate for the approximate ANN paths: correctness of v2/v4 is
+  * hash-checked against the oracle (they compute their approximation
+  * deterministically), but an approximation can be deterministically BAD —
+  * this spec pins the approximation QUALITY against the exact brute-force
+  * baseline (v1) on the sf0.01 corpus, which (being sparse) is the
+  * worst-case regime for LSH recall. */
+class AnnRecallSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+
+  private def topkPairs(query: String): Set[(Long, Long)] =
+    graft.SparkEntry.queries(query)(spark, sfDir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("multi-table multiprobe LSH ANN (v2) recall@5 >= 0.8 vs brute force") {
+    val exact = topkPairs("v1_ann_cosine_topk")
+    val lsh = topkPairs("v2_ann_lsh")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"v2 recall@5 = $recall")
+  }
+
+  test("trained-codebook IVF ANN (v4) recall@5 >= 0.8 vs brute force") {
+    val exact = topkPairs("v1_ann_cosine_topk")
+    val ivf = topkPairs("v4_ann_ivf")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"v4 recall@5 = $recall")
+  }
+}
