@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{StableHash, TextFunctions}
 import graft.functions.TextFunctions._
+import graft.operators.SimilarityOps
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table — the reference's
@@ -122,10 +124,92 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** C2 — benchmark decontamination: flag corpus documents sharing >= 3
+    * distinct 3-gram shingles with any document of a (small) benchmark
+    * set — the eval-set contamination check every training pipeline runs
+    * before a data release.
+    *
+    * Scale shape: the benchmark side is eval-set-sized (KBs–MBs) and
+    * BROADCAST after a document-frequency guard strips shingles common
+    * across the corpus (a stop-n-gram in the benchmark would otherwise
+    * join a constant fraction of a 100 TB corpus); the corpus side is
+    * one scan + map-side broadcast join + one (doc, bench) count. At
+    * production scale the n-gram length rises (8–13) — same plan. */
+  private val c2Decontaminate: Q = (s, d) => {
+    val sh = SimilarityOps.shingleSets(
+        Tables.documents(s, d), col("doc_id"), col("text"), 3)
+      .select(col("__id").as("doc_id"),
+        explode(array_distinct(col("__sh"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.groupBy("s")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= 1000).select("s")
+    val bench = sh.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id").as("bench_id"), col("s"))
+      .join(rare, "s") // df-guard on the broadcast side only
+    sh.join(broadcast(bench), "s")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_ngrams")) // sh is distinct per doc
+      .filter(col("shared_ngrams") >= 3)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** U4 — deterministic hash split (train/validation/test): the split of
+    * a document is a pure function of its id (stable60 % 100 → 80/10/10),
+    * so it is reproducible across runs, engines, and re-shards — the
+    * property a dataset split must have. Map-side only + one count agg. */
+  private val u4HashSplit: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("__h", StableHash.bucket60(col("doc_id").cast("string"), 100))
+      .withColumn("split",
+        when(col("__h") < 80, "train")
+          .when(col("__h") < 90, "validation").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wordCount(col("text"))).as("n_words"))
+      .orderBy("split")
+
+  /** U5 — exact heavy-hitter tokens (> 0.1% of all token occurrences):
+    * two-phase count (map-side combine) + a 1-row broadcast total; the
+    * threshold is RELATIVE so the query is scale-free. The exact form is
+    * preferred over a sketch while the vocabulary fits an aggregate —
+    * which it does at any corpus size (vocab grows sublinearly). */
+  private val u5HeavyTokens: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(explode(tokens(normalized(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("token_ct"))
+    val total = counts.agg(sum(col("token_ct")).as("__n")) // no second scan
+    counts.crossJoin(broadcast(total))
+      .filter(col("token_ct") * 1000 > col("__n"))
+      .select(col("token"), col("token_ct"))
+      .orderBy(col("token_ct").desc, col("token"))
+  }
+
+  /** T5 — within-document repetition scoring (Gopher-style repetition
+    * filters): duplicate-token fraction and duplicate-3-gram fraction.
+    * Token/shingle arrays are materialized ONCE per row in their own
+    * projection (the alias blocks CollapseProject from re-running the
+    * tokenizer per reference). Pure map-side. */
+  private val t5Repetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("__t", tokens(normalized(col("text"))))
+      .withColumn("__g", TextFunctions.shinglesFromTokens(col("__t"), 3))
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("__t"))).cast("double")
+          / size(col("__t"))).as("dup_token_frac"),
+        when(size(col("__g")) > 0,
+          lit(1.0) - size(array_distinct(col("__g"))).cast("double")
+            / size(col("__g"))).otherwise(0.0).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
     "c1_clean_corpus" -> c1CleanCorpus,
+    "c2_decontaminate" -> c2Decontaminate,
     "u2_token_count" -> u2TokenCount,
     "u3_cjk_tokens" -> u3CjkTokens,
+    "u4_hash_split" -> u4HashSplit,
+    "u5_heavy_tokens" -> u5HeavyTokens,
+    "t5_repetition" -> t5Repetition,
     "t1_langid" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_stats" -> t3TokenStats,
@@ -193,6 +277,62 @@ object TextQueries {
          | SELECT unnest(regexp_split_to_array($normSql, '\\s+')) AS token
          | FROM documents)
          |GROUP BY token ORDER BY token_ct DESC, token""".stripMargin,
+    "c2_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |    FROM (SELECT doc_id, t,
+         |            unnest(generate_series(1, len(t) - 2)) AS i
+         |          FROM toks))),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+         |bench AS (
+         |  SELECT doc_id AS bench_id, s FROM sh JOIN rare USING (s)
+         |  WHERE doc_id % 37 = 0)
+         |SELECT sh.doc_id, bench_id, COUNT(*) AS shared_ngrams
+         |FROM sh JOIN bench USING (s)
+         |WHERE sh.doc_id <> bench_id
+         |GROUP BY sh.doc_id, bench_id
+         |HAVING COUNT(*) >= 3
+         |ORDER BY doc_id, bench_id""".stripMargin,
+    "u4_hash_split" ->
+      s"""SELECT CASE WHEN h < 80 THEN 'train'
+         |            WHEN h < 90 THEN 'validation' ELSE 'test' END AS split,
+         | COUNT(*) AS n_docs, SUM(wc) AS n_words
+         |FROM (SELECT
+         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h,
+         |  $wcSql AS wc FROM documents)
+         |GROUP BY split ORDER BY split""".stripMargin,
+    "u5_heavy_tokens" ->
+      s"""WITH c AS (
+         |  SELECT token, COUNT(*) AS token_ct FROM (
+         |    SELECT unnest(regexp_split_to_array($normSql, '\\s+')) AS token
+         |    FROM documents)
+         |  GROUP BY token),
+         |tot AS (SELECT SUM(token_ct) AS n FROM c)
+         |SELECT token, token_ct FROM c, tot
+         |WHERE token_ct * 1000 > n
+         |ORDER BY token_ct DESC, token""".stripMargin,
+    "t5_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
+         |  FROM documents),
+         |tri AS (
+         |  SELECT doc_id, list(s) AS g FROM (
+         |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |    FROM (SELECT doc_id, t,
+         |            unnest(generate_series(1, len(t) - 2)) AS i
+         |          FROM toks))
+         |  GROUP BY doc_id)
+         |SELECT doc_id,
+         | 1.0 - len(list_distinct(t))::DOUBLE / len(t) AS dup_token_frac,
+         | CASE WHEN g IS NOT NULL AND len(g) > 0
+         |      THEN 1.0 - len(list_distinct(g))::DOUBLE / len(g)
+         |      ELSE 0.0 END AS dup_trigram_frac
+         |FROM toks LEFT JOIN tri USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "u3_cjk_tokens" -> {
       val t = "(text || ' 汉字分词测试')"
       val isolated = s"regexp_replace($t, '([\\x{4e00}-\\x{9fff}])', ' \\1 ', 'g')"
