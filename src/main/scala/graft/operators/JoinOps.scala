@@ -62,4 +62,49 @@ object JoinOps {
     left.join(right,
       keyL === keyR && tsR >= tsL + lower && tsR <= tsL + upper,
       "inner")
+
+  /** J8 — AS-OF (event-time temporal) join: each fact row is enriched
+    * with the LATEST version row of its key whose `verTs` <= the fact's
+    * `factTs` (inclusive), null-padded when no version precedes it — the
+    * event-time form of the reference's `FOR SYSTEM_TIME AS OF` lookup
+    * join (which Flink SQL runs in processing time,
+    * `app/dwd/DwdInterationCommentInfo.java:64-78`).
+    *
+    * Shape: UNION the two inputs and forward-fill the version payload
+    * with one `last(_, ignoreNulls)` window per key — ONE shuffle+sort
+    * on the key, O(facts + versions), where the naive
+    * join-all-preceding-versions-then-keep-max explodes by the version
+    * count per key (unbounded at 100 TB: a hot dim key's history joins
+    * every fact). The payload rides in ONE struct so a version row's
+    * legitimately-null column is not back-filled from an older version.
+    *
+    * Contract: fact and version column names must be disjoint; versions
+    * must be unique per (key, ts) — dedup first (`DedupOps.keepLast`) or
+    * the tie survivor is undefined. At equal timestamps the version
+    * sorts BEFORE the fact (inclusive as-of, DuckDB `ASOF JOIN`
+    * semantics). */
+  def asofJoin(facts: DataFrame, versions: DataFrame,
+               factKey: Column, verKey: Column,
+               factTs: Column, verTs: Column,
+               payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = facts
+      .withColumn("__k", factKey).withColumn("__ts", factTs)
+      .withColumn("__m", lit(1))
+    val v = versions
+      .withColumn("__k", verKey).withColumn("__ts", verTs)
+      .withColumn("__m", lit(0))
+    val u = f.unionByName(v, allowMissingColumns = true)
+      .withColumn("__v",
+        when(col("__m") === 0, struct(payload.map(col): _*))
+          .otherwise(lit(null)))
+    val w = Window.partitionBy("__k").orderBy(col("__ts"), col("__m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = u.withColumn("__vf", last(col("__v"), ignoreNulls = true).over(w))
+    payload.foldLeft(
+        filled.filter(col("__m") === 1)
+          .drop((payload ++ Seq("__k", "__ts", "__m", "__v")): _*)) {
+      (acc, p) => acc.withColumn(p, col("__vf").getField(p))
+    }.drop("__vf")
+  }
 }

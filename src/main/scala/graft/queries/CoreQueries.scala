@@ -423,6 +423,29 @@ object CoreQueries {
       .orderBy("cust_nation", "supp_nation")
   }
 
+  /** J8 — AS-OF join: each click event enriched with the user's most
+    * recent purchase value at click time (inclusive), null before any
+    * purchase — the event-time temporal join, union-scan shape (see
+    * [[JoinOps.asofJoin]]). Oracle: DuckDB's native ASOF LEFT JOIN. */
+  private val j8AsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // versions must be unique per (key, ts): same-second purchases keep
+    // the highest event id (arbitrary but total — mirrored in the oracle)
+    val purchases = DedupOps.keepLast(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("value"), col("event_id").as("p_eid")),
+        Seq(col("p_user"), col("p_ts")), Seq(col("p_eid")))
+      .drop("p_eid")
+    JoinOps.asofJoin(clicks, purchases,
+        col("user_id"), col("p_user"), col("ts"), col("p_ts"), Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        col("value").as("last_purchase"))
+      .orderBy("event_id")
+  }
+
   /** W10a — session windows (gap-merged), a Spark capability beyond the
     * reference's tumbling-only surface: per-user sessions closed after
     * 30 min of inactivity; start = first event, end = last event + gap. */
@@ -494,7 +517,8 @@ object CoreQueries {
     "q3_top_revenue" -> q3TopRevenue,
     "x1_split_route" -> x1SplitRoute,
     "x2_log_explode" -> x2LogExplode,
-    "j7_double_lookup" -> j7DoubleLookup)
+    "j7_double_lookup" -> j7DoubleLookup,
+    "j8_asof_join" -> j8AsofJoin)
 
   val oracles: Map[String, String] = Map(
     "s1_scan_project" ->
@@ -719,5 +743,17 @@ object CoreQueries {
         |LEFT JOIN nation n1 ON c_nationkey = n1.n_nationkey
         |LEFT JOIN nation n2 ON s_nationkey = n2.n_nationkey
         |GROUP BY cust_nation, supp_nation
-        |ORDER BY cust_nation, supp_nation""".stripMargin)
+        |ORDER BY cust_nation, supp_nation""".stripMargin,
+    "j8_asof_join" ->
+      """WITH clicks AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (
+        | SELECT user_id AS p_user, ts AS p_ts, value FROM events
+        | WHERE event_type = 'purchase'
+        | QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |   ORDER BY event_id DESC) = 1)
+        |SELECT c.event_id, c.user_id, p.value AS last_purchase
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.p_user AND c.ts >= p.p_ts
+        |ORDER BY event_id""".stripMargin)
 }
