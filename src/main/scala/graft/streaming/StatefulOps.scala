@@ -134,6 +134,38 @@ object StatefulOps {
         }
     }
 
+  /** J3/J8 streaming — temporal enrichment against keyed version state:
+    * one unioned stream carries both dimension-version updates and facts;
+    * each key's LATEST version lives in state, and every fact emits
+    * paired with the version current at its arrival (None before any
+    * version) — the keyed-state form of the reference's temporal join,
+    * with Flink's `Temporal Table Function` semantics in arrival order.
+    * Within a micro-batch `order` fixes the interleaving, so a version
+    * preceding a fact in the same batch applies to it (the batch twin is
+    * [[graft.operators.JoinOps.asofJoin]] when arrival order == event
+    * order — asserted in `StatefulOpsSpec`). `ttlMs` > 0 expires idle
+    * keys' version state (W8) — at 100 TB the dim keyspace must not
+    * accumulate unboundedly. */
+  def temporalEnrich[K: Encoder, T: Encoder](ds: Dataset[T], key: T => K,
+      order: T => Long, isVersion: T => Boolean, ttlMs: Long = 0L)(
+      implicit e: Encoder[(T, Option[T])]): Dataset[(T, Option[T])] =
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(),
+      if (ttlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()) {
+      (_: K, it: Iterator[T], state: GroupState[T]) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(T, Option[T])]
+          it.toSeq.sortBy(order).foreach { t =>
+            if (isVersion(t)) state.update(t)
+            else out += ((t, state.getOption))
+          }
+          if (ttlMs > 0L && state.exists) state.setTimeoutDuration(ttlMs)
+          out.iterator
+        }
+    }
+
   /** A6/K3 streaming keep-last: every micro-batch emits each touched key's
     * latest record — the changelog-tail semantics of an upsert sink.
     * Downstream `foreachBatch` + [[graft.sinks.Sinks.upsertKeyed]] gives

@@ -72,6 +72,40 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got.toSet == expected.toSet)
   }
 
+  test("temporalEnrich stream == batch asofJoin when arrival order == event order (J3/J8)") {
+    // reuse Ev: v < 0 marks a VERSION update, v >= 0 a fact; key = user
+    val vb1 = Seq(Ev(1, 1, "d", -10.0), Ev(1, 2, "d", 1.0)) // version then fact
+    val vb2 = Seq(Ev(1, 3, "d", -20.0), Ev(2, 4, "d", 2.0)) // u2 fact, NO version yet
+    val vb3 = Seq(Ev(1, 5, "d", 3.0), Ev(1, 6, "d", -30.0)) // fact BEFORE next version
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StatefulOps.temporalEnrich[Long, Ev](
+        mem.toDS(), _.user, _.seq, _.v < 0)
+      .map { case (f, ver) => (f.seq, ver.map(_.v).getOrElse(0.0)) }
+      .writeStream.format("memory").queryName("tenr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(vb1, vb2, vb3).foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("tenr").as[(Long, Double)].collect().toSet
+    // fact 2 sees -10 (same-batch version before it); fact 4 has no
+    // version for user 2; fact 5 sees -20, NOT the later -30
+    val expected = Set((2L, -10.0), (4L, 0.0), (5L, -20.0))
+    assert(got == expected)
+    // batch twin: asofJoin over the same rows by seq as "time"
+    import graft.operators.JoinOps
+    val all = (vb1 ++ vb2 ++ vb3).toDF()
+    val facts = all.filter(col("v") >= 0)
+      .select(col("user"), col("seq"), col("v"))
+    val vers = all.filter(col("v") < 0)
+      .select(col("user").as("vu"), col("seq").as("vseq"), col("v").as("vv"))
+    val batch = JoinOps.asofJoin(facts, vers,
+        col("user"), col("vu"), col("seq"), col("vseq"), Seq("vv"))
+      .select(col("seq"), coalesce(col("vv"), lit(0.0)))
+      .as[(Long, Double)].collect().toSet
+    assert(batch == expected)
+  }
+
   test("keepLastUpdates emits each touched key's latest per batch; final state == batch keep-last") {
     val got = streamed("klu", OutputMode.Update()) { ds =>
       StatefulOps.keepLastUpdates[Long, Ev](ds, _.user, _.seq)
