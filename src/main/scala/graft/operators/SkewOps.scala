@@ -33,4 +33,28 @@ object SkewOps {
       .agg(partial.head, partial.tail: _*)
       .groupBy(keys: _*)
       .agg(merge.head, merge.tail: _*)
+
+  /** Salted replicated join for a skewed JOIN key when the small side is
+    * too big to broadcast and AQE's skew splitting is unavailable (e.g.
+    * the skew is on the BUILD side of a shuffled hash join, or the plan
+    * is pinned): the big side gets a per-row salt, the small side is
+    * replicated once per salt value, and the join key widens to
+    * (key, salt) — the hot key's rows spread over `saltBuckets` reducers
+    * instead of funneling through one. Result == the plain join (every
+    * big-side row still meets every matching small-side row exactly
+    * once, under exactly one salt). Replication multiplies the small
+    * side by `saltBuckets` — the knob trades small-side shuffle volume
+    * for hot-key spread. */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: Column, smallKey: Column,
+                 saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(saltBuckets)))
+    val replicated = small.withColumn("__rsalt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    salted
+      .join(replicated.hint("shuffle_hash"), // demo the non-broadcast path
+        bigKey === smallKey && col("__salt") === col("__rsalt"), joinType)
+      .drop("__salt", "__rsalt")
+  }
 }

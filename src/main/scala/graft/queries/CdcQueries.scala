@@ -129,13 +129,31 @@ object CdcQueries {
       .orderBy("doc_id")
   }
 
+  /** M2 — frame sampling plumbing: each media item explodes to its n
+    * evenly-spaced sample offsets (what a video decoder would seek to) —
+    * map-side Generate, no shuffle, payload bytes never carried past the
+    * offset computation. The duration is the deterministic stub decode
+    * (stable60 of the payload, as MediaOps.stubDecode derives it); the
+    * offset formula is [[graft.multimodal.MediaOps.sampleOffsets]]
+    * (equality asserted in MediaOpsSpec). */
+  private val m2FrameSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("duration_ms",
+        graft.functions.StableHash.stable60(col("text")) % 600000)
+      .select(col("doc_id"), col("duration_ms"),
+        explode(sequence(lit(0L), lit(3L))).as("frame_idx"))
+      .withColumn("offset_ms",
+        expr("duration_ms * (2 * frame_idx + 1) div 8"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, Q] = Map(
     "s3_cdc_extract" -> s3CdcExtract,
     "p2_map_project" -> p2MapProject,
     "p7_serialize" -> p7Serialize,
     "u1_salt_bucket" -> u1SaltBucket,
     "a7_field_merge" -> a7FieldMerge,
-    "m1_media_features" -> m1MediaFeatures)
+    "m1_media_features" -> m1MediaFeatures,
+    "m2_frame_sample" -> m2FrameSample)
 
   val oracles: Map[String, String] = Map(
     "s3_cdc_extract" ->
@@ -173,5 +191,13 @@ object CdcQueries {
     "m1_media_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | left(hex(encode(text)), 8) AS header_hex
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id, dur AS duration_ms, i AS frame_idx,
+        | (dur * (2 * i + 1)) // 8 AS offset_ms
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(text), 1, 15))::BIGINT % 600000 AS dur
+        |      FROM documents)
+        |CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -423,6 +423,23 @@ object CoreQueries {
       .orderBy("cust_nation", "supp_nation")
   }
 
+  /** J9 — salted skew join: same routing as j5 but over the genuinely
+    * skewed event_type key (5 hot values across the whole table) with the
+    * hot keys sprayed over 8 salts and the rule table replicated — the
+    * non-broadcast skew-join shape ([[SkewOps.saltedJoin]]). Result ==
+    * the plain join, proven by sharing j5's oracle. */
+  private val j9SaltedJoin: Q = (s, d) => {
+    val rules = Seq(
+      ("click", "dwd_traffic_click"), ("view", "dwd_traffic_page"),
+      ("purchase", "dwd_trade_order"), ("signup", "dwd_user_register"),
+      ("error", "dwd_err_log"))
+    val rulesDf = s.createDataFrame(rules).toDF("rule_type", "topic")
+    SkewOps.saltedJoin(Tables.events(s, d), rulesDf,
+        col("event_type"), col("rule_type"), saltBuckets = 8)
+      .select("event_id", "topic")
+      .orderBy("event_id")
+  }
+
   /** J8 — AS-OF join: each click event enriched with the user's most
     * recent purchase value at click time (inclusive), null before any
     * purchase — the event-time temporal join, union-scan shape (see
@@ -518,7 +535,8 @@ object CoreQueries {
     "x1_split_route" -> x1SplitRoute,
     "x2_log_explode" -> x2LogExplode,
     "j7_double_lookup" -> j7DoubleLookup,
-    "j8_asof_join" -> j8AsofJoin)
+    "j8_asof_join" -> j8AsofJoin,
+    "j9_salted_join" -> j9SaltedJoin)
 
   val oracles: Map[String, String] = Map(
     "s1_scan_project" ->
@@ -755,5 +773,13 @@ object CoreQueries {
         |SELECT c.event_id, c.user_id, p.value AS last_purchase
         |FROM clicks c ASOF LEFT JOIN p
         |  ON c.user_id = p.p_user AND c.ts >= p.p_ts
+        |ORDER BY event_id""".stripMargin,
+    "j9_salted_join" -> // the salted rewrite must equal the PLAIN join
+      """SELECT event_id, topic
+        |FROM events JOIN (VALUES
+        | ('click','dwd_traffic_click'), ('view','dwd_traffic_page'),
+        | ('purchase','dwd_trade_order'), ('signup','dwd_user_register'),
+        | ('error','dwd_err_log')) rules(event_type, topic)
+        |USING (event_type)
         |ORDER BY event_id""".stripMargin)
 }

@@ -202,9 +202,34 @@ object TextQueries {
             / size(col("__g"))).otherwise(0.0).as("dup_trigram_frac"))
       .orderBy("doc_id")
 
+  /** T6 — exact word-count deciles via the HISTOGRAM method: counts per
+    * value (distributed groupBy, map-side combine) compress the corpus
+    * to |distinct wc| rows; the cumulative-sum window then runs on that
+    * compressed histogram, not the corpus — the scale-correct exact
+    * quantile (a row_number over a global sort of all documents would
+    * funnel 100 TB through one partition's sort). Decile d = the
+    * smallest wc whose cumulative count reaches ceil(d·n/10). */
+  private val t6LengthQuantiles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, d)
+      .groupBy(wordCount(col("text")).as("wc"))
+      .agg(count(lit(1)).as("c"))
+    // the window runs over the histogram (|distinct wc| rows), not docs
+    val cum = hist.withColumn("cum", sum("c").over(Window.orderBy("wc")))
+    val total = hist.agg(sum(col("c")).as("n"))
+    val deciles = s.range(1, 10).toDF("decile")
+    deciles.crossJoin(broadcast(total))
+      .withColumn("pos", expr("(decile * n + 9) div 10"))
+      .join(cum, col("cum") >= col("pos"))
+      .groupBy("decile")
+      .agg(min(col("wc")).as("wc_decile"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, Q] = Map(
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_decontaminate" -> c2Decontaminate,
+    "t6_length_quantiles" -> t6LengthQuantiles,
     "u2_token_count" -> u2TokenCount,
     "u3_cjk_tokens" -> u3CjkTokens,
     "u4_hash_split" -> u4HashSplit,
@@ -277,6 +302,17 @@ object TextQueries {
          | SELECT unnest(regexp_split_to_array($normSql, '\\s+')) AS token
          | FROM documents)
          |GROUP BY token ORDER BY token_ct DESC, token""".stripMargin,
+    "t6_length_quantiles" ->
+      s"""WITH hist AS (
+         |  SELECT wc, COUNT(*) AS c FROM (SELECT $wcSql AS wc FROM documents)
+         |  GROUP BY wc),
+         |cum AS (SELECT wc, SUM(c) OVER (ORDER BY wc) AS cum FROM hist),
+         |tot AS (SELECT SUM(c) AS n FROM hist),
+         |d AS (SELECT unnest(generate_series(1, 9)) AS decile)
+         |SELECT decile, MIN(wc) AS wc_decile
+         |FROM d CROSS JOIN tot CROSS JOIN cum
+         |WHERE cum >= (decile * n + 9) // 10
+         |GROUP BY decile ORDER BY decile""".stripMargin,
     "c2_decontaminate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t

@@ -44,4 +44,11 @@ class MediaOpsSpec extends SparkSpec {
     assert(MediaOps.sampleOffsets(0, 4).isEmpty)
     assert(MediaOps.sampleOffsets(1000, 0).isEmpty)
   }
+
+  test("m2's offset column formula equals sampleOffsets for positive durations") {
+    for (dur <- Seq(1L, 7L, 8L, 123456L, 599999L)) {
+      val colFormula = (0 until 4).map(i => dur * (2 * i + 1) / 8)
+      assert(colFormula == MediaOps.sampleOffsets(dur, 4), s"dur=$dur")
+    }
+  }
 }
