@@ -55,6 +55,24 @@ object TextFunctions {
     * min-hashing is duplicate-insensitive and Jaccard callers distinct at
     * the point of use, where rows are few).
     *
+    * Resolves to the native codegen'd [[graft.plans.WordShingles]]
+    * expression (injected by GraftExtensions); on a session without the
+    * extensions it falls back to the semantics-identical zip_with chain
+    * below. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    if (wordShinglesRegistered)
+      call_function("word_shingles", toks, lit(n))
+    else shinglesFromTokensHof(toks, n)
+
+  private def wordShinglesRegistered: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      try s.catalog.functionExists("word_shingles")
+      catch { case _: Exception => false }
+    }
+
+  /** Builtin-only formulation of [[shinglesFromTokens]] (fallback + the
+    * parity reference for `WordShinglesSpec`).
+    *
     * Construction: zip_with over n shifted slices of the token array.
     * Every reference to `toks` sits OUTSIDE the lambdas — expressions
     * referenced inside a higher-order-function lambda are re-evaluated
@@ -62,7 +80,7 @@ object TextFunctions {
     * transform-with-index formulation O(tokens²) per document, a measured
     * ~20× slowdown); the zip_with chain is O(tokens · n) with each input
     * evaluated once per row. */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
+  def shinglesFromTokensHof(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     val joined = (1 until n).foldLeft(slice(toks, lit(1), cnt)) { (acc, j) =>
       zip_with(acc, slice(toks, lit(j + 1), cnt), (a, b) => concat(a, lit(" "), b))

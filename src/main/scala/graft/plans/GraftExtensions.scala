@@ -21,5 +21,16 @@ object GraftExtensions {
   val functions: Seq[FunctionDescription] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+      (children: Seq[Expression]) => VecDot(children.head, children(1))),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => children(1) match {
+        // the shingle length parameterizes the GENERATED CODE (loop
+        // bounds), so it must be a compile-time literal, not a column
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) =>
+          WordShingles(children.head, v)
+        case other => throw new IllegalArgumentException(
+          s"word_shingles(tokens, n): n must be an integer literal, got $other")
+      }))
 }

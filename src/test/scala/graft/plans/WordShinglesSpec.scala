@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class WordShinglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixtures = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b",                       // shorter than n=3 → empty
+    "x y z",                     // exactly n → one shingle
+    "dup dup dup dup",           // duplicate windows retained
+    "single")
+
+  test("native word_shingles == the zip_with fallback, element for element") {
+    for (n <- Seq(2, 3, 5)) {
+      val df = fixtures.toDF("text")
+        .select(TextFunctions.tokens(col("text")).as("t"))
+      val native = df.select(call_function("word_shingles", col("t"), lit(n)))
+        .as[Seq[String]].collect().toSeq
+      val hof = df.select(TextFunctions.shinglesFromTokensHof(col("t"), n))
+        .as[Seq[String]].collect().toSeq
+      assert(native == hof, s"n=$n")
+    }
+  }
+
+  test("word_shingles survives whole-stage codegen on a real aggregation") {
+    val total = (1 to 200).map(i => s"tok$i tok${i + 1} tok${i + 2} tok${i + 3}")
+      .toDF("text")
+      .select(explode(TextFunctions.shinglesFromTokens(
+        TextFunctions.tokens(col("text")), 3)).as("s"))
+      .count()
+    assert(total == 2 * 200) // 4 tokens → 2 trigrams each
+  }
+
+  test("null token array propagates null") {
+    val got = spark.sql("SELECT word_shingles(CAST(NULL AS ARRAY<STRING>), 3)")
+      .collect().head
+    assert(got.isNullAt(0))
+  }
+}
