@@ -24,33 +24,44 @@ object TopK {
   /** One scored candidate: (score, id). */
   type Scored = (Double, Long)
 
+  /** Scored candidate with a string payload: (score, label). */
+  type ScoredS = (Double, String)
+
   private val ord: Ordering[Scored] =
     Ordering.by[Scored, (Double, Long)] { case (s, id) => (-s, id) }
+  private val ordS: Ordering[ScoredS] =
+    Ordering.by[ScoredS, (Double, String)] { case (s, id) => (-s, id) }
 
-  /** Aggregator keeping the k largest (score, id) pairs. The buffer is a
-    * sorted ≤k-element vector — reduce is O(k) insert-trim, merge an
-    * O(k) sorted merge. */
-  final class TopKAgg(k: Int, enc: Encoder[Seq[Scored]])
-      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    override def zero: Seq[Scored] = Vector.empty
+  /** Aggregator keeping the k largest elements of a TOTAL order. The
+    * buffer is a sorted ≤k-element vector — reduce is O(k) insert-trim,
+    * merge an O(k) sorted merge. */
+  final class TopKAgg[I](k: Int, ord: Ordering[I], enc: Encoder[Seq[I]])
+      extends Aggregator[I, Seq[I], Seq[I]] {
+    override def zero: Seq[I] = Vector.empty
 
-    override def reduce(buf: Seq[Scored], in: Scored): Seq[Scored] =
+    override def reduce(buf: Seq[I], in: I): Seq[I] =
       if (buf.size < k) (buf :+ in).sorted(ord)
       else if (ord.lt(in, buf.last)) (buf.init :+ in).sorted(ord)
       else buf
 
-    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+    override def merge(a: Seq[I], b: Seq[I]): Seq[I] =
       (a ++ b).sorted(ord).take(k)
 
-    override def finish(buf: Seq[Scored]): Seq[Scored] = buf
+    override def finish(buf: Seq[I]): Seq[I] = buf
 
-    override def bufferEncoder: Encoder[Seq[Scored]] = enc
-    override def outputEncoder: Encoder[Seq[Scored]] = enc
+    override def bufferEncoder: Encoder[Seq[I]] = enc
+    override def outputEncoder: Encoder[Seq[I]] = enc
   }
 
   /** Column-world entry point: `groupBy(g).agg(topK(5)(struct-in))`.
     * Call as `topK(k)(col(score), col(id))`. */
   def topK(k: Int): UserDefinedFunction =
-    udaf(new TopKAgg(k, ExpressionEncoder[Seq[Scored]]()),
+    udaf(new TopKAgg[Scored](k, ord, ExpressionEncoder[Seq[Scored]]()),
       ExpressionEncoder[Scored]())
+
+  /** Same, keyed by a string label: `topKStr(k)(col(score), col(label))`.
+    * Ties break label-ascending, keeping results oracle-deterministic. */
+  def topKStr(k: Int): UserDefinedFunction =
+    udaf(new TopKAgg[ScoredS](k, ordS, ExpressionEncoder[Seq[ScoredS]]()),
+      ExpressionEncoder[ScoredS]())
 }

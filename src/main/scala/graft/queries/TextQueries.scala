@@ -226,10 +226,31 @@ object TextQueries {
       .orderBy("decile")
   }
 
+  /** U6 — per-language top-5 tokens via the bounded TopK AGGREGATOR
+    * (the per-group-top-k 100 TB shape: map-side partial top-k, ≤k rows
+    * per group×partition reach the shuffle — same machinery as v5, here
+    * over a string payload). */
+  private val u6TopTokensPerLang: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .withColumn("pred_lang", langId(col("text")))
+      .select(col("pred_lang"),
+        explode(tokens(normalized(col("text")))).as("token"))
+      .groupBy("pred_lang", "token").agg(count(lit(1)).as("c"))
+    counts.groupBy("pred_lang")
+      .agg(graft.functions.TopK.topKStr(5)(
+        col("c").cast("double"), col("token")).as("top"))
+      .select(col("pred_lang"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("pred_lang"), col("sc._2").as("token"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("sc._1").cast("long").as("token_ct"))
+      .orderBy("pred_lang", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_decontaminate" -> c2Decontaminate,
     "t6_length_quantiles" -> t6LengthQuantiles,
+    "u6_top_tokens" -> u6TopTokensPerLang,
     "u2_token_count" -> u2TokenCount,
     "u3_cjk_tokens" -> u3CjkTokens,
     "u4_hash_split" -> u4HashSplit,
@@ -302,6 +323,34 @@ object TextQueries {
          | SELECT unnest(regexp_split_to_array($normSql, '\\s+')) AS token
          | FROM documents)
          |GROUP BY token ORDER BY token_ct DESC, token""".stripMargin,
+    "u6_top_tokens" ->
+      s"""WITH sc AS (
+         | SELECT doc_id, text,
+         |  ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
+         |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+         |  $cjkSql * 3 AS s_zh
+         | FROM documents),
+         |lang AS (
+         | SELECT text,
+         |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang
+         | FROM sc),
+         |c AS (
+         | SELECT pred_lang, token, COUNT(*) AS c FROM (
+         |  SELECT pred_lang,
+         |    unnest(regexp_split_to_array($normSql, '\\s+')) AS token
+         |  FROM lang)
+         | GROUP BY pred_lang, token)
+         |SELECT pred_lang, token, rnk, token_ct FROM (
+         | SELECT pred_lang, token, CAST(c AS BIGINT) AS token_ct,
+         |  CAST(row_number() OVER (PARTITION BY pred_lang
+         |    ORDER BY c DESC, token) AS INT) AS rnk
+         | FROM c)
+         |WHERE rnk <= 5 ORDER BY pred_lang, rnk""".stripMargin,
     "t6_length_quantiles" ->
       s"""WITH hist AS (
          |  SELECT wc, COUNT(*) AS c FROM (SELECT $wcSql AS wc FROM documents)

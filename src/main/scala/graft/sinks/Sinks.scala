@@ -103,7 +103,12 @@ object Sinks {
                   nBuckets: Int = DefaultUpsertBuckets): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     healBuckets(fs, path)
-    val withB = incoming.withColumn("__bucket", bucketOf(keys, nBuckets))
+    // the layout is self-describing: the bucket count is recorded at
+    // table creation and every later merge USES THE RECORDED VALUE — a
+    // caller passing a different nBuckets would otherwise hash keys into
+    // the wrong buckets and silently duplicate them across the table
+    val effectiveBuckets = readOrWriteBucketCount(fs, path, nBuckets)
+    val withB = incoming.withColumn("__bucket", bucketOf(keys, effectiveBuckets))
     val touched = withB.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted // ≤ nBuckets values, driver-safe
     if (touched.isEmpty) return
@@ -134,6 +139,25 @@ object Sinks {
   /** Read a table written by [[upsertKeyed]] without its layout column. */
   def readKeyed(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__bucket")
+
+  /** The table's recorded bucket count, creating the marker on first
+    * write. Stored beside the table (not inside it — partition discovery
+    * must only see `__bucket=` dirs). */
+  private def readOrWriteBucketCount(fs: FileSystem, path: String,
+                                     requested: Int): Int = {
+    val marker = new Path(path + ".nbuckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val n = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      n
+    } else {
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, true)
+      try out.write(requested.toString.getBytes("UTF-8")) finally out.close()
+      requested
+    }
+  }
 
   /** Promote `staged` over `live` via move-aside → promote → drop-old:
     * no point in this sequence has zero live copies on disk. Hadoop FS

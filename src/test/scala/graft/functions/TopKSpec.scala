@@ -24,7 +24,8 @@ class TopKSpec extends SparkSpec {
   }
 
   test("TopKAgg reduce/merge are order-insensitive and bounded") {
-    val agg = new TopK.TopKAgg(2, null)
+    val agg = new TopK.TopKAgg[TopK.Scored](2,
+      Ordering.by { case (s, id) => (-s, id) }, null)
     val items = Seq((0.1, 9L), (0.5, 2L), (0.5, 1L), (0.9, 7L))
     val forward = items.foldLeft(agg.zero)(agg.reduce)
     val backward = items.reverse.foldLeft(agg.zero)(agg.reduce)

@@ -64,6 +64,17 @@ class SinksSpec extends SparkSpec {
       Set(KV(k1, 2, "a2"), KV(k2, 1, "b")))
   }
 
+  test("upsertKeyed: the recorded bucket count wins over a mismatched later argument") {
+    val dir = tmp("nbk") + "/table"
+    Sinks.upsertKeyed(spark, Seq(KV(1, 1, "a")).toDF(), Seq("k"), Seq("seq"),
+      dir, nBuckets = 8)
+    // a later caller passing a DIFFERENT count must not re-hash keys into
+    // other buckets (which would duplicate them across the table)
+    Sinks.upsertKeyed(spark, Seq(KV(1, 2, "a2")).toDF(), Seq("k"), Seq("seq"),
+      dir, nBuckets = 64)
+    assert(spark.read.parquet(dir).as[KV].collect().toSet == Set(KV(1, 2, "a2")))
+  }
+
   test("dynamicIdempotent: replaying a batch id does not duplicate rows") {
     val dir = tmp("dynidem")
     val b0 = Seq(("t_click", 1), ("t_order", 2)).toDF("topic", "v")
