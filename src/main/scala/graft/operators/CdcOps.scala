@@ -33,6 +33,23 @@ object CdcOps {
         col(s"$parsedName.$corrupt").isNull)
   }
 
+  /** P1b — parse-or-QUARANTINE: like [[parseOrDrop]] but malformed rows
+    * are kept, tagged, and carry the raw payload — the dead-letter
+    * side-output of the reference's dirty-data stream (`app/dim/
+    * DimApp.java:60-74` logs-and-drops; production pipelines route to a
+    * quarantine topic instead so bad data is debuggable). Single pass,
+    * single parse; downstream splits on `__quarantined`. */
+  def parseOrQuarantine(df: DataFrame, jsonCol: String, schema: StructType,
+                        parsedName: String = "j"): DataFrame = {
+    val corrupt = "_corrupt_record"
+    val withCorrupt = schema.add(corrupt, StringType)
+    df.withColumn(parsedName,
+        from_json(col(jsonCol), withCorrupt,
+          Map("columnNameOfCorruptRecord" -> corrupt)))
+      .withColumn("__quarantined",
+        col(parsedName).isNull || col(s"$parsedName.$corrupt").isNotNull)
+  }
+
   /** P2 — project fields out of a map column: data['id'] AS id, ... */
   def mapProjection(data: Column, fields: Seq[String]): Seq[Column] =
     fields.map(f => element_at(data, f).as(f))

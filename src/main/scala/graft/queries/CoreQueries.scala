@@ -88,6 +88,22 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** P9 — dead-letter routing: malformed payloads are TAGGED and kept
+    * (quarantine side-output), not dropped — the debuggable form of the
+    * reference's dirty-data stream. Corruption is induced deterministically
+    * (every 7th event's JSON truncated) so both engines see the same bad
+    * rows; one pass, one parse. */
+  private val p9DeadLetter: Q = (s, d) => {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    val payload = when(col("event_id") % 7 === 0,
+      expr("substring(props, 1, length(props) - 2)")).otherwise(col("props"))
+    CdcOps.parseOrQuarantine(
+        Tables.events(s, d).withColumn("payload", payload), "payload", schema)
+      .select(col("event_id"), col("__quarantined").as("quarantined"),
+        col("j.k").as("k"))
+      .orderBy("event_id")
+  }
+
   // ---------------------------------------------------------------- J-family
 
   /** J1 — inner equi-join (cf. DwdTradeOrderDetail.java:122-169). */
@@ -513,6 +529,7 @@ object CoreQueries {
     "p4_conditional_agg" -> p4ConditionalAgg,
     "p5_config_projection" -> p5ConfigProjection,
     "p6_is_new_repair" -> p6IsNewRepair,
+    "p9_dead_letter" -> p9DeadLetter,
     "j1_join_inner" -> j1JoinInner,
     "j2_join_left" -> j2JoinLeft,
     "j3_lookup_dim" -> j3LookupDim,
@@ -569,6 +586,18 @@ object CoreQueries {
         |   MIN(date_trunc('day', ts)) OVER (PARTITION BY user_id)
         |  THEN 1 ELSE 0 END AS BIGINT) AS is_new
         |FROM events ORDER BY event_id""".stripMargin,
+    "p9_dead_letter" ->
+      """SELECT event_id,
+        | NOT json_valid(payload) AS quarantined,
+        | CASE WHEN json_valid(payload)
+        |      THEN CAST(json_extract_string(payload, '$.k') AS INTEGER)
+        | END AS k
+        |FROM (SELECT event_id,
+        |        CASE WHEN event_id % 7 = 0
+        |             THEN substr(props, 1, length(props) - 2)
+        |             ELSE props END AS payload
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     "j1_join_inner" ->
       """SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
         | o_totalprice, l_extendedprice

@@ -41,4 +41,27 @@ class WordShinglesSpec extends SparkSpec {
       .collect().head
     assert(got.isNullAt(0))
   }
+
+  test("property: native == fallback on arbitrary token arrays (incl. unicode, empties)") {
+    import org.scalacheck.{Gen, Test => SCTest}
+    import org.scalacheck.Prop.forAll
+    val tokenGen = Gen.oneOf(
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.const("汉字"), Gen.const("ümlaut"), Gen.const("a-b.c"))
+    val arrGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokenGen))
+    // reference implementation of the window-join, driven independently
+    def expected(toks: List[String], n: Int): List[String] =
+      if (toks.length < n) Nil else toks.sliding(n).map(_.mkString(" ")).toList
+    val prop = forAll(arrGen, Gen.choose(2, 5)) { (toks, n) =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val native = df.select(call_function("word_shingles", col("t"), lit(n)))
+        .as[Seq[String]].head().toList
+      val hof = df.select(TextFunctions.shinglesFromTokensHof(col("t"), n))
+        .as[Seq[String]].head().toList
+      native == hof && native == expected(toks, n)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
