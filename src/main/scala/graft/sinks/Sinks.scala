@@ -123,17 +123,51 @@ object Sinks {
     }
     val deduped = DedupOps.keepLast(merged, keys.map(col), order.map(col))
       .drop(dropCols: _*)
+    stageAndSwap(fs, path, deduped, touched)
+  }
+
+  /** Stage `df` (which must carry `__bucket`) partitioned by bucket, then
+    * swap exactly the `buckets` dirs into the live table. A targeted
+    * bucket with NO staged output (every row removed) has its live dir
+    * dropped. */
+  private def stageAndSwap(fs: FileSystem, path: String,
+                           df: DataFrame, buckets: Seq[Int]): Unit = {
     val staging = new Path(path + ".staging")
-    deduped.write.mode("overwrite").partitionBy("__bucket")
+    df.write.mode("overwrite").partitionBy("__bucket")
       .parquet(staging.toString)
     fs.mkdirs(new Path(path))
-    touched.foreach { b =>
+    buckets.foreach { b =>
       val staged = new Path(staging, s"__bucket=$b")
+      val live = new Path(path, s"__bucket=$b")
       if (fs.exists(staged))
-        swapDir(fs, staged, new Path(path, s"__bucket=$b"),
-          new Path(path + ".old", s"__bucket=$b"))
+        swapDir(fs, staged, live, new Path(path + ".old", s"__bucket=$b"))
+      else if (fs.exists(live)) fs.delete(live, true)
     }
     fs.delete(staging, true)
+  }
+
+  /** K4 compaction — drop tombstones older than `olderThan` (the
+    * pipeline's out-of-orderness bound: a tombstone only needs to outlive
+    * the latest event that could still try to resurrect its key). Only
+    * buckets CONTAINING qualifying tombstones are rewritten; the rest of
+    * the table is untouched — same incremental cost model as the merge
+    * itself. */
+  def purgeTombstones(spark: SparkSession, path: String, tsCol: String,
+                      olderThan: Long,
+                      tombstoneCol: String = "__tombstone"): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return
+    healBuckets(fs, path)
+    val table = spark.read.parquet(path)
+    val purgeable = col(tombstoneCol) && col(tsCol) <= olderThan
+    val affected = table.filter(purgeable)
+      .select("__bucket").distinct().collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return
+    val affectedDirs = affected.map(b => s"$path/__bucket=$b")
+    val kept = spark.read.option("basePath", path)
+      .parquet(affectedDirs.toIndexedSeq: _*)
+      .filter(!purgeable)
+    stageAndSwap(fs, path, kept, affected.toIndexedSeq)
   }
 
   /** Read a table written by [[upsertKeyed]] without its layout column. */

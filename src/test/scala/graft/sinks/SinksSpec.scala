@@ -75,6 +75,37 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[KV].collect().toSet == Set(KV(1, 2, "a2")))
   }
 
+  test("purgeTombstones: only buckets with old tombstones rewritten; young tombstones survive") {
+    val dir = tmp("purge") + "/table"
+    val n = Sinks.DefaultUpsertBuckets
+    def bucket(k: Long): Int =
+      (graft.functions.StableHash.stable60Local(k.toString) % n).toInt
+    val k1 = 1L
+    val k2 = (2L to 1000L).find(bucket(_) != bucket(k1)).get
+    val k3 = (k2 + 1 to 100000L).find(bucket(_) == bucket(k2)).get
+    // k1: old tombstone (purgeable); k2: young tombstone; k3: live row
+    // (k2, k3 share a bucket, so k1's bucket empties entirely on purge)
+    val rows = Seq((k1, 10L, true), (k2, 500L, true), (k3, 500L, false))
+    Sinks.upsertKeyed(spark,
+      rows.toDF("k", "ts", "__tombstone"), Seq("k"), Seq("ts"), dir)
+    def files(b: Int): Set[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/__bucket=$b")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSet
+    }
+    val k2Before = files(bucket(k2))
+    Sinks.purgeTombstones(spark, dir, "ts", olderThan = 100L)
+    // k1's bucket lost its only row → dir dropped; k2's bucket untouched
+    // (its tombstone is younger than the bound)
+    val got = spark.read.parquet(dir)
+      .select("k", "ts", "__tombstone")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((k2, 500L, true), (k3, 500L, false)))
+    assert(files(bucket(k2)) == k2Before) // byte-identical, never rewritten
+    assert(files(bucket(k1)).isEmpty)
+  }
+
   test("dynamicIdempotent: replaying a batch id does not duplicate rows") {
     val dir = tmp("dynidem")
     val b0 = Seq(("t_click", 1), ("t_order", 2)).toDF("topic", "v")
