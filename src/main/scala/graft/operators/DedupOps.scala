@@ -30,4 +30,15 @@ object DedupOps {
   /** Keep the last row per key (A6 keep-last): reverse the order. */
   def keepLast(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
     keepFirst(df, keys, order.map(_.desc))
+
+  /** Keep at most `cap` rows per key under `order` (per-key contribution
+    * cap — keepFirst generalized from 1 to n). Spark's WindowGroupLimit
+    * pushes the rank filter below the shuffle, bounding per-partition
+    * buffers at `cap`. */
+  def capPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+                cap: Int): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(order: _*)))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
 }

@@ -104,6 +104,36 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** P10 — schema-drift-tolerant ingestion: the payload parses into a
+    * MAP (every field kept, known or not), known fields project out
+    * typed, unknown fields are COUNTED rather than silently dropped —
+    * the forward-compatible form of P1 for producers that add fields
+    * before the pipeline's schema catches up. Drift is induced
+    * deterministically (every 5th event gains an extra field). */
+  private val p10SchemaDrift: Q = (s, d) => {
+    val payload = when(col("event_id") % 5 === 0,
+      concat(expr("substring(props, 1, length(props) - 1)"),
+        lit(", \"new_field\": \"x\"}"))).otherwise(col("props"))
+    Tables.events(s, d)
+      .withColumn("m", from_json(payload, MapType(StringType, StringType)))
+      .select(col("event_id"),
+        element_at(col("m"), "k").cast("int").as("k"),
+        (size(map_keys(col("m"))) - 1).cast("long").as("unknown_fields"))
+      .orderBy("event_id")
+  }
+
+  /** U7 — per-key contribution cap (≤ 3 events per user per day,
+    * deterministic earliest-first): training pipelines cap per-source /
+    * per-user contributions so no key dominates the corpus. One shuffle
+    * (the window on user×day); the WindowGroupLimit rank pushdown keeps
+    * per-partition buffers bounded at the cap. */
+  private val u7UserCap: Q = (s, d) =>
+    DedupOps.capPerKey(Tables.events(s, d),
+        Seq(col("user_id"), date_trunc("DAY", col("ts"))),
+        Seq(col("ts"), col("event_id")), 3)
+      .select(col("event_id"), col("user_id"))
+      .orderBy("event_id")
+
   // ---------------------------------------------------------------- J-family
 
   /** J1 — inner equi-join (cf. DwdTradeOrderDetail.java:122-169). */
@@ -530,6 +560,8 @@ object CoreQueries {
     "p5_config_projection" -> p5ConfigProjection,
     "p6_is_new_repair" -> p6IsNewRepair,
     "p9_dead_letter" -> p9DeadLetter,
+    "p10_schema_drift" -> p10SchemaDrift,
+    "u7_user_cap" -> u7UserCap,
     "j1_join_inner" -> j1JoinInner,
     "j2_join_left" -> j2JoinLeft,
     "j3_lookup_dim" -> j3LookupDim,
@@ -597,6 +629,23 @@ object CoreQueries {
         |             THEN substr(props, 1, length(props) - 2)
         |             ELSE props END AS payload
         |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "p10_schema_drift" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(payload, '$.k') AS INTEGER) AS k,
+        | CAST(len(json_keys(payload)) - 1 AS BIGINT) AS unknown_fields
+        |FROM (SELECT event_id,
+        |        CASE WHEN event_id % 5 = 0
+        |             THEN substr(props, 1, length(props) - 1)
+        |                  || ', "new_field": "x"}'
+        |             ELSE props END AS payload
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "u7_user_cap" ->
+      """SELECT event_id, user_id FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, date_trunc('day', ts)
+        |  ORDER BY ts, event_id) <= 3
         |ORDER BY event_id""".stripMargin,
     "j1_join_inner" ->
       """SELECT o_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
