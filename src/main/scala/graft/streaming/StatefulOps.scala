@@ -25,6 +25,7 @@ object StatefulOps {
 
   private implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
   private implicit val stringEnc: Encoder[String] = Encoders.STRING
+  private implicit val intEnc: Encoder[Int] = Encoders.scalaInt
 
   /** A5 streaming keep-first: emit each key's first-ever record, swallow
     * the rest. `ttlMs` > 0 arms a processing-time timeout that clears the
@@ -132,6 +133,25 @@ object StatefulOps {
             math.max(tsMillis(last) + delayMs, state.getCurrentWatermarkMs() + 1))
           Iterator.empty
         }
+    }
+
+  /** U7 streaming — per-key contribution cap: emit each key's first
+    * `cap` records (by `order` within a batch, arrival order across
+    * batches), swallow the rest. State is ONE counter per key — bounded
+    * regardless of stream length; the batch twin is
+    * [[graft.operators.DedupOps.capPerKey]]. Generalizes [[keepFirst]]
+    * from 1 to n. */
+  def capPerKey[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+                                        order: V => Long,
+                                        cap: Int): Dataset[V] =
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (_: K, it: Iterator[V], state: GroupState[Int]) =>
+        val seen = state.getOption.getOrElse(0)
+        val sorted = it.toSeq.sortBy(order)
+        val out = sorted.take(math.max(0, cap - seen))
+        state.update(math.min(cap, seen + sorted.size)) // saturating counter
+        out.iterator
     }
 
   /** J3/J8 streaming — temporal enrichment against keyed version state:

@@ -72,6 +72,18 @@ class StatefulOpsSpec extends SparkSpec {
     assert(got.toSet == expected.toSet)
   }
 
+  test("capPerKey stream == batch cap across micro-batches (U7)") {
+    val got = streamed("cap", OutputMode.Append()) { ds =>
+      StatefulOps.capPerKey[Long, Ev](ds, _.user, _.seq, cap = 2)
+    }
+    val batch = DedupOps.capPerKey(all.toDF(),
+      Seq(col("user")), Seq(col("seq")), cap = 2).as[Ev].collect()
+    // user 1 has 2 events in batch1 alone (cap hit immediately); user 2's
+    // cap spans batches — the counter must persist across them
+    assert(got.toSet == batch.toSet)
+    assert(got.count(_.user == 1) == 2 && got.count(_.user == 2) == 2)
+  }
+
   test("temporalEnrich stream == batch asofJoin when arrival order == event order (J3/J8)") {
     // reuse Ev: v < 0 marks a VERSION update, v >= 0 a fact; key = user
     val vb1 = Seq(Ev(1, 1, "d", -10.0), Ev(1, 2, "d", 1.0)) // version then fact
