@@ -509,6 +509,25 @@ object CoreQueries {
       .orderBy("event_id")
   }
 
+  /** A12 — multi-grain aggregation in ONE pass via ROLLUP: revenue at
+    * (region, nation), per-region, and grand-total grains from a single
+    * shuffle — the reference computes each DWS grain as its own job
+    * re-reading the source; grouping-sets fold them into one scan +
+    * one aggregation (`grouping()` flags disambiguate the rolled-up
+    * NULLs from real values). */
+  private val a12Rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"),
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"))
+      .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
+
   /** W10a — session windows (gap-merged), a Spark capability beyond the
     * reference's tumbling-only surface: per-user sessions closed after
     * 30 min of inactivity; start = first event, end = last event + gap. */
@@ -577,6 +596,7 @@ object CoreQueries {
     "a8_returning" -> a8Returning,
     "a9_dedup_then_agg" -> a9DedupThenAgg,
     "a10_salted_agg" -> a10SaltedAgg,
+    "a12_rollup" -> a12Rollup,
     "w10_session_window" -> w10SessionWindow,
     "w11_sliding_window" -> w11SlidingWindow,
     "q1_pricing" -> q1Pricing,
@@ -776,6 +796,19 @@ object CoreQueries {
         |   time_bucket(INTERVAL '10 minutes', ts) - INTERVAL 10 MINUTE]) AS ws
         | FROM events)
         |GROUP BY ws, event_type ORDER BY stt, event_type""".stripMargin,
+    "a12_rollup" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines,
+        | CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+        | CAST(GROUPING(n_name) AS INTEGER) AS g_nation
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
     "a10_salted_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,

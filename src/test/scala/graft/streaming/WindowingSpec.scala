@@ -51,6 +51,41 @@ class WindowingSpec extends SparkSpec {
       ("2024-01-01 10:20:00", "a", 1L, 8.0)))
   }
 
+  test("streaming session_window == batch session windows (W10 streaming form)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[TsEv]
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(session_window(col("ts"), "30 seconds").as("w"), col("key"))
+        .agg(count(lit(1)).as("pv"), sum(col("v")).as("amount"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("stt"),
+          col("key"), col("pv"), col("amount"))
+    val q = agg(mem.toDF().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    val data = Seq(
+      TsEv(t("2024-01-01 10:00:00"), "a", 1.0),
+      TsEv(t("2024-01-01 10:00:10"), "a", 2.0),  // gap 10 s → same session
+      TsEv(t("2024-01-01 10:00:50"), "a", 4.0),  // gap 40 s → NEW session
+      TsEv(t("2024-01-01 10:00:05"), "b", 8.0))
+    val flush = TsEv(t("2024-01-01 11:00:00"), "z", 0.0)
+    try {
+      mem.addData(data); q.processAllAvailable()
+      mem.addData(Seq(flush)); q.processAllAvailable()  // close all sessions
+      mem.addData(Seq(TsEv(t("2024-01-01 12:00:00"), "z", 0.0)))
+      q.processAllAvailable()                            // close the flusher's
+    } finally q.stop()
+    val got = spark.table("sess")
+      .as[(String, String, Long, Double)].collect().toSet
+      .filter(_._2 != "z")
+    val batch = agg(data.toDF())
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(batch == Set(
+      ("2024-01-01 10:00:00", "a", 2L, 3.0),
+      ("2024-01-01 10:00:50", "a", 1L, 4.0),
+      ("2024-01-01 10:00:05", "b", 1L, 8.0)))
+    assert(got == batch) // gap-merge agrees, each session emitted once
+  }
+
   test("batch tumbling window produces identical buckets and metadata") {
     val df = Seq(
       TsEv(t("2024-01-01 10:00:01"), "a", 1.0),
