@@ -528,6 +528,18 @@ object CoreQueries {
         grouping(col("n_name")).cast("int").as("g_nation"))
       .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
 
+  /** A13 — pivot: per-day event counts spread into one column per event
+    * type (wide-format reporting). The pivot VALUES are declared, so the
+    * plan is a single two-phase conditional aggregation — an undeclared
+    * pivot would need a distinct-values pre-query (an extra scan) and
+    * make the output schema data-dependent. */
+  private val a13Pivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("cur_date"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .orderBy("cur_date")
+
   /** W10a — session windows (gap-merged), a Spark capability beyond the
     * reference's tumbling-only surface: per-user sessions closed after
     * 30 min of inactivity; start = first event, end = last event + gap. */
@@ -597,6 +609,7 @@ object CoreQueries {
     "a9_dedup_then_agg" -> a9DedupThenAgg,
     "a10_salted_agg" -> a10SaltedAgg,
     "a12_rollup" -> a12Rollup,
+    "a13_pivot" -> a13Pivot,
     "w10_session_window" -> w10SessionWindow,
     "w11_sliding_window" -> w11SlidingWindow,
     "q1_pricing" -> q1Pricing,
@@ -796,6 +809,14 @@ object CoreQueries {
         |   time_bucket(INTERVAL '10 minutes', ts) - INTERVAL 10 MINUTE]) AS ws
         | FROM events)
         |GROUP BY ws, event_type ORDER BY stt, event_type""".stripMargin,
+    "a13_pivot" -> // declared-values pivot == conditional aggregation
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS cur_date,
+        | COUNT(*) FILTER (event_type = 'click') AS click,
+        | COUNT(*) FILTER (event_type = 'view') AS view,
+        | COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        | COUNT(*) FILTER (event_type = 'signup') AS signup,
+        | COUNT(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY cur_date""".stripMargin,
     "a12_rollup" ->
       """SELECT r_name, n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
