@@ -246,10 +246,52 @@ object TextQueries {
       .orderBy("pred_lang", "rnk")
   }
 
+  /** T7 — PII redaction: emails and phone-shaped numbers masked with
+    * typed placeholders, per-document redaction counts kept for audit —
+    * the scrub step every corpus release runs. Pure map-side regex (the
+    * corpus has no PII, so a deterministic PII suffix is appended
+    * in-query — same derivation on both engines — or this row would
+    * never exercise the masking it exists to test). */
+  private val t7Redact: Q = (s, d) => {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val t = lower(concat(col("text"),
+      lit(" contact john.doe@example.com or 555-123-4567")))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(expr(s"regexp_extract_all(lower(concat(text, " +
+          s"' contact john.doe@example.com or 555-123-4567')), '$emailRe', 0)"))
+          .cast("long").as("n_emails"),
+        size(expr(s"regexp_extract_all(lower(concat(text, " +
+          s"' contact john.doe@example.com or 555-123-4567')), '$phoneRe', 0)"))
+          .cast("long").as("n_phones"),
+        length(regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).cast("long").as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  /** C3 — provenance (source) blocklist: drop documents from blocked
+    * sources, report surviving per-source counts — the
+    * licensing/provenance gate of a corpus release. Blocklist is tiny ⇒
+    * broadcast anti-join; one scan, one count agg. */
+  private val c3SourceFilter: Q = (s, d) => {
+    val blocked = s.createDataFrame(Seq(Tuple1("src3"), Tuple1("src7"),
+      Tuple1("src13"))).toDF("blocked_source")
+    Tables.documents(s, d)
+      .join(broadcast(blocked),
+        col("source") === col("blocked_source"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(wordCount(col("text"))).as("n_words"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_decontaminate" -> c2Decontaminate,
+    "c3_source_filter" -> c3SourceFilter,
     "t6_length_quantiles" -> t6LengthQuantiles,
+    "t7_redact" -> t7Redact,
     "u6_top_tokens" -> u6TopTokensPerLang,
     "u2_token_count" -> u2TokenCount,
     "u3_cjk_tokens" -> u3CjkTokens,
@@ -351,6 +393,23 @@ object TextQueries {
          |    ORDER BY c DESC, token) AS INT) AS rnk
          | FROM c)
          |WHERE rnk <= 5 ORDER BY pred_lang, rnk""".stripMargin,
+    "t7_redact" -> {
+      val t = "lower(text || ' contact john.doe@example.com or 555-123-4567')"
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all($t, '$email')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all($t, '$phone')) AS BIGINT) AS n_phones,
+         | CAST(length(regexp_replace(regexp_replace($t,
+         |   '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g')) AS BIGINT)
+         |   AS redacted_len
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "c3_source_filter" ->
+      s"""SELECT source, COUNT(*) AS n_docs, SUM($wcSql) AS n_words
+         |FROM documents
+         |WHERE source NOT IN ('src3', 'src7', 'src13')
+         |GROUP BY source ORDER BY source""".stripMargin,
     "t6_length_quantiles" ->
       s"""WITH hist AS (
          |  SELECT wc, COUNT(*) AS c FROM (SELECT $wcSql AS wc FROM documents)
