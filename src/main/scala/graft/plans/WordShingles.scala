@@ -21,10 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics are IDENTICAL to the HOF form (space-joined windows,
   * duplicates retained, empty array when the document has fewer than n
-  * tokens) — asserted element-for-element in `WordShinglesSpec`, so the
-  * swap cannot change any oracle-checked result. Token arrays come from
-  * `split` and contain no null elements (containsNull = false inputs);
-  * a null ARRAY propagates null (UnaryExpression default).
+  * tokens, a window containing a null token yields a null shingle — the
+  * HOF's `concat` null-propagation) — asserted element-for-element in
+  * `WordShinglesSpec`, so the swap cannot change any oracle-checked
+  * result. A null ARRAY propagates null (UnaryExpression default).
   */
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression {
@@ -37,7 +37,13 @@ case class WordShingles(child: Expression, n: Int)
       s"word_shingles expects array<string>, got ${other.simpleString}")
   }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // Output elements are null exactly when a window saw a null token, so
+  // containsNull mirrors the input's: split-produced arrays keep the
+  // tight containsNull=false schema.
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = true) // unresolved guard
+  }
 
   override def prettyName: String = "word_shingles"
 
@@ -53,8 +59,14 @@ case class WordShingles(child: Expression, n: Int)
       while (i < cnt) {
         val parts = new Array[UTF8String](n)
         var j = 0
-        while (j < n) { parts(j) = a.getUTF8String(i + j); j += 1 }
-        out(i) = UTF8String.concatWs(sep, parts: _*)
+        var anyNull = false
+        while (j < n && !anyNull) {
+          if (a.isNullAt(i + j)) anyNull = true
+          else parts(j) = a.getUTF8String(i + j)
+          j += 1
+        }
+        // null token in the window ⇒ null shingle (HOF concat parity)
+        out(i) = if (anyNull) null else UTF8String.concatWs(sep, parts: _*)
         i += 1
       }
       new GenericArrayData(out)
@@ -69,6 +81,7 @@ case class WordShingles(child: Expression, n: Int)
       val parts = ctx.freshName("parts")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      val anyNull = ctx.freshName("anyNull")
       val u8 = classOf[UTF8String].getName
       val gad = classOf[GenericArrayData].getName
       s"""
@@ -79,10 +92,12 @@ case class WordShingles(child: Expression, n: Int)
          |  Object[] $out = new Object[$cnt];
          |  for (int $i = 0; $i < $cnt; $i++) {
          |    $u8[] $parts = new $u8[$n];
-         |    for (int $j = 0; $j < $n; $j++) {
-         |      $parts[$j] = $a.getUTF8String($i + $j);
+         |    boolean $anyNull = false;
+         |    for (int $j = 0; $j < $n && !$anyNull; $j++) {
+         |      if ($a.isNullAt($i + $j)) { $anyNull = true; }
+         |      else { $parts[$j] = $a.getUTF8String($i + $j); }
          |    }
-         |    $out[$i] = $u8.concatWs($sepRef, $parts);
+         |    $out[$i] = $anyNull ? null : $u8.concatWs($sepRef, $parts);
          |  }
          |  ${ev.value} = new $gad($out);
          |}

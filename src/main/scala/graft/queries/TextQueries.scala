@@ -259,11 +259,12 @@ object TextQueries {
       lit(" contact john.doe@example.com or 555-123-4567")))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        size(expr(s"regexp_extract_all(lower(concat(text, " +
-          s"' contact john.doe@example.com or 555-123-4567')), '$emailRe', 0)"))
+        // Column-form regexp_extract_all with lit() patterns: no SQL
+        // string-literal unescaping pass, so the TLD `\.` stays a
+        // literal dot and the counting regex is the replacement regex.
+        size(regexp_extract_all(t, lit(emailRe), lit(0)))
           .cast("long").as("n_emails"),
-        size(expr(s"regexp_extract_all(lower(concat(text, " +
-          s"' contact john.doe@example.com or 555-123-4567')), '$phoneRe', 0)"))
+        size(regexp_extract_all(t, lit(phoneRe), lit(0)))
           .cast("long").as("n_phones"),
         length(regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"),
           phoneRe, "<PHONE>")).cast("long").as("redacted_len"))
@@ -406,7 +407,8 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "c3_source_filter" ->
-      s"""SELECT source, COUNT(*) AS n_docs, SUM($wcSql) AS n_words
+      s"""SELECT source, COUNT(*) AS n_docs,
+         | CAST(SUM($wcSql) AS BIGINT) AS n_words
          |FROM documents
          |WHERE source NOT IN ('src3', 'src7', 'src13')
          |GROUP BY source ORDER BY source""".stripMargin,
@@ -444,7 +446,7 @@ object TextQueries {
     "u4_hash_split" ->
       s"""SELECT CASE WHEN h < 80 THEN 'train'
          |            WHEN h < 90 THEN 'validation' ELSE 'test' END AS split,
-         | COUNT(*) AS n_docs, SUM(wc) AS n_words
+         | COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS n_words
          |FROM (SELECT
          |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h,
          |  $wcSql AS wc FROM documents)

@@ -42,6 +42,21 @@ class WordShinglesSpec extends SparkSpec {
     assert(got.isNullAt(0))
   }
 
+  test("null token in a window yields a null shingle (HOF concat parity)") {
+    val df = Seq(Tuple1(Seq("a", null, "b", "c"))).toDF("t")
+    for (n <- Seq(1, 2, 3)) {
+      val native = df.select(call_function("word_shingles", col("t"), lit(n)))
+        .as[Seq[String]].head().toList
+      val hof = df.select(TextFunctions.shinglesFromTokensHof(col("t"), n))
+        .as[Seq[String]].head().toList
+      assert(native == hof, s"n=$n: native=$native hof=$hof")
+    }
+    // n=2 concretely: the two windows touching the null are null shingles
+    val got = df.select(call_function("word_shingles", col("t"), lit(2)))
+      .as[Seq[String]].head().toList
+    assert(got == List(null, null, "b c"))
+  }
+
   test("property: native == fallback on arbitrary token arrays (incl. unicode, empties)") {
     import org.scalacheck.{Gen, Test => SCTest}
     import org.scalacheck.Prop.forAll
