@@ -287,7 +287,110 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** T8 — per-document salient terms: top-3 tokens by tf-idf. The idf
+    * is RATIONAL — score = (tf · N · 10^6) div df in exact int64
+    * arithmetic — because float `ln` is not bit-portable across engines
+    * and the monotone rational weight ranks rare-term salience the same
+    * way. Shape at 100 TB: two partial-aggregated shuffles (tf by
+    * (doc, token), df by token), a 1-row broadcast corpus count, and a
+    * per-doc window — no global sort until the bounded output. */
+  private val t8Tfidf: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // corpus size as a 1-row broadcast: parquet row-count scan, no join fan-out
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("(tf * n_docs * 1000000) div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** T9 — mean inverse token frequency: a corpus-statistics quality
+    * score (rare-vocabulary documents score high — the unigram-LM
+    * surprisal stand-in that needs no float log). Exact integer
+    * arithmetic end to end: rarity = avg over token OCCURRENCES of
+    * (N_tokens · 10^6) div count(token). Token totals derive from the
+    * count aggregate (no second corpus scan); the per-occurrence join is
+    * the idf join every tf-idf pipeline already pays. */
+  private val t9Rarity: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("token"))
+    val cnt = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("n")) // no second scan
+    toks.join(cnt, "token").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum((n * 1000000) div c) div count(1)").as("rarity"))
+      .orderBy("doc_id")
+  }
+
+  /** U8 — stratified (per-source) hash sampling: each provenance source
+    * gets its own deterministic keep-rate; a document survives iff its
+    * content-hash bucket falls under the source's rate. This is the
+    * corpus-curation downsampling knob (oversampled web crawl vs scarce
+    * books). Rates here derive from the source name so the oracle can
+    * reproduce them; in production they come from a config table (the
+    * j5b pattern). Pure map-side filter — no shuffle, no state, scales
+    * embarrassingly. */
+  private val u8StratifiedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("rate_pct",
+        lit(20) + StableHash.stable60(col("source")) % 61)
+      .withColumn("__h", StableHash.bucket60(col("doc_id").cast("string"), 100))
+      .filter(col("__h") < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("rate_pct"))
+      .orderBy("doc_id")
+
+  /** U9 — weighted corpus mixing by integer repetition: each source
+    * carries an epoch factor (1–3, derived deterministically from the
+    * source name; a config table in production) and every document is
+    * emitted once per epoch — the upsampling half of data mixing
+    * (downsampling is U8). `explode(sequence(...))` fans out map-side;
+    * output size = Σ rep_s·n_s, no shuffle before the final sort. */
+  private val u9WeightedMix: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("rep", lit(1) + StableHash.stable60(col("source")) % 3)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("rep"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+
+  /** U10 — token-budget sequence packing: assign documents to fixed
+    * token-budget training sequences (budget 2048) by cumulative token
+    * offset WITHIN a hash bucket — seq = floor(tokens-before / budget).
+    * The bucket is the scale unit: packing needs an ordered running sum,
+    * and partitioning the cumsum by `stable60(doc_id) % B` keeps every
+    * window local to one partition — at 100 TB you raise B (buckets ≈
+    * cluster parallelism), never pay a global sort. Emits per-sequence
+    * doc/token counts (the shard manifest). */
+  private val u10PackSequences: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        StableHash.bucket60(col("doc_id").cast("string"), 8).as("bucket"),
+        wordCount(col("text")).as("wc"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("bef", coalesce(sum(col("wc")).over(w), lit(0L)))
+      .groupBy(col("bucket"), expr("bef div 2048").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("n_tokens"))
+      .orderBy("bucket", "seq_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t8_tfidf" -> t8Tfidf,
+    "t9_rarity" -> t9Rarity,
+    "u8_stratified_sample" -> u8StratifiedSample,
+    "u9_weighted_mix" -> u9WeightedMix,
+    "u10_pack_sequences" -> u10PackSequences,
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_decontaminate" -> c2Decontaminate,
     "c3_source_filter" -> c3SourceFilter,
@@ -332,7 +435,65 @@ object TextQueries {
   private val punctSql =
     "CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS BIGINT)"
 
+  private val stable60Sql: String => String =
+    c => s"('0x' || substr(md5($c), 1, 15))::BIGINT"
+
   val oracles: Map[String, String] = Map(
+    "t8_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY token),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT doc_id, token, tf, df, score, rnk FROM (
+         |  SELECT doc_id, token, tf, df,
+         |    (tf * n_docs * 1000000) // df AS score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY (tf * n_docs * 1000000) // df DESC, token) AS INT) AS rnk
+         |  FROM tf JOIN df USING (token) CROSS JOIN n)
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "t9_rarity" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS token
+         |  FROM documents),
+         |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+         |        FROM toks GROUP BY token),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM((n * 1000000) // c) // COUNT(*) AS BIGINT) AS rarity
+         |FROM toks JOIN cnt USING (token) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "u8_stratified_sample" ->
+      s"""SELECT doc_id, source, rate_pct FROM (
+         |  SELECT doc_id, source,
+         |    20 + ${stable60Sql("source")} % 61 AS rate_pct,
+         |    ${stable60Sql("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |  FROM documents)
+         |WHERE h < rate_pct ORDER BY doc_id""".stripMargin,
+    "u9_weighted_mix" ->
+      s"""SELECT doc_id, source,
+         |  CAST(unnest(generate_series(1, rep)) AS BIGINT) AS epoch FROM (
+         |  SELECT doc_id, source,
+         |    1 + ${stable60Sql("source")} % 3 AS rep
+         |  FROM documents)
+         |ORDER BY doc_id, epoch""".stripMargin,
+    "u10_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    ${stable60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS bucket,
+         |    $wcSql AS wc
+         |  FROM documents),
+         |c AS (
+         |  SELECT bucket, wc,
+         |    COALESCE(SUM(wc) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |  FROM d)
+         |SELECT bucket, CAST(bef // 2048 AS BIGINT) AS seq_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(wc) AS BIGINT) AS n_tokens
+         |FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id""".stripMargin,
     "c1_clean_corpus" ->
       s"""WITH pairs AS (${SimilarityQueries.d3PairsCore}),
          |scored AS (
