@@ -288,6 +288,26 @@ object CoreQueries {
       .orderBy("cur_date")
   }
 
+  /** A14 — per-day UV via MERGEABLE HLL sketches (Apache DataSketches,
+    * lgK=12 ⇒ ~2% relative error, ~4 KB/sketch): the at-scale form of
+    * A3's exact two-phase distinct. The exact form shuffles every
+    * (day, user) pair; the sketch form partial-aggregates to a bounded
+    * ~4 KB buffer per (partition, day) and merges — shuffle volume
+    * drops from O(distinct users) to O(partitions × days), and sketches
+    * union across days/backfills without recount. No DuckDB oracle (two
+    * engines' HLL states differ by construction): the driver records
+    * rows-only; accuracy (±5% of exact) and union-mergeability are
+    * spec-gated in `SketchSpec`. */
+  private val a14ApproxUv: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("__sk"),
+        count(lit(1)).as("pv"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("cur_date"),
+        hll_sketch_estimate(col("__sk")).cast("long").as("approx_uv"),
+        col("pv"))
+      .orderBy("cur_date")
+
   /** A4 — new-user detection: users whose first-ever event lands on the day
     * (cf. DwsTradeOrderWindow.java:62-91). */
   private val a4NewUsers: Q = (s, d) =>
@@ -602,6 +622,7 @@ object CoreQueries {
     "j6_dim_chain" -> j6DimChain,
     "a1_window_agg" -> a1WindowAgg,
     "a3_daily_uv" -> a3DailyUv,
+    "a14_approx_uv" -> a14ApproxUv,
     "a4_new_users" -> a4NewUsers,
     "a5_dedup_first" -> a5DedupFirst,
     "a6_dedup_last" -> a6DedupLast,

@@ -154,6 +154,45 @@ object TextQueries {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** C4 — decontamination when the benchmark is too big to broadcast as
+    * ROWS: broadcast its Bloom-filter BITS instead. The filter (built by
+    * a distributed treeAggregate, ~1.2 bytes/element at 1% fpp — MBs
+    * where the row broadcast would be GBs) prefilters corpus shingles
+    * map-side; survivors go through a SHUFFLED exact join. Bloom has no
+    * false negatives and the exact join removes its false positives, so
+    * the result is IDENTICAL to the no-filter pipeline (asserted in
+    * `CorpusOpsSpec`) and the DuckDB oracle stays exact. The
+    * `mightContain` probe is the one deliberate UDF on the batch
+    * surface: a broadcast bitset lookup has no builtin Column form, and
+    * its cost is a few hash probes per row. 4-gram shingles, bench =
+    * doc_id % 29, overlap ≥ 2 (c2 is the broadcast-row form: 3-grams,
+    * % 37, ≥ 3). */
+  private val c4BloomDecontaminate: Q = (s, d) => {
+    val sh = SimilarityOps.shingleSets(
+        Tables.documents(s, d), col("doc_id"), col("text"), 4)
+      .select(col("__id").as("doc_id"),
+        explode(array_distinct(col("__sh"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rare = sh.groupBy("s")
+      .agg(count(lit(1)).as("__df")).filter(col("__df") <= 1000).select("s")
+    val bench = sh.filter(col("doc_id") % 29 === 0)
+      .select(col("doc_id").as("bench_id"), col("s"))
+      .join(rare, "s")
+    // expectedNumItems is the sizing knob: at 100 TB set it to the
+    // (known) benchmark shingle count; oversizing only wastes bits.
+    val bloom = bench.stat.bloomFilter("s", 200000L, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((x: String) => x != null && bloomB.value.mightContainString(x))
+    sh.filter(mightContain(col("s")))
+      .join(bench, "s") // no broadcast hint: the at-scale shuffled join
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= 2)
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** U4 — deterministic hash split (train/validation/test): the split of
     * a document is a pure function of its id (stable60 % 100 → 80/10/10),
     * so it is reproducible across runs, engines, and re-shards — the
@@ -391,6 +430,7 @@ object TextQueries {
     "u8_stratified_sample" -> u8StratifiedSample,
     "u9_weighted_mix" -> u9WeightedMix,
     "u10_pack_sequences" -> u10PackSequences,
+    "c4_bloom_decontaminate" -> c4BloomDecontaminate,
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_decontaminate" -> c2Decontaminate,
     "c3_source_filter" -> c3SourceFilter,
@@ -439,6 +479,26 @@ object TextQueries {
     c => s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    "c4_bloom_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, array_to_string(t[i:i+3], ' ') AS s
+         |    FROM (SELECT doc_id, t,
+         |            unnest(generate_series(1, len(t) - 3)) AS i
+         |          FROM toks))),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+         |bench AS (
+         |  SELECT doc_id AS bench_id, s FROM sh JOIN rare USING (s)
+         |  WHERE doc_id % 29 = 0)
+         |SELECT sh.doc_id, bench_id, COUNT(*) AS shared_ngrams
+         |FROM sh JOIN bench USING (s)
+         |WHERE sh.doc_id <> bench_id
+         |GROUP BY sh.doc_id, bench_id
+         |HAVING COUNT(*) >= 2
+         |ORDER BY doc_id, bench_id""".stripMargin,
     "t8_tfidf" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS token
