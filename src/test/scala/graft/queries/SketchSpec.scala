@@ -28,6 +28,41 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch works inside a watermarked streaming window agg") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.TsEv
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[TsEv]
+    // the sketch buffer lives in the streaming state store per window —
+    // bounded ~4 KB state per window regardless of user cardinality
+    // (the exact-distinct form keeps every key)
+    val out = mem.toDF().withWatermark("ts", "2 seconds")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("key"), lit(12)))
+        .cast("long").as("uv"))
+      .select(date_format(col("window.start"), "HH:mm:ss").as("stt"), col("uv"))
+    val q = out.writeStream.format("memory").queryName("hllwin")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        TsEv(t("2024-01-01 10:00:01"), "a", 1.0),
+        TsEv(t("2024-01-01 10:03:00"), "b", 1.0),
+        TsEv(t("2024-01-01 10:04:00"), "a", 1.0),
+        TsEv(t("2024-01-01 10:09:00"), "c", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(TsEv(t("2024-01-01 10:25:00"), "d", 1.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(TsEv(t("2024-01-01 10:45:00"), "e", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hllwin").as[(String, Long)].collect().toSet
+    // HLL is exact at these cardinalities (sparse mode)
+    assert(got == Set(("10:00:00", 3L), ("10:20:00", 1L)))
+  }
+
   test("per-hour sketches union to the same accuracy as the direct day sketch") {
     // the mergeability property that makes sketches the 100 TB shape:
     // partial sketches built per hour (per partition, per backfill shard)
