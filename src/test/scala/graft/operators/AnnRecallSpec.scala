@@ -24,6 +24,13 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"v2 recall@5 = $recall")
   }
 
+  test("int8-quantized ANN (v6) recall@5 >= 0.9 vs brute force") {
+    val exact = topkPairs("v1_ann_cosine_topk")
+    val quant = topkPairs("v6_ann_quantized")
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"v6 recall@5 = $recall")
+  }
+
   test("trained-codebook IVF ANN (v4) recall@5 >= 0.8 vs brute force") {
     val exact = topkPairs("v1_ann_cosine_topk")
     val ivf = topkPairs("v4_ann_ivf")
