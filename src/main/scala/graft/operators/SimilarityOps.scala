@@ -217,20 +217,35 @@ object SimilarityOps {
       .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
       .withColumn("qv", transform(col("embedding"),
         x => round(x.cast("double") * lit(127.0) / col("maxabs")).cast("long")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probes = qz.filter(isProbe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("qv").as("qa"), col("__nb").as("__na"))
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"))
     val qdot = aggregate(
       zip_with(col("qa"), col("qv"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
-    val cand = qz.crossJoin(broadcast(probes))
+    // candidate selection runs on a NARROW (q_id, vec_id, r) projection:
+    // only 16 bytes + the rank key per scored row reach the crnk window
+    // exchange — shuffling the float vectors here would cost more than
+    // the quantization saved (the codes are for the SCAN, the window
+    // moves ids only). Survivors (≤ probes × rerankK rows) are tiny;
+    // they broadcast back against the corpus to fetch vectors for the
+    // exact rerank.
+    val cand = qz.select(col("vec_id"), col("qv"), col("maxabs"), col("__nb"))
+      .crossJoin(broadcast(probes))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("r",
         (qdot.cast("double") * (col("maxabs") / lit(127.0))) / col("__nb"))
+      .select(col("q_id"), col("vec_id"), col("r"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("r").desc, col("vec_id"))))
       .filter(col("crnk") <= rerankK)
+      .select(col("q_id"), col("vec_id"))
+    val probeVecs = qz.filter(isProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("__nb").as("__na"))
     cand
+      .join(broadcast(probeVecs), "q_id")
+      .join(qz.select(col("vec_id"), col("embedding"), col("__nb")), "vec_id")
       .withColumn("cos_sim", cosineFromParts(
         VectorFunctions.dot(col("q_vec"), col("embedding")),
         col("__na"), col("__nb")))

@@ -51,10 +51,13 @@ object SkewOps {
     // Replication is only transparent when unmatched SMALL-side rows
     // never surface: right/full outer would emit each unmatched small
     // row once per replica (saltBuckets copies), breaking the
-    // "result == plain join" contract.
-    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
-    require(jt == "inner" || jt == "left" || jt == "leftsemi" || jt == "leftanti",
-      s"saltedJoin supports inner/left/left_semi/left_anti only, got $joinType")
+    // "result == plain join" contract. Normalization accepts every
+    // Spark alias of the safe types ("semi" == "leftsemi" ==
+    // "left_semi", etc.).
+    val jt = joinType.toLowerCase
+      .replace("_", "").replace("outer", "").replace("left", "")
+    require(jt == "inner" || jt == "" || jt == "semi" || jt == "anti",
+      s"saltedJoin supports inner/left/semi/anti only, got $joinType")
     val salted = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(saltBuckets)))
     val replicated = small.withColumn("__rsalt",

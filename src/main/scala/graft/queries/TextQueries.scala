@@ -135,24 +135,40 @@ object TextQueries {
     * join a constant fraction of a 100 TB corpus); the corpus side is
     * one scan + map-side broadcast join + one (doc, bench) count. At
     * production scale the n-gram length rises (8–13) — same plan. */
-  private val c2Decontaminate: Q = (s, d) => {
+  /** Shared decontamination skeleton (c2 / c4 / the spec's no-Bloom
+    * reference all parameterize this — one place owns the rare-shingle
+    * guard and overlap semantics): distinct `shingleN`-gram shingles
+    * per document, benchmark = docs with id % `benchMod` == 0 behind a
+    * document-frequency guard (df ≤ 1000 keeps boilerplate shingles out
+    * of the benchmark side), then `overlapJoin` decides HOW corpus
+    * shingles meet benchmark shingles (broadcast rows, Bloom-prefiltered
+    * shuffle, plain shuffle) — the join strategy is the only thing the
+    * variants disagree on. */
+  private[queries] def decontaminationOverlap(
+      s: SparkSession, d: String, shingleN: Int, benchMod: Int,
+      minOverlap: Int,
+      overlapJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val sh = SimilarityOps.shingleSets(
-        Tables.documents(s, d), col("doc_id"), col("text"), 3)
+        Tables.documents(s, d), col("doc_id"), col("text"), shingleN)
       .select(col("__id").as("doc_id"),
         explode(array_distinct(col("__sh"))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy("s")
       .agg(count(lit(1)).as("__df")).filter(col("__df") <= 1000).select("s")
-    val bench = sh.filter(col("doc_id") % 37 === 0)
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_id"), col("s"))
-      .join(rare, "s") // df-guard on the broadcast side only
-    sh.join(broadcast(bench), "s")
+      .join(rare, "s") // df-guard on the benchmark side only
+    overlapJoin(sh, bench)
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("shared_ngrams")) // sh is distinct per doc
-      .filter(col("shared_ngrams") >= 3)
+      .filter(col("shared_ngrams") >= minOverlap)
       .orderBy("doc_id", "bench_id")
   }
+
+  private val c2Decontaminate: Q = (s, d) =>
+    decontaminationOverlap(s, d, shingleN = 3, benchMod = 37, minOverlap = 3,
+      (sh, bench) => sh.join(broadcast(bench), "s"))
 
   /** C4 — decontamination when the benchmark is too big to broadcast as
     * ROWS: broadcast its Bloom-filter BITS instead. The filter (built by
@@ -167,31 +183,18 @@ object TextQueries {
     * its cost is a few hash probes per row. 4-gram shingles, bench =
     * doc_id % 29, overlap ≥ 2 (c2 is the broadcast-row form: 3-grams,
     * % 37, ≥ 3). */
-  private val c4BloomDecontaminate: Q = (s, d) => {
-    val sh = SimilarityOps.shingleSets(
-        Tables.documents(s, d), col("doc_id"), col("text"), 4)
-      .select(col("__id").as("doc_id"),
-        explode(array_distinct(col("__sh"))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sh.groupBy("s")
-      .agg(count(lit(1)).as("__df")).filter(col("__df") <= 1000).select("s")
-    val bench = sh.filter(col("doc_id") % 29 === 0)
-      .select(col("doc_id").as("bench_id"), col("s"))
-      .join(rare, "s")
-    // expectedNumItems is the sizing knob: at 100 TB set it to the
-    // (known) benchmark shingle count; oversizing only wastes bits.
-    val bloom = bench.stat.bloomFilter("s", 200000L, 0.01)
-    val bloomB = s.sparkContext.broadcast(bloom)
-    val mightContain =
-      udf((x: String) => x != null && bloomB.value.mightContainString(x))
-    sh.filter(mightContain(col("s")))
-      .join(bench, "s") // no broadcast hint: the at-scale shuffled join
-      .filter(col("doc_id") =!= col("bench_id"))
-      .groupBy("doc_id", "bench_id")
-      .agg(count(lit(1)).as("shared_ngrams"))
-      .filter(col("shared_ngrams") >= 2)
-      .orderBy("doc_id", "bench_id")
-  }
+  private val c4BloomDecontaminate: Q = (s, d) =>
+    decontaminationOverlap(s, d, shingleN = 4, benchMod = 29, minOverlap = 2,
+      (sh, bench) => {
+        // expectedNumItems is the sizing knob: at 100 TB set it to the
+        // (known) benchmark shingle count; oversizing only wastes bits.
+        val bloom = bench.stat.bloomFilter("s", 200000L, 0.01)
+        val bloomB = sh.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain =
+          udf((x: String) => x != null && bloomB.value.mightContainString(x))
+        sh.filter(mightContain(col("s")))
+          .join(bench, "s") // no broadcast hint: the at-scale shuffled join
+      })
 
   /** U4 — deterministic hash split (train/validation/test): the split of
     * a document is a pure function of its id (stable60 % 100 → 80/10/10),
@@ -327,25 +330,26 @@ object TextQueries {
   }
 
   /** T8 — per-document salient terms: top-3 tokens by tf-idf. The idf
-    * is RATIONAL — score = (tf · N · 10^6) div df in exact int64
-    * arithmetic — because float `ln` is not bit-portable across engines
-    * and the monotone rational weight ranks rare-term salience the same
-    * way. Shape at 100 TB: two partial-aggregated shuffles (tf by
-    * (doc, token), df by token), a 1-row broadcast corpus count, and a
-    * per-doc window — no global sort until the bounded output. */
+    * is RATIONAL — score = (tf · 10^6) div df in exact int64 arithmetic
+    * — because float `ln` is not bit-portable across engines and the
+    * monotone rational weight ranks rare-term salience the same way.
+    * The corpus-size factor of textbook tf·N/df is CONSTANT within a
+    * document, so it cannot change any per-doc ranking and is omitted:
+    * that keeps the score overflow-free at any corpus size (tf ≤ doc
+    * length ⇒ tf·10^6 ≤ ~10^11 ≪ 2^63; with the N factor an ANSI-mode
+    * job would overflow at planetary N·tf). Shape at 100 TB: two
+    * partial-aggregated shuffles (tf by (doc, token), df by token) and
+    * a per-doc window — no global sort until the bounded output. */
   private val t8Tfidf: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    // corpus size as a 1-row broadcast: parquet row-count scan, no join fan-out
-    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
     tf.join(dfreq, "token")
-      .crossJoin(broadcast(n))
-      .withColumn("score", expr("(tf * n_docs * 1000000) div df"))
+      .withColumn("score", expr("(tf * 1000000) div df"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
@@ -357,9 +361,13 @@ object TextQueries {
     * score (rare-vocabulary documents score high — the unigram-LM
     * surprisal stand-in that needs no float log). Exact integer
     * arithmetic end to end: rarity = avg over token OCCURRENCES of
-    * (N_tokens · 10^6) div count(token). Token totals derive from the
-    * count aggregate (no second corpus scan); the per-occurrence join is
-    * the idf join every tf-idf pipeline already pays. */
+    * (N_tokens · 10^3) div count(token). The 10^3 scale bounds
+    * N·10^3 < 2^63 up to ~9·10^15 total tokens (hundreds of PB of
+    * text) — 10^6 would ANSI-overflow within the op's own design
+    * range — while keeping ≥ 3 significant digits even for a token
+    * carrying 100% of the corpus. Token totals derive from the count
+    * aggregate (no second corpus scan); the per-occurrence join is the
+    * idf join every tf-idf pipeline already pays. */
   private val t9Rarity: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("token"))
@@ -368,7 +376,7 @@ object TextQueries {
     toks.join(cnt, "token").crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        expr("sum((n * 1000000) div c) div count(1)").as("rarity"))
+        expr("sum((n * 1000) div c) div count(1)").as("rarity"))
       .orderBy("doc_id")
   }
 
@@ -506,14 +514,13 @@ object TextQueries {
          |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
          |       FROM toks GROUP BY doc_id, token),
          |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
-         |       FROM tf GROUP BY token),
-         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |       FROM tf GROUP BY token)
          |SELECT doc_id, token, tf, df, score, rnk FROM (
          |  SELECT doc_id, token, tf, df,
-         |    (tf * n_docs * 1000000) // df AS score,
+         |    (tf * 1000000) // df AS score,
          |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
-         |      ORDER BY (tf * n_docs * 1000000) // df DESC, token) AS INT) AS rnk
-         |  FROM tf JOIN df USING (token) CROSS JOIN n)
+         |      ORDER BY (tf * 1000000) // df DESC, token) AS INT) AS rnk
+         |  FROM tf JOIN df USING (token))
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "t9_rarity" ->
       s"""WITH toks AS (
@@ -523,7 +530,7 @@ object TextQueries {
          |        FROM toks GROUP BY token),
          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |  CAST(SUM((n * 1000000) // c) // COUNT(*) AS BIGINT) AS rarity
+         |  CAST(SUM((n * 1000) // c) // COUNT(*) AS BIGINT) AS rarity
          |FROM toks JOIN cnt USING (token) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "u8_stratified_sample" ->

@@ -40,7 +40,12 @@ object Layout {
                             outDir: String): Unit =
     df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
       .repartition(col("day"))
-      .sortWithinPartitions(clusterCol)
+      // day leads the sort: the file writer requires local ordering on
+      // the partition column, so sorting (day, cluster) satisfies it in
+      // ONE pass — sorting by cluster alone would make the writer add a
+      // second sort on day, and the clustering would then survive only
+      // by sort stability
+      .sortWithinPartitions(col("day"), col(clusterCol))
       .write.mode("overwrite")
       .partitionBy("day")
       .parquet(outDir)

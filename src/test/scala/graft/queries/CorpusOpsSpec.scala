@@ -4,7 +4,6 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 import graft.functions.TextFunctions
-import graft.operators.SimilarityOps
 import graft.sources.Tables
 
 /** Invariants of the round-4 corpus-curation ops that the row-hash
@@ -17,22 +16,10 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("c4 bloom prefilter is transparent: result == exact pipeline without it") {
     val withBloom = TextQueries.queries("c4_bloom_decontaminate")(spark, sf)
-    // the same pipeline, no Bloom stage
-    val sh = SimilarityOps.shingleSets(
-        Tables.documents(spark, sf), col("doc_id"), col("text"), 4)
-      .select(col("__id").as("doc_id"),
-        explode(array_distinct(col("__sh"))).as("s"))
-    val rare = sh.groupBy("s")
-      .agg(count(lit(1)).as("__df")).filter(col("__df") <= 1000).select("s")
-    val bench = sh.filter(col("doc_id") % 29 === 0)
-      .select(col("doc_id").as("bench_id"), col("s"))
-      .join(rare, "s")
-    val exact = sh.join(bench, "s")
-      .filter(col("doc_id") =!= col("bench_id"))
-      .groupBy("doc_id", "bench_id")
-      .agg(count(lit(1)).as("shared_ngrams"))
-      .filter(col("shared_ngrams") >= 2)
-      .orderBy("doc_id", "bench_id")
+    // same skeleton, same parameters, plain join with no Bloom stage
+    val exact = TextQueries.decontaminationOverlap(
+      spark, sf, shingleN = 4, benchMod = 29, minOverlap = 2,
+      (sh, bench) => sh.join(bench, "s"))
     assert(withBloom.collect().toSeq == exact.collect().toSeq)
   }
 
