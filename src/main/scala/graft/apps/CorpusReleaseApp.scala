@@ -1,11 +1,13 @@
 package graft.apps
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftSession
-import graft.functions.StableHash
+import graft.functions.{StableHash, TextFunctions}
 import graft.queries.TextQueries
+import graft.sources.Tables
 
 /** The full training-data RELEASE pipeline as one batch job — what a
   * data team runs before shipping a corpus snapshot:
@@ -14,27 +16,65 @@ import graft.queries.TextQueries
   *                  MinHash-LSH near-dup removal (the c1 pipeline)
   *   2. decontam  — drop documents sharing n-gram evidence with the
   *                  benchmark set (the c2 check, as an anti-join)
-  *   3. split     — deterministic train/validation/test assignment
-  *                  (stable60(doc_id) % 100 → 80/10/10; reproducible
-  *                  across runs, engines, and re-shards)
-  *   4. write     — ONE pass, partitioned by split (consumers read
+  *   3. sample    — stratified per-source downsampling (the u8 rates:
+  *                  deterministic hash keep-rates per provenance source)
+  *   4. mix       — per-source epoch repetition (the u9 upsampling
+  *                  weights); sampling runs FIRST so repeats are never
+  *                  sampled back out
+  *   5. split     — deterministic train/validation/test assignment per
+  *                  DOCUMENT (stable60(doc_id) % 100 → 80/10/10), so a
+  *                  document's epochs can never straddle splits — the
+  *                  eval-leakage invariant, spec-asserted
+  *   6. pack      — token-budget sequence assignment (the u10 cumsum)
+  *                  within (split, hash-bucket): sequences never cross
+  *                  splits, and the cumsum window never crosses a
+  *                  partition
+  *   7. write     — ONE pass, partitioned by split (consumers read
   *                  their split via partition pruning, never a scan)
+  *
+  * Every stage is a deterministic pure function of content — two runs
+  * (or two engines) produce the identical release.
   *
   * Usage: `runMain graft.apps.CorpusReleaseApp <sfDir> <outDir>`
   */
 object CorpusReleaseApp {
 
+  private val SeqTokenBudget = 2048
+  private val PackBuckets = 8
+
   def release(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val clean = TextQueries.queries("c1_clean_corpus")(spark, sfDir)
     val contaminated = TextQueries.queries("c2_decontaminate")(spark, sfDir)
       .select("doc_id").distinct()
-    clean
+    val kept = clean
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"),
+        col("source"), TextFunctions.wordCount(col("text")).as("wc")), "doc_id")
+    val sampled = kept
+      .withColumn("rate_pct", lit(20) + StableHash.stable60(col("source")) % 61)
+      .filter(StableHash.bucket60(col("doc_id").cast("string"), 100)
+        < col("rate_pct"))
+      .drop("rate_pct")
+    val mixed = sampled
+      .withColumn("rep", lit(1) + StableHash.stable60(col("source")) % 3)
+      .withColumn("epoch", explode(sequence(lit(1L), col("rep"))))
+      .drop("rep")
+    val split = mixed
       .withColumn("__h", StableHash.bucket60(col("doc_id").cast("string"), 100))
       .withColumn("split",
         when(col("__h") < 80, "train")
           .when(col("__h") < 90, "validation").otherwise("test"))
       .drop("__h")
+    val w = Window.partitionBy("split", "bucket")
+      .orderBy("doc_id", "epoch")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    split
+      .withColumn("bucket", StableHash.bucket60(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string")), PackBuckets))
+      .withColumn("__bef", coalesce(sum(col("wc")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__bef div $SeqTokenBudget"))
+      .drop("__bef")
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
   }
 
