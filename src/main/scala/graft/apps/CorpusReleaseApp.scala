@@ -1,6 +1,6 @@
 package graft.apps
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -42,17 +42,44 @@ object CorpusReleaseApp {
   private val SeqTokenBudget = 2048
   private val PackBuckets = 8
 
-  def release(spark: SparkSession, sfDir: String, outDir: String): Unit = {
-    val clean = TextQueries.queries("c1_clean_corpus")(spark, sfDir)
-    val contaminated = TextQueries.queries("c2_decontaminate")(spark, sfDir)
+  /** The release as a DataFrame — everything but the final write.
+    * Exposed so the spec can assert PLAN properties (one shared shingle
+    * scan) that the written output can't show. */
+  def releaseFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE tokenize+shingle pass feeds BOTH the near-dup stage (losers for
+    // the c1 clean gate) and the decontamination stage (c2's overlap) —
+    // tokenization is the dominant map-side cost at 100 TB, and the two
+    // stages use the same 3-gram shingles by construction.
+    val sets = graft.operators.SimilarityOps.shingleSets(
+        Tables.documents(spark, sfDir), col("doc_id"), col("text"),
+        graft.queries.SimilarityQueries.shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val losers = graft.queries.SimilarityQueries.minhashPairsFrom(sets)
+      .select(col("doc_b")).distinct()
+    val clean = TextQueries.cleanCorpusFrom(spark, sfDir, losers)
+    // same parameters as the registered c2 (3-grams, bench = id % 37,
+    // overlap >= 3, broadcast-row join) — the spec's anti-containment
+    // check compares against c2's own output
+    val contaminated = TextQueries.decontaminationOverlapFrom(
+        sets.select(col("__id").as("doc_id"),
+          explode(array_distinct(col("__sh"))).as("s")),
+        benchMod = 37, minOverlap = 3,
+        (sh, bench) => sh.join(broadcast(bench), "s"))
       .select("doc_id").distinct()
     val kept = clean
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(Tables.documents(spark, sfDir).select(col("doc_id"),
         col("source"), TextFunctions.wordCount(col("text")).as("wc")), "doc_id")
+    // The sampling hash is DOMAIN-SEPARATED ("sample:" prefix) from the
+    // split hash below: both are bucket60(...)%100 over doc_id, and
+    // reusing one hash would correlate the stages — every sampled
+    // survivor (bucket < rate_pct <= 80) would land in 'train' and the
+    // validation/test splits would be EMPTY (the spec asserts all three
+    // splits are populated).
     val sampled = kept
       .withColumn("rate_pct", lit(20) + StableHash.stable60(col("source")) % 61)
-      .filter(StableHash.bucket60(col("doc_id").cast("string"), 100)
+      .filter(StableHash.bucket60(
+          concat(lit("sample:"), col("doc_id").cast("string")), 100)
         < col("rate_pct"))
       .drop("rate_pct")
     val mixed = sampled
@@ -75,8 +102,11 @@ object CorpusReleaseApp {
       .withColumn("__bef", coalesce(sum(col("wc")).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"__bef div $SeqTokenBudget"))
       .drop("__bef")
-      .write.mode("overwrite").partitionBy("split").parquet(outDir)
   }
+
+  def release(spark: SparkSession, sfDir: String, outDir: String): Unit =
+    releaseFrame(spark, sfDir)
+      .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

@@ -211,14 +211,27 @@ object SimilarityOps {
     * the fixed-order float chain reproduce bit-for-bit in DuckDB. */
   def annQuantized(corpus: DataFrame, isProbe: Column, topK: Int,
                    rerankK: Int): DataFrame = {
-    val qz = corpus
+    // A ZERO vector has maxabs=0, so x·127/maxabs would be NaN — and NaN
+    // sorts GREATEST under desc ordering, flooding every candidate set
+    // (and DuckDB's NaN ordering diverges). Zero vectors quantize to
+    // zero CODES and score r=0 instead, matching cosineFromParts' zero-
+    // norm convention.
+    val quantized = corpus
       .withColumn("maxabs",
         array_max(transform(col("embedding"), x => abs(x.cast("double")))))
       .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
-      .withColumn("qv", transform(col("embedding"),
-        x => round(x.cast("double") * lit(127.0) / col("maxabs")).cast("long")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probes = qz.filter(isProbe)
+      .withColumn("qv", when(col("maxabs") === 0.0,
+          transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => round(x.cast("double") * lit(127.0) / col("maxabs")).cast("long"))))
+    // The quantized frame is referenced exactly ONCE (the candidate
+    // scan), so it needs no persist (an earlier draft cached it and
+    // leaked the blocks for the session lifetime): probes are few — re-
+    // quantizing them from the raw corpus is map-side noise — and the
+    // rerank reads raw (vec_id, embedding) columns, which is what a
+    // 100 TB run does anyway (the corpus doesn't fit cache; the codes
+    // are the MATERIALIZED index there, not a cache entry).
+    val probes = quantized.filter(isProbe)
       .select(col("vec_id").as("q_id"), col("qv").as("qa"))
     val qdot = aggregate(
       zip_with(col("qa"), col("qv"), (a, b) => a * b),
@@ -230,22 +243,24 @@ object SimilarityOps {
     // moves ids only). Survivors (≤ probes × rerankK rows) are tiny;
     // they broadcast back against the corpus to fetch vectors for the
     // exact rerank.
-    val cand = qz.select(col("vec_id"), col("qv"), col("maxabs"), col("__nb"))
+    val cand = quantized.select(col("vec_id"), col("qv"), col("maxabs"), col("__nb"))
       .crossJoin(broadcast(probes))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("r",
-        (qdot.cast("double") * (col("maxabs") / lit(127.0))) / col("__nb"))
+      .withColumn("r", when(col("__nb") === 0.0, lit(0.0)).otherwise(
+        (qdot.cast("double") * (col("maxabs") / lit(127.0))) / col("__nb")))
       .select(col("q_id"), col("vec_id"), col("r"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("r").desc, col("vec_id"))))
       .filter(col("crnk") <= rerankK)
       .select(col("q_id"), col("vec_id"))
-    val probeVecs = qz.filter(isProbe)
+    val withNb = corpus
+      .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
+    val probeVecs = withNb.filter(isProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("__nb").as("__na"))
-    cand
+    broadcast(cand)
       .join(broadcast(probeVecs), "q_id")
-      .join(qz.select(col("vec_id"), col("embedding"), col("__nb")), "vec_id")
+      .join(withNb.select(col("vec_id"), col("embedding"), col("__nb")), "vec_id")
       .withColumn("cos_sim", cosineFromParts(
         VectorFunctions.dot(col("q_vec"), col("embedding")),
         col("__na"), col("__nb")))

@@ -51,12 +51,15 @@ object SkewOps {
     // Replication is only transparent when unmatched SMALL-side rows
     // never surface: right/full outer would emit each unmatched small
     // row once per replica (saltBuckets copies), breaking the
-    // "result == plain join" contract. Normalization accepts every
-    // Spark alias of the safe types ("semi" == "leftsemi" ==
-    // "left_semi", etc.).
-    val jt = joinType.toLowerCase
-      .replace("_", "").replace("outer", "").replace("left", "")
-    require(jt == "inner" || jt == "" || jt == "semi" || jt == "anti",
+    // "result == plain join" contract. Explicit alias allowlist — a
+    // normalize-by-deletion scheme would let "outer" (Spark's alias for
+    // FULL outer) slip through as the empty string.
+    val safeAliases = Set(
+      "inner",
+      "left", "leftouter", "left_outer",
+      "semi", "leftsemi", "left_semi",
+      "anti", "leftanti", "left_anti")
+    require(safeAliases(joinType.toLowerCase),
       s"saltedJoin supports inner/left/semi/anti only, got $joinType")
     val salted = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(saltBuckets)))

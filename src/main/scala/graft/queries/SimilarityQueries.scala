@@ -58,12 +58,24 @@ object SimilarityQueries {
     val docs = Tables.documents(s, d)
     val sets = SimilarityOps.shingleSets(docs, col("doc_id"), col("text"), ShingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashPairsFrom(sets)
+  }
+
+  /** [[minhashPairs]] over a PREBUILT (ideally persisted) `(__id, __sh)`
+    * shingle frame — lets a composed pipeline (CorpusReleaseApp) tokenize
+    * and shingle the corpus ONCE and feed both the near-dup and the
+    * decontamination stages. The shingle length must be [[shingleN]]. */
+  private[graft] def minhashPairsFrom(sets: DataFrame): DataFrame = {
     val sig = SimilarityOps.minhashSignature(sets, MinhashK)
     val bands = SimilarityOps.lshBands(sig, MinhashK, BandSize)
     val pairs = SimilarityOps.candidatePairs(bands)
     SimilarityOps.jaccardVerify(pairs, sets, JaccardThreshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
   }
+
+  /** The shared-tuning shingle length (3-grams) — exposed so composed
+    * pipelines build the ONE shingle frame both stages agree on. */
+  private[graft] def shingleN: Int = ShingleN
 
   /** D3 — MinHash-LSH near-dup pairs. */
   private val d3MinhashNeardup: Q = (s, d) =>

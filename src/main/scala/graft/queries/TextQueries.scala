@@ -107,10 +107,16 @@ object TextQueries {
     * losers), the composition a real training-data pipeline runs. One
     * pass over documents plus the shared pair pipeline; the anti-join
     * against losers is broadcast-size (pairs are rare by construction). */
-  private val c1CleanCorpus: Q = (s, d) => {
+  private val c1CleanCorpus: Q = (s, d) =>
+    cleanCorpusFrom(s, d,
+      SimilarityQueries.minhashPairs(s, d).select(col("doc_b")).distinct())
+
+  /** c1 with the near-dup loser set INJECTED — a composed pipeline
+    * (CorpusReleaseApp) derives losers from a shared shingle frame so the
+    * corpus is tokenized once, not once per stage. */
+  private[graft] def cleanCorpusFrom(s: SparkSession, d: String,
+                                     losers: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val losers = SimilarityQueries.minhashPairs(s, d)
-      .select(col("doc_b")).distinct()
     Tables.documents(s, d)
       .withColumn("fp", fingerprint(col("text")))
       .withColumn("canon_id", min(col("doc_id")).over(Window.partitionBy("fp")))
@@ -153,6 +159,15 @@ object TextQueries {
       .select(col("__id").as("doc_id"),
         explode(array_distinct(col("__sh"))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    decontaminationOverlapFrom(sh, benchMod, minOverlap, overlapJoin)
+  }
+
+  /** [[decontaminationOverlap]] over a PREBUILT (ideally persisted)
+    * exploded `(doc_id, s)` distinct-shingle frame — lets a composed
+    * pipeline share one tokenize+shingle pass with the near-dup stage. */
+  private[graft] def decontaminationOverlapFrom(
+      sh: DataFrame, benchMod: Int, minOverlap: Int,
+      overlapJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val rare = sh.groupBy("s")
       .agg(count(lit(1)).as("__df")).filter(col("__df") <= 1000).select("s")
     val bench = sh.filter(col("doc_id") % benchMod === 0)

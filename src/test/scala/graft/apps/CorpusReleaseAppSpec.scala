@@ -51,7 +51,11 @@ class CorpusReleaseAppSpec extends SparkSpec {
       assert(rs.map(_._4).distinct.length == 1, s"doc $id straddles splits")
     }
     val bySplit = rows.groupBy(_._4).view.mapValues(_.length).toMap
-    assert(bySplit.keySet.subsetOf(Set("train", "validation", "test")))
+    // ALL THREE splits must be populated — the regression this guards:
+    // reusing the split hash for sampling keeps only bucket<rate_pct<=80
+    // rows, which would make validation and test empty-by-construction.
+    assert(bySplit.keySet == Set("train", "validation", "test"),
+      s"missing splits: ${Set("train", "validation", "test") -- bySplit.keySet}")
     assert(bySplit.values.sum == rows.length)
 
     // packing: per (split, bucket) the seq ids are contiguous from 0 and
@@ -60,6 +64,28 @@ class CorpusReleaseAppSpec extends SparkSpec {
       val seqs = rs.map(_._6).distinct.sorted.toSeq
       assert(seqs == (0L until seqs.length).toSeq, s"seq gap: $seqs")
     }
+
+    // scan sharing: the near-dup stage and the decontamination stage run
+    // off ONE cached shingle frame, so the whole release plan touches
+    // documents.parquet at most 3× (shingles, clean gate, source/wc
+    // fetch) — the unshared form shingled twice and scanned 4×. Cached
+    // relations are counted ONCE each (two InMemoryTableScans of the
+    // same relation share one underlying file scan).
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def docScans(p: SparkPlan, seen: java.util.IdentityHashMap[AnyRef, AnyRef]): Int =
+      p.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => 1
+        case c: InMemoryTableScanExec =>
+          if (seen.put(c.relation.cacheBuilder, c.relation.cacheBuilder) == null)
+            docScans(c.relation.cachedPlan, seen)
+          else 0
+      }.sum
+    val frame = CorpusReleaseApp.releaseFrame(spark, sfDir)
+    val nScans = docScans(frame.queryExecution.executedPlan,
+      new java.util.IdentityHashMap[AnyRef, AnyRef]())
+    assert(nScans <= 3, s"documents scanned $nScans times — shingle frame not shared")
 
     // re-running yields the IDENTICAL release (pure function of content)
     val out2 = Files.createTempDirectory("release2").toString + "/corpus"

@@ -28,6 +28,27 @@ class SkewStreamsSpec extends SparkSpec {
     def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("saltedJoin rejects every outer-emitting join type, accepts safe aliases") {
+    val big = Seq((1L, "a")).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k2", "w")
+    // "outer" is Spark's alias for FULL outer — under the old
+    // delete-substrings normalization it reduced to "" (same as "left")
+    // and slipped through, replicating unmatched small rows saltBuckets
+    // times. These must all throw:
+    for (bad <- Seq("outer", "full", "fullouter", "full_outer",
+                    "right", "rightouter", "right_outer", "cross"))
+      intercept[IllegalArgumentException] {
+        SkewOps.saltedJoin(big, small, col("k"), col("k2"), 4, bad)
+      }
+    // and every safe alias must pass the guard and produce the plain join
+    for (ok <- Seq("inner", "left", "leftouter", "left_outer",
+                   "semi", "leftsemi", "left_semi",
+                   "anti", "leftanti", "left_anti")) {
+      val n = SkewOps.saltedJoin(big, small, col("k"), col("k2"), 4, ok).count()
+      assert(n == (if (ok.contains("anti")) 0L else 1L), s"$ok -> $n")
+    }
+  }
+
   test("tokensWithCjk: CJK unigrams + Latin whitespace words") {
     val got = Seq("深度学习 deep learning 模型").toDF("text")
       .select(TextFunctions.tokensWithCjk(col("text"))).as[Seq[String]].head()
