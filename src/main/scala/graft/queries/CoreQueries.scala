@@ -294,19 +294,29 @@ object CoreQueries {
     * (day, user) pair; the sketch form partial-aggregates to a bounded
     * ~4 KB buffer per (partition, day) and merges — shuffle volume
     * drops from O(distinct users) to O(partitions × days), and sketches
-    * union across days/backfills without recount. No DuckDB oracle (two
-    * engines' HLL states differ by construction): the driver records
-    * rows-only; accuracy (±5% of exact) and union-mergeability are
-    * spec-gated in `SketchSpec`. */
-  private val a14ApproxUv: Q = (s, d) =>
-    Tables.events(s, d)
-      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+    * union across days/backfills without recount.
+    *
+    * The sketch ESTIMATE itself is engine-specific (DataSketches HLL
+    * state cannot be reproduced in DuckDB), so the oracle-visible output
+    * is the INVARIANT, not the estimate: exact `pv`/`uv` plus
+    * `within_5pct` = |approx−exact|·100 ≤ 5·exact, which DuckDB predicts
+    * as constant `true`. A wrong sketch path flips the boolean and the
+    * driver's hash check catches it. The per-(day,user) pre-aggregate
+    * feeds BOTH the exact count and the sketch (one scan); precision and
+    * union-mergeability remain spec-gated in `SketchSpec`. */
+  private val a14ApproxUv: Q = (s, d) => {
+    val perUser = Tables.events(s, d)
+      .groupBy(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+      .agg(count(lit(1)).as("user_pv"))
+    perUser.groupBy(col("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("__sk"),
-        count(lit(1)).as("pv"))
+        count(lit(1)).as("uv"), sum(col("user_pv")).as("pv"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("cur_date"),
-        hll_sketch_estimate(col("__sk")).cast("long").as("approx_uv"),
-        col("pv"))
+        col("uv"), col("pv"),
+        (abs(hll_sketch_estimate(col("__sk")).cast("long") - col("uv")) * 100
+          <= col("uv") * 5).as("within_5pct"))
       .orderBy("cur_date")
+  }
 
   /** A4 — new-user detection: users whose first-ever event lands on the day
     * (cf. DwsTradeOrderWindow.java:62-91). */
@@ -767,6 +777,13 @@ object CoreQueries {
     "a3_daily_uv" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS cur_date,
         | COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv
+        |FROM events GROUP BY 1 ORDER BY cur_date""".stripMargin,
+    // The HLL estimate is engine-specific; the oracle checks the exact
+    // counts plus the accuracy INVARIANT the sketch must satisfy (±5%,
+    // generous vs lgK=12's ~2%) — DuckDB predicts within_5pct = true.
+    "a14_approx_uv" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS cur_date,
+        | COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv, TRUE AS within_5pct
         |FROM events GROUP BY 1 ORDER BY cur_date""".stripMargin,
     "a4_new_users" ->
       """SELECT strftime(date_trunc('day', first_ts), '%Y-%m-%d') AS cur_date,
