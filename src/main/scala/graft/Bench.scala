@@ -1,44 +1,64 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private val Runs = 3
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
-    // Warm-up: touch every table once (OS page cache + codegen JIT) so
-    // per-query timings measure compute, not which query ran first.
+    // Warm-up MATERIALIZES every column of every table (noop write):
+    // count() reads only parquet footers/metadata, which left the first
+    // queries paying the page-cache fill and showing as phantom
+    // regressions in earlier rounds.
     graft.sources.Tables.all.foreach { t =>
-      try graft.sources.Tables.load(spark, sfDir, t).count()
+      try graft.sources.Tables.load(spark, sfDir, t)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // (name, seconds, error) — a failed query is REPORTED, never silently
-    // timed as near-zero success.
+    // (name, per-run seconds, error) — a failed query is REPORTED, never
+    // silently timed as near-zero success. Each query runs `Runs` times
+    // and reports the MEDIAN: single-shot timings swung 3× round-to-round
+    // on provably unchanged plans (GC/JIT/page-cache transients), which
+    // made real regressions indistinguishable from noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every output column (count() would let
-      // Catalyst prune computed columns and understate the work)
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      var err: Option[String] = None
+      val times = (1 to Runs).flatMap { _ =>
+        if (err.isDefined) None // a failed query fails fast, not 3×
+        else {
+          val t0 = System.nanoTime()
+          // noop sink materializes every output column (count() would let
+          // Catalyst prune computed columns and understate the work)
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case e: Throwable =>
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // cache teardown (per-query persists must not leak) happens
+          // OUTSIDE the timed window — harness hygiene, not query cost
+          spark.catalog.clearCache()
+          if (err.isDefined) None else Some(elapsed)
         }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // cache teardown (per-query persists must not leak) happens OUTSIDE
-      // the timed window — it is harness hygiene, not query cost
-      spark.catalog.clearCache()
-      (name, elapsed, err)
+      }
+      val sorted = times.sorted
+      val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
+      (name, median, sorted.headOption.getOrElse(0.0),
+        sorted.lastOption.getOrElse(0.0), err)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _, _, _) => s"\"$k\":$med" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => s"\"$k\":${jstr(m)}" }
+    val mins = results.map { case (k, _, mn, _, _) => s"\"$k\":$mn" }
       .mkString("{", ",", "}")
-    val nErr = results.count(_._3.isDefined)
+    val maxs = results.map { case (k, _, _, mx, _) => s"\"$k\":$mx" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(m)) => s"\"$k\":${jstr(m)}" }
+      .mkString("{", ",", "}")
+    val nErr = results.count(_._5.isDefined)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"stat":"median","queries":$qs,"queries_min":$mins,"queries_max":$maxs,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }
