@@ -1,0 +1,84 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** PLANS.md's scale claims as CI: every registered query must satisfy
+  * [[PlanAudit]]'s mechanical invariants (no cartesian product, filters
+  * pushed to every filtered scan, no unbounded single-partition
+  * exchange), plus the v2 CollapseProject block. The negative tests
+  * prove the audit CAN fail — a gate that never fires gates nothing. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Queries exempt from the pushed-filter rule, each with the reason the
+    * unpushed filter is the operator's SEMANTICS, not a regression. A new
+    * query that loses pushdown must either fix it or argue its way into
+    * this list — that argument is the gate. */
+  private val pushdownExempt: Map[String, String] = Map(
+    "s3_cdc_extract" -> ("the predicate is over the PARSED CDC envelope " +
+      "(from_json of a rendered value) — inherently post-parse; the scan " +
+      "itself is full-width by design, the operator under test"))
+
+  test("every registered query satisfies the mechanical plan invariants") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val vs =
+        try PlanAudit.violations(fn(spark, sf))
+        catch { case e: Throwable =>
+          Seq(s"audit construction failed: ${e.getMessage}")
+        } finally spark.catalog.clearCache()
+      vs.filterNot(v => v.startsWith("unpushed") && pushdownExempt.contains(name))
+        .map(v => s"$name — $v")
+    }
+    assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
+  }
+
+  test("v2's signature projection survives CollapseProject (alias intact)") {
+    // the __sig alias is what keeps the 36 plane dots computed ONCE per
+    // row instead of once per band reference (a measured nTables×
+    // codegen blowup when inlined) — if CollapseProject ever swallows
+    // the projection, the attribute name vanishes from the plan
+    val plan = SparkEntry.queries("v2_ann_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__sig"), "v2 signature alias collapsed away")
+  }
+
+  test("negative: a true shuffled cartesian is flagged") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.range(10).toDF("x")
+      val b = spark.range(10).toDF("y")
+      val vs = PlanAudit.violations(a.crossJoin(b))
+      assert(vs.exists(_.contains("CartesianProduct")), vs.mkString("; "))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("negative: a scan that loses filter pushdown is flagged") {
+    // a UDF predicate is the canonical pushdown-loser: untranslatable,
+    // so the scan reads every row and filters after the fact
+    val f = udf((x: Long) => x > 1)
+    val df = spark.read.parquet(s"$sf/region.parquet")
+      .filter(f(col("r_regionkey")))
+    val vs = PlanAudit.violations(df)
+    assert(vs.exists(_.contains("unpushed filters")), vs.mkString("; "))
+  }
+
+  test("negative: an unbounded single-partition exchange is flagged") {
+    // a global (partitionBy-less) window funnels EVERY row through one
+    // partition — the shape the engine bans (u10 windows within buckets
+    // for exactly this reason)
+    val df = spark.read.parquet(s"$sf/region.parquet")
+      .withColumn("rn", row_number().over(Window.orderBy("r_regionkey")))
+    val vs = PlanAudit.violations(df)
+    assert(vs.exists(_.contains("SinglePartition")), vs.mkString("; "))
+  }
+
+  test("a bounded global aggregate is NOT flagged (partial-agg exemption)") {
+    val df = spark.read.parquet(s"$sf/region.parquet").agg(count(lit(1)).as("n"))
+    assert(PlanAudit.violations(df).isEmpty)
+  }
+}
