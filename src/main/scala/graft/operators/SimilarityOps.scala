@@ -437,6 +437,63 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
   }
 
+  /** V7 — quantized IVF: the composed 100 TB ANN serving shape, both
+    * levers at once. [[ivfAnn]]'s trained cells cut the CANDIDATE SET
+    * (a probe scans `nprobe` cells, not the corpus); [[annQuantized]]'s
+    * int8 codes cut the MEMORY the cell scan touches 4× (the per-cell
+    * index holds codes + one scale + one norm per vector — no floats);
+    * and the exact float rerank of the top `rerankK` per probe makes the
+    * output oracle-exact — quantization error can only cost recall
+    * (CI-gated), never wrong scores. The candidate shuffle stays narrow
+    * (q_id, vec_id, r); raw embeddings are touched only by the rerank's
+    * survivors join. */
+  def ivfQuantizedAnn(corpus: DataFrame, centroids: DataFrame,
+                      isProbe: Column, topK: Int, nprobe: Int,
+                      rerankK: Int): DataFrame = {
+    def quantize(df: DataFrame, vec: String): DataFrame = df
+      .withColumn("__ma", array_max(transform(col(vec), x => abs(x.cast("double")))))
+      // zero vectors → zero codes, not NaN (see annQuantized)
+      .withColumn("__q", when(col("__ma") === 0.0,
+          transform(col(vec), _ => lit(0L)))
+        .otherwise(transform(col(vec),
+          x => round(x.cast("double") * lit(127.0) / col("__ma")).cast("long"))))
+    // the inverted file: per-cell int8 codes, scale, norm — no embedding
+    val codes = quantize(assignCells(corpus, centroids, nprobe = 1), "embedding")
+      .select(col("vec_id"), col("cluster"), col("__q").as("qv"),
+        col("__ma").as("maxabs"), col("__nv"))
+    // probes are few: their nprobe-cell search list and codes broadcast
+    val qprobes = quantize(
+        assignCells(corpus.filter(isProbe), centroids, nprobe), "embedding")
+      .select(col("vec_id").as("q_id"), col("cluster"), col("__q").as("qa"))
+    val qdot = aggregate(
+      zip_with(col("qa"), col("qv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val cand = codes.join(broadcast(qprobes), "cluster")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("r", when(col("__nv") === 0.0, lit(0.0)).otherwise(
+        (qdot.cast("double") * (col("maxabs") / lit(127.0))) / col("__nv")))
+      .select(col("q_id"), col("vec_id"), col("r"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("r").desc, col("vec_id"))))
+      .filter(col("crnk") <= rerankK)
+      .select(col("q_id"), col("vec_id"))
+    val withN = corpus
+      .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
+    val probeVecs = withN.filter(isProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("__nb").as("__na"))
+    broadcast(cand)
+      .join(broadcast(probeVecs), "q_id")
+      .join(withN.select(col("vec_id"), col("embedding"), col("__nb")), "vec_id")
+      .withColumn("cos_sim", cosineFromParts(
+        VectorFunctions.dot(col("q_vec"), col("embedding")),
+        col("__na"), col("__nb")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+  }
+
   /** N-gram-Jaccard near-dup: bottom-hash blocking over LONG (`blockN`)
     * shingles, exact Jaccard verification over SHORT (`shingleN`)
     * shingles. Blocking = two single-row MinHash bands (collision

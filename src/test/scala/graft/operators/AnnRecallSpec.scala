@@ -37,4 +37,14 @@ class AnnRecallSpec extends SparkSpec {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.8, s"v4 recall@5 = $recall")
   }
+
+  test("quantized IVF ANN (v7) recall@5 >= 0.85 vs brute force") {
+    // the composed serving shape loses recall ONLY to cell-probing (the
+    // rerank cancels quantization error within probed cells), so its
+    // floor sits between v4's cell-probe floor and v6's rerank ceiling
+    val exact = topkPairs("v1_ann_cosine_topk")
+    val composed = topkPairs("v7_ann_ivf_quantized")
+    val recall = (exact & composed).size.toDouble / exact.size
+    assert(recall >= 0.85, s"v7 recall@5 = $recall")
+  }
 }
