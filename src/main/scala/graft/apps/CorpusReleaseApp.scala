@@ -104,8 +104,21 @@ object CorpusReleaseApp {
       .drop("__bef")
   }
 
+  /** Write with the consumer-shaped LAYOUT (cf. [[graft.sources.Layout]]):
+    * `split` is a directory partition (a training job reads its split by
+    * pruning, never by scanning), and within each task's files the rows
+    * cluster by (bucket, seq_id) — a (bucket, sequence-range) read skips
+    * row-groups via parquet min/max stats. The repartition on
+    * (split, bucket) matches the packing window's own partitioning (the
+    * exchange is reused, not added) and keeps each partition directory
+    * written by the tasks owning it — no O(tasks × splits) small files. */
   def release(spark: SparkSession, sfDir: String, outDir: String): Unit =
     releaseFrame(spark, sfDir)
+      .repartition(col("split"), col("bucket"))
+      // split leads the sort: the file writer requires local ordering on
+      // the partition column; (split, bucket, seq_id) satisfies it in one
+      // pass (see Layout.writePartitionedByDay)
+      .sortWithinPartitions(col("split"), col("bucket"), col("seq_id"))
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
 
   def main(args: Array[String]): Unit = {

@@ -2,6 +2,8 @@ package graft.apps
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class CorpusReleaseAppSpec extends SparkSpec {
@@ -86,6 +88,29 @@ class CorpusReleaseAppSpec extends SparkSpec {
     val nScans = docScans(frame.queryExecution.executedPlan,
       new java.util.IdentityHashMap[AnyRef, AnyRef]())
     assert(nScans <= 3, s"documents scanned $nScans times — shingle frame not shared")
+
+    // layout: a consumer reads its split by DIRECTORY PRUNING (planning
+    // time), and (bucket, seq-range) predicates reach the scan as pushed
+    // filters over row-groups clustered by the in-partition sort
+    val t = spark.read.parquet(out)
+    assert(graft.sources.Layout.scannedPartitions(
+      t.filter(col("split") === "train")) == 1,
+      "train read must prune to one partition directory")
+    val planStr = t.filter(col("bucket") === 3 && col("seq_id") <= 1)
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("EqualTo(bucket,3)") &&
+      planStr.contains("LessThanOrEqual(seq_id,1)"),
+      s"bucket/seq filters not pushed:\n$planStr")
+    // within-file clustering: every parquet file is sorted by
+    // (bucket, seq_id), which is what makes those pushed filters SKIP
+    // row-groups instead of merely re-checking every row
+    val byFile = t.withColumn("__f", input_file_name())
+      .select("__f", "bucket", "seq_id").collect()
+      .groupBy(_.getString(0))
+    byFile.foreach { case (f, rs) =>
+      val order = rs.map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(order == order.sorted, s"file $f not clustered by (bucket, seq_id)")
+    }
 
     // re-running yields the IDENTICAL release (pure function of content)
     val out2 = Files.createTempDirectory("release2").toString + "/corpus"
