@@ -35,6 +35,10 @@ import graft.sources.Tables
   * Every stage is a deterministic pure function of content — two runs
   * (or two engines) produce the identical release.
   *
+  * Stage 2's STREAMING twin is [[StreamingDecontamApp]]: the benchmark
+  * bits build once batch-side, in-flight documents are filtered per
+  * micro-batch (stream == batch, spec-asserted).
+  *
   * Usage: `runMain graft.apps.CorpusReleaseApp <sfDir> <outDir>`
   */
 object CorpusReleaseApp {
