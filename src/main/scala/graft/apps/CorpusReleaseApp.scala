@@ -74,6 +74,18 @@ object CorpusReleaseApp {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(Tables.documents(spark, sfDir).select(col("doc_id"),
         col("source"), TextFunctions.wordCount(col("text")).as("wc")), "doc_id")
+    sampleMixSplitPack(kept, baseTotals = None)
+  }
+
+  /** Stages 3–6 (sample → mix → split → pack) over a cleaned,
+    * decontaminated `(doc_id, …, source, wc)` frame. Every stage is a
+    * pure per-document function, which is what makes the INCREMENTAL
+    * release possible: a delta packs on top of `baseTotals` — the
+    * per-(split, bucket) token totals of the already-released base — and
+    * lands exactly where a full batch rerun would put it
+    * ([[IncrementalReleaseApp]]). */
+  private[apps] def sampleMixSplitPack(
+      kept: DataFrame, baseTotals: Option[DataFrame]): DataFrame = {
     // The sampling hash is DOMAIN-SEPARATED ("sample:" prefix) from the
     // split hash below: both are bucket60(...)%100 over doc_id, and
     // reusing one hash would correlate the stages — every sampled
@@ -99,13 +111,23 @@ object CorpusReleaseApp {
     val w = Window.partitionBy("split", "bucket")
       .orderBy("doc_id", "epoch")
       .rowsBetween(Window.unboundedPreceding, -1)
-    split
+    val bucketed = split
       .withColumn("bucket", StableHash.bucket60(
         concat(col("doc_id").cast("string"), lit(":"),
           col("epoch").cast("string")), PackBuckets))
-      .withColumn("__bef", coalesce(sum(col("wc")).over(w), lit(0L)))
+    // the cumsum continues from the base totals (0 for a fresh release):
+    // delta doc_ids sort after every base id, so base cumsums are final
+    val based = baseTotals match {
+      case Some(t) => bucketed.join(
+        broadcast(t.select(col("split"), col("bucket"),
+          col("total_wc").as("__base"))), Seq("split", "bucket"), "left")
+      case None => bucketed.withColumn("__base", lit(0L))
+    }
+    based
+      .withColumn("__bef", coalesce(col("__base"), lit(0L))
+        + coalesce(sum(col("wc")).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"__bef div $SeqTokenBudget"))
-      .drop("__bef")
+      .drop("__bef", "__base")
   }
 
   /** Write with the consumer-shaped LAYOUT (cf. [[graft.sources.Layout]]):
@@ -117,13 +139,19 @@ object CorpusReleaseApp {
     * exchange is reused, not added) and keeps each partition directory
     * written by the tasks owning it — no O(tasks × splits) small files. */
   def release(spark: SparkSession, sfDir: String, outDir: String): Unit =
-    releaseFrame(spark, sfDir)
+    writeRelease(releaseFrame(spark, sfDir), outDir, mode = "overwrite")
+
+  /** The layout-aware release write (shared with the incremental append,
+    * which uses mode = "append" and never touches existing files). */
+  private[apps] def writeRelease(packed: DataFrame, outDir: String,
+                                 mode: String): Unit =
+    packed
       .repartition(col("split"), col("bucket"))
       // split leads the sort: the file writer requires local ordering on
       // the partition column; (split, bucket, seq_id) satisfies it in one
       // pass (see Layout.writePartitionedByDay)
       .sortWithinPartitions(col("split"), col("bucket"), col("seq_id"))
-      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+      .write.mode(mode).partitionBy("split").parquet(outDir)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

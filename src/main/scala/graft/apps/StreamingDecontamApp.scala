@@ -37,9 +37,16 @@ object StreamingDecontamApp {
 
   def benchmark(spark: SparkSession, sfDir: String,
                 shingleN: Int = 4, benchMod: Int = 29,
-                minOverlap: Int = 2): Benchmark = {
+                minOverlap: Int = 2): Benchmark =
+    benchmarkFrom(Tables.documents(spark, sfDir), shingleN, benchMod, minOverlap)
+
+  /** [[benchmark]] over an explicit reference-corpus frame — the
+    * incremental release builds its FIXED eval benchmark from the base
+    * corpus only. */
+  def benchmarkFrom(docs: DataFrame, shingleN: Int, benchMod: Int,
+                    minOverlap: Int): Benchmark = {
     val sh = SimilarityOps.shingleSets(
-        Tables.documents(spark, sfDir), col("doc_id"), col("text"), shingleN)
+        docs, col("doc_id"), col("text"), shingleN)
       .select(col("__id").as("doc_id"),
         explode(array_distinct(col("__sh"))).as("s"))
     // same df ≤ 1000 stop-n-gram guard as the batch pipeline — computed
@@ -72,12 +79,10 @@ object StreamingDecontamApp {
             batch, col("doc_id"), col("text"), bm.shingleN)
           .select(col("__id").as("doc_id"),
             explode(array_distinct(col("__sh"))).as("s"))
-        val contaminated = sh.filter(mightContain(col("s")))
-          .join(bm.rows, "s") // exact verify: kills Bloom false positives
-          .filter(col("doc_id") =!= col("bench_id"))
-          .groupBy("doc_id", "bench_id")
-          .agg(count(lit(1)).as("shared_ngrams"))
-          .filter(col("shared_ngrams") >= bm.minOverlap)
+        // Bloom prefilter map-side, then the shared exact-overlap core
+        // (kills Bloom's false positives)
+        val contaminated = graft.queries.TextQueries.overlapAgainstBench(
+            sh.filter(mightContain(col("s"))), bm.rows, bm.minOverlap)
           .select("doc_id").distinct()
         batch.join(contaminated, Seq("doc_id"), "left_anti")
           .withColumn("__batch", lit(batchId))

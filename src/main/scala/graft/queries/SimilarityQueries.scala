@@ -81,6 +81,12 @@ object SimilarityQueries {
     * pipelines build the ONE shingle frame both stages agree on. */
   private[graft] def shingleN: Int = ShingleN
 
+  /** MinHash tuning accessors for composed pipelines (incremental
+    * release) that must reproduce the EXACT band/verify parameters. */
+  private[graft] def minhashK: Int = MinhashK
+  private[graft] def bandSize: Int = BandSize
+  private[graft] def jaccardThreshold: Double = JaccardThreshold
+
   /** D3 — MinHash-LSH near-dup pairs. */
   private val d3MinhashNeardup: Q = (s, d) =>
     minhashPairs(s, d).orderBy("doc_a", "doc_b")

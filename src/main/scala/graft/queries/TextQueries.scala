@@ -115,9 +115,17 @@ object TextQueries {
     * (CorpusReleaseApp) derives losers from a shared shingle frame so the
     * corpus is tokenized once, not once per stage. */
   private[graft] def cleanCorpusFrom(s: SparkSession, d: String,
+                                     losers: DataFrame): DataFrame =
+    cleanCorpusDocs(Tables.documents(s, d), losers)
+
+  /** [[cleanCorpusFrom]] over an explicit documents frame — the
+    * incremental release runs it over a DELTA only (its fp window then
+    * spans the delta; canonicals vs the already-released base are
+    * resolved by the caller against the fingerprint index). */
+  private[graft] def cleanCorpusDocs(docs: DataFrame,
                                      losers: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    Tables.documents(s, d)
+    docs
       .withColumn("fp", fingerprint(col("text")))
       .withColumn("canon_id", min(col("doc_id")).over(Window.partitionBy("fp")))
       .withColumn("pred_lang", langId(col("text")))
@@ -129,6 +137,18 @@ object TextQueries {
       .select("doc_id", "pred_lang", "quality_score")
       .orderBy("doc_id")
   }
+
+  /** Pair-overlap of corpus shingles against a STATIC benchmark shingle
+    * frame `(bench_id, s)` — the decontamination core once the benchmark
+    * side is fixed (streaming stage, incremental release). Returns
+    * contaminated `(doc_id, bench_id, shared_ngrams)` pairs. */
+  private[graft] def overlapAgainstBench(sh: DataFrame, bench: DataFrame,
+                                         minOverlap: Int): DataFrame =
+    sh.join(broadcast(bench), "s")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minOverlap)
 
   /** C2 — benchmark decontamination: flag corpus documents sharing >= 3
     * distinct 3-gram shingles with any document of a (small) benchmark
