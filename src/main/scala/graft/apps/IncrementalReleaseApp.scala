@@ -150,6 +150,31 @@ object IncrementalReleaseApp {
     dsets.unpersist(); dbands.unpersist(); unionCounts.unpersist()
   }
 
+  // ------------------------------------------------------------- streaming
+
+  /** The STREAMING release: documents arrive as a stream (monotone ids —
+    * ingest order), and every micro-batch [[append]]s incrementally, so
+    * the release and its indexes are valid, queryable state after each
+    * batch — the corpus-release pipeline is no longer a nightly job.
+    * Bootstrap with [[releaseAll]] over the day-0 backfill first.
+    *
+    * Crash contract: a replayed micro-batch fails the monotonicity
+    * `require` LOUDLY instead of double-appending (the ids are already
+    * released) — corruption is impossible, resumption after a mid-append
+    * crash is operator-driven. Production would stage the release+index
+    * writes behind one manifest commit; that machinery is out of scope
+    * here and the abort-don't-corrupt behavior is spec-visible. */
+  def stream(docs: DataFrame, bench: StreamingDecontamApp.Benchmark,
+             outDir: String, indexDir: String,
+             checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (batch.limit(1).count() > 0)
+          append(batch.sparkSession, batch, bench, outDir, indexDir)
+      }
+      .start()
+
   // --------------------------------------------------------------- shared
 
   /** clean (quality + canon + injected losers) → decontaminate (static

@@ -70,6 +70,42 @@ class IncrementalReleaseSpec extends SparkSpec {
     assert(fullRows.exists(_._1 > cut), "no delta doc survived — fixture too small")
   }
 
+  test("streaming release: micro-batch appends == full rebuild") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf)
+    val cut = docs.stat.approxQuantile("doc_id", Array(0.5, 0.75), 0.0)
+    val (c1, c2) = (cut(0).toLong, cut(1).toLong)
+    val base = docs.filter(col("doc_id") <= c1)
+    val bench = StreamingDecontamApp.benchmarkFrom(
+      base, shingleN = 3, benchMod = 37, minOverlap = 3)
+
+    val full = Files.createTempDirectory("srel-full").toString
+    val fullIdx = Files.createTempDirectory("srel-full-idx").toString
+    IncrementalReleaseApp.releaseAll(spark, docs, bench, full, fullIdx)
+
+    val out = Files.createTempDirectory("srel").toString
+    val idx = Files.createTempDirectory("srel-idx").toString
+    IncrementalReleaseApp.releaseAll(spark, base, bench, out, idx)
+
+    // delta streams in two micro-batches, ids ascending across batches
+    val d = docs.filter(col("doc_id") > c1)
+      .select("doc_id", "text", "source")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val (b1, b2) = d.partition(_._1 <= c2)
+    val mem = MemoryStream[(Long, String, String)]
+    val cp = Files.createTempDirectory("srel-cp").toString
+    val q = IncrementalReleaseApp.stream(
+      mem.toDF().toDF("doc_id", "text", "source"), bench, out, idx, cp)
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    } finally q.stop()
+
+    assert(releaseRows(out) == releaseRows(full))
+  }
+
   test("append refuses non-monotone deltas") {
     val docs = Tables.documents(spark, sf)
     val bench = StreamingDecontamApp.benchmarkFrom(
