@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,51 @@ object Layout {
   /** Read back a day-partitioned table. */
   def readPartitioned(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(dir)
+
+  /** Morton (Z-order) interleave of two `bits`-bit values: result bit
+    * `2i` is bit `i` of `a`, bit `2i+1` is bit `i` of `b`. Pure integer
+    * arithmetic — codegen'd, deterministic, engine-portable. */
+  private[graft] def zInterleave(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      (shiftright(a, i).bitwiseAND(1) * lit(1L << (2 * i))) +
+        (shiftright(b, i).bitwiseAND(1) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Rewrite `df` clustered on the Z-ORDER curve of TWO columns — the
+    * layout for tables filtered by either (or both) of two dimensions.
+    *
+    * A single-column sort gives one dimension tight per-file min/max
+    * ranges and leaves the other spanning the whole domain in every file
+    * (no skipping). The space-filling curve trades a little locality on
+    * each axis for locality on BOTH: each file covers a small rectangle
+    * of the (a, b) plane, so parquet min/max stats prune files/row-groups
+    * for predicates on either column — `LayoutSpec` measures exactly
+    * this, against the single-sort layout as the control.
+    *
+    * Values map onto the curve by linear min/max scaling to `bits`-bit
+    * grid cells (one extra stats pass; rank-based scaling would resist
+    * skew better but needs quantiles — the knob to revisit per table).
+    * The curve value is sort-only — never materialized into the files. */
+  def writeZOrdered(df: DataFrame, colA: String, colB: String,
+                    outDir: String, bits: Int = 16,
+                    numFiles: Option[Int] = None): Unit = {
+    val r = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head
+    val (minA, maxA, minB, maxB) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def scaled(c: String, lo: Long, hi: Long): Column = {
+      val span = math.max(1L, hi - lo + 1)
+      ((coalesce(col(c).cast("long"), lit(lo)) - lit(lo)) * lit(1L << bits)
+        / lit(span)).cast("long")
+    }
+    val z = zInterleave(scaled(colA, minA, maxA), scaled(colB, minB, maxB), bits)
+    // numFiles pins the curve-segment count (one file ≈ one rectangle of
+    // the plane); default lets range partitioning + AQE size them
+    numFiles.map(df.repartitionByRange(_, z)).getOrElse(df.repartitionByRange(z))
+      .sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(outDir)
+  }
 
   /** Count of partition directories the physical plan will actually
     * read for `df` (after partition pruning). Diagnostic used by

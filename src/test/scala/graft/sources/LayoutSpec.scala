@@ -48,4 +48,45 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,42)]"),
       s"user_id filter not pushed:\n$plan")
   }
+
+  test("z-order clusters BOTH columns; single-column sort only one") {
+    import org.apache.spark.sql.DataFrame
+    val src = Tables.events(spark, sf).select("event_id", "user_id", "value")
+
+    // per-file fraction of files whose [min,max] intersects a narrow
+    // range predicate on `c` — the file-level model of parquet min/max
+    // row-group skipping (fewer intersecting files = more skipping)
+    def hitFraction(dir: String, c: String): Double = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(c)).as("lo"), max(col(c)).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(stats.length > 4, s"need several files, got ${stats.length}")
+      val domain = stats.map(_._1).min to stats.map(_._2).max
+      val (qLo, qHi) = (domain.head + domain.size / 2,
+        domain.head + domain.size / 2 + domain.size / 20) // a 5% slice
+      stats.count { case (lo, hi) => lo <= qHi && hi >= qLo }.toDouble / stats.length
+    }
+
+    val zDir = Files.createTempDirectory("graft-z").toString
+    Layout.writeZOrdered(src, "event_id", "user_id", zDir, numFiles = Some(16))
+    val sDir = Files.createTempDirectory("graft-s").toString
+    src.repartitionByRange(16, col("event_id"))
+      .sortWithinPartitions(col("event_id"))
+      .write.mode("overwrite").parquet(sDir)
+
+    // row multiset unchanged by the rewrite
+    assert(spark.read.parquet(zDir).count() == src.count())
+    assert(spark.read.parquet(zDir).agg(sum(col("event_id")), sum(col("user_id")))
+      .head.toSeq == src.agg(sum(col("event_id")), sum(col("user_id"))).head.toSeq)
+
+    // the sorted layout prunes its sort column but NOT the other one
+    assert(hitFraction(sDir, "event_id") < 0.5)
+    assert(hitFraction(sDir, "user_id") > 0.9,
+      "control: single-sort files should all span the user_id domain")
+    // the z-ordered layout prunes on EITHER column
+    val (zA, zB) = (hitFraction(zDir, "event_id"), hitFraction(zDir, "user_id"))
+    assert(zA < 0.6, s"z-order event_id hit fraction $zA")
+    assert(zB < 0.6, s"z-order user_id hit fraction $zB")
+  }
 }
