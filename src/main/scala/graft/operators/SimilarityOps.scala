@@ -396,23 +396,40 @@ object SimilarityOps {
 
   /** Assign each corpus vector to its `nprobe` nearest codebook cells by
     * cosine (ties → lowest cid). nprobe=1 is cell assignment; nprobe>1 is
-    * the probe-side multi-cell search list. */
+    * the probe-side multi-cell search list.
+    *
+    * ZERO-SHUFFLE shape: all |codebook| centroids ride in ONE broadcast
+    * row as an array, so per-vector selection is a map-side expression
+    * (score array → sort → slice → explode). The earlier form exchanged
+    * the whole corpus through a per-vector rank window — at 100 TB that
+    * shuffle (vectors × nprobe rows, embedding payload) dominated the
+    * assignment; this one moves nothing. Ordering semantics are
+    * identical (cos desc, ties → lowest cid), so v4/v7 oracles and the
+    * k-means fixpoint are unchanged. */
   private def assignCells(corpus: DataFrame, centroids: DataFrame,
                           nprobe: Int): DataFrame = {
-    val cents = broadcast(centroids
-      .select(col("cid"), col("cvec"),
-        sqrt(VectorFunctions.norm2(col("cvec"))).as("__nc")))
+    val centsArr = centroids
+      .select(struct(col("cid"), col("cvec"),
+        sqrt(VectorFunctions.norm2(col("cvec"))).as("__nc")).as("c"))
+      .agg(collect_list(col("c")).as("__cents")) // one row, broadcast
+    val scored = transform(col("__cents"), c =>
+      struct(cosineFromParts(
+          VectorFunctions.dot(col("embedding"), c.getField("cvec")),
+          col("__nv"), c.getField("__nc")).as("cs"),
+        c.getField("cid").as("cid")))
+    // array_sort comparator == the window's (cs desc, cid asc); cs ties
+    // break by cid, equal cids impossible
+    val byScore = array_sort(scored, (l, r) =>
+      when(l.getField("cs") > r.getField("cs"), -1)
+        .when(l.getField("cs") < r.getField("cs"), 1)
+        .when(l.getField("cid") < r.getField("cid"), -1)
+        .otherwise(1))
     corpus
       .withColumn("__nv", sqrt(VectorFunctions.norm2(col("embedding"))))
-      .crossJoin(cents)
-      .withColumn("__cs", cosineFromParts(
-        VectorFunctions.dot(col("embedding"), col("cvec")),
-        col("__nv"), col("__nc")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("__cs").desc, col("cid"))))
-      .filter(col("__rn") <= nprobe)
+      .crossJoin(broadcast(centsArr))
+      .withColumn("__e", explode(slice(byScore, 1, nprobe)))
       .select(col("vec_id"), col("embedding"), col("__nv"),
-        col("cid").as("cluster"))
+        col("__e.cid").as("cluster"))
   }
 
   /** IVF ANN with a trained codebook and multi-cell probing: every vector
