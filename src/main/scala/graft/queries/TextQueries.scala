@@ -303,6 +303,54 @@ object TextQueries {
       .orderBy("decile")
   }
 
+  /** T10 — approximate deciles via the GK sketch (`approx_percentile`,
+    * accuracy 100 ⇒ rank error ≤ N/100): the SKETCH twin of t6 — the
+    * same relationship a14 has to a3. One pass, fixed-size mergeable
+    * partials per partition, where t6's exact histogram carries
+    * |distinct wc| rows (word counts compress superbly so both are
+    * viable at 100 TB; the sketch wins when the value domain is dense —
+    * float quality scores, latencies). Oracle-visible via the a14
+    * INVARIANT pattern: exact deciles (t6's histogram method) plus
+    * `within_eps` = the approx value's rank interval
+    * [count(<v), count(≤v)] intersects [pos − εN, pos + εN] — DuckDB
+    * computes the exact side and predicts constant TRUE; a broken
+    * sketch path flips the boolean and fails the hash. */
+  private val t10ApproxQuantiles: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.documents(s, d)
+      .groupBy(wordCount(col("text")).as("wc"))
+      .agg(count(lit(1)).as("c"))
+    // bounded input: the global-order window runs over the compressed
+    // histogram (t6's shape), never the corpus
+    val cum = hist.withColumn("cum", sum("c").over(Window.orderBy("wc")))
+    val total = hist.agg(sum(col("c")).as("n"))
+    val exact = s.range(1, 10).toDF("decile")
+      .crossJoin(broadcast(total))
+      .withColumn("pos", expr("(decile * n + 9) div 10"))
+      .join(cum, col("cum") >= col("pos"))
+      .groupBy("decile", "pos", "n")
+      .agg(min(col("wc")).as("wc_decile"))
+    val approx = Tables.documents(s, d)
+      .agg(percentile_approx(wordCount(col("text")),
+        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(100)).as("qs"))
+      .select(posexplode(col("qs")))
+      .select((col("pos") + 1).as("decile"), col("col").as("approx_wc"))
+    // the approx value's exact rank interval, read off the cumulative
+    // histogram (9 × |hist| conditional agg — histogram-sized)
+    val bounds = cum.crossJoin(broadcast(approx))
+      .groupBy("decile", "approx_wc")
+      .agg(max(when(col("wc") < col("approx_wc"), col("cum"))).as("lo"),
+        max(when(col("wc") <= col("approx_wc"), col("cum"))).as("hi"))
+    exact.join(bounds, "decile")
+      .select(col("decile"), col("wc_decile"),
+        (coalesce(col("hi"), lit(0L))
+            >= col("pos") - greatest(lit(1L), expr("n div 100")) &&
+          coalesce(col("lo"), lit(0L))
+            <= col("pos") + greatest(lit(1L), expr("n div 100")))
+          .as("within_eps"))
+      .orderBy("decile")
+  }
+
   /** U6 — per-language top-5 tokens via the bounded TopK AGGREGATOR
     * (the per-group-top-k 100 TB shape: map-side partial top-k, ≤k rows
     * per group×partition reach the shuffle — same machinery as v5, here
@@ -478,6 +526,7 @@ object TextQueries {
     "c2_decontaminate" -> c2Decontaminate,
     "c3_source_filter" -> c3SourceFilter,
     "t6_length_quantiles" -> t6LengthQuantiles,
+    "t10_approx_quantiles" -> t10ApproxQuantiles,
     "t7_redact" -> t7Redact,
     "u6_top_tokens" -> u6TopTokensPerLang,
     "u2_token_count" -> u2TokenCount,
@@ -683,6 +732,19 @@ object TextQueries {
          |tot AS (SELECT SUM(c) AS n FROM hist),
          |d AS (SELECT unnest(generate_series(1, 9)) AS decile)
          |SELECT decile, MIN(wc) AS wc_decile
+         |FROM d CROSS JOIN tot CROSS JOIN cum
+         |WHERE cum >= (decile * n + 9) // 10
+         |GROUP BY decile ORDER BY decile""".stripMargin,
+    // the GK estimate is engine-specific; the oracle checks the exact
+    // deciles plus the rank-ε invariant the sketch must satisfy
+    "t10_approx_quantiles" ->
+      s"""WITH hist AS (
+         |  SELECT wc, COUNT(*) AS c FROM (SELECT $wcSql AS wc FROM documents)
+         |  GROUP BY wc),
+         |cum AS (SELECT wc, SUM(c) OVER (ORDER BY wc) AS cum FROM hist),
+         |tot AS (SELECT SUM(c) AS n FROM hist),
+         |d AS (SELECT unnest(generate_series(1, 9)) AS decile)
+         |SELECT decile, MIN(wc) AS wc_decile, TRUE AS within_eps
          |FROM d CROSS JOIN tot CROSS JOIN cum
          |WHERE cum >= (decile * n + 9) // 10
          |GROUP BY decile ORDER BY decile""".stripMargin,
