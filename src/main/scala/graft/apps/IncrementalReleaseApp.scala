@@ -150,6 +150,59 @@ object IncrementalReleaseApp {
     dsets.unpersist(); dbands.unpersist(); unionCounts.unpersist()
   }
 
+  // -------------------------------------------------------------- takedown
+
+  /** Retract documents from the release (takedown / opt-out — the
+    * right-to-be-forgotten operation a living corpus must support
+    * without a rebuild): rewrites ONLY the parquet files that contain
+    * the target rows (split-directory pruning + per-file containment),
+    * leaving every other file byte-untouched — O(files-hit), not
+    * O(release).
+    *
+    * Semantics the spec pins down:
+    *  - retracted rows vanish; all other rows are exactly preserved —
+    *    packed sequence ids keep their values, so retraction leaves
+    *    HOLES in sequences rather than repacking (consumers already
+    *    tolerate short sequences; repacking would rewrite the world);
+    *  - the packing TOTALS keep counting retracted tokens — later
+    *    appends land exactly where they would have anyway;
+    *  - the fingerprint index keeps the retracted fp: a byte-identical
+    *    future copy of a taken-down document must NOT re-enter the
+    *    release (takedown is a verdict, not an eviction). */
+  def retract(spark: SparkSession, docIds: Seq[Long], outDir: String,
+              indexDir: String): Unit = {
+    import org.apache.spark.sql.functions.{col => c}
+    if (docIds.isEmpty) return
+    val hit = spark.read.parquet(outDir)
+      .filter(c("doc_id").isin(docIds: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)) // bounded: ≤ |docIds| × epochs files
+    if (hit.isEmpty) return
+    // rewrite each hit file minus the targets, then swap — per-file, so
+    // a file's split value is implicit in its directory (re-derive it
+    // from the path for the rewritten rows' location)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    hit.foreach { f =>
+      val path = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      val dir = path.getParent // .../split=<s>
+      val kept = spark.read.parquet(f)
+        .filter(!c("doc_id").isin(docIds: _*))
+      // one file in, one file out: keep the layout contract (rows were
+      // sorted by (bucket, seq_id) within the file; the filter preserves
+      // order on a single-file single-partition read)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".retract-${path.getName}")
+      kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no output for $f"))
+      fs.delete(path, false)
+      fs.rename(part, new org.apache.hadoop.fs.Path(dir, path.getName))
+      fs.delete(tmp, true)
+    }
+  }
+
   // ------------------------------------------------------------- streaming
 
   /** The STREAMING release: documents arrive as a stream (monotone ids —

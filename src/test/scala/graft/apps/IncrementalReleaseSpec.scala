@@ -106,6 +106,46 @@ class IncrementalReleaseSpec extends SparkSpec {
     assert(releaseRows(out) == releaseRows(full))
   }
 
+  test("retract removes targets, preserves everything else, touches only hit files") {
+    val docs = Tables.documents(spark, sf)
+    val bench = StreamingDecontamApp.benchmarkFrom(
+      docs, shingleN = 3, benchMod = 37, minOverlap = 3)
+    val out = Files.createTempDirectory("rel-ret").toString
+    val idx = Files.createTempDirectory("rel-ret-idx").toString
+    IncrementalReleaseApp.releaseAll(spark, docs, bench, out, idx)
+
+    val before = releaseRows(out)
+    val filesBefore = parquetFiles(out)
+    // pick 3 released docs, preferring one with multiple epochs
+    val multi = before.groupBy(_._1).filter(_._2.size > 1).keys.headOption
+    val targets = (multi.toSeq ++ before.map(_._1).toSeq.sorted).distinct.take(3)
+    val hitFiles = spark.read.parquet(out)
+      .filter(col("doc_id").isin(targets: _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+      .map(f => new java.net.URI(f).getPath).toSet
+    assert(hitFiles.nonEmpty)
+
+    IncrementalReleaseApp.retract(spark, targets, out, idx)
+
+    val after = releaseRows(out)
+    assert(after == before.filterNot(r => targets.contains(r._1)),
+      "retract must remove exactly the target rows")
+    // only hit files were rewritten; every other file is byte-untouched
+    val filesAfter = parquetFiles(out)
+    filesBefore.filterNot { case (f, _) => hitFiles.contains(f) }
+      .foreach { case (f, size) =>
+        assert(filesAfter.get(f).contains(size), s"retract touched unrelated $f")
+      }
+    // the fp index still knows the retracted docs: a byte-identical
+    // future copy must not re-enter (takedown is a verdict)
+    val retractedFps = docs.filter(col("doc_id").isin(targets: _*))
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    val idxFps = spark.read.parquet(s"$idx/fps")
+      .as[String].collect().toSet
+    assert(retractedFps.subsetOf(idxFps))
+  }
+
   test("append refuses non-monotone deltas") {
     val docs = Tables.documents(spark, sf)
     val bench = StreamingDecontamApp.benchmarkFrom(
