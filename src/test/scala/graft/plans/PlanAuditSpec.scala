@@ -36,6 +36,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
   }
 
+  test("the corpus-release frame satisfies the plan invariants too") {
+    // the app layer composes many operators into one plan — the place a
+    // lost broadcast or an accidental cartesian would actually ship
+    val vs = try PlanAudit.violations(
+        graft.apps.CorpusReleaseApp.releaseFrame(spark, sf))
+      finally spark.catalog.clearCache()
+    assert(vs.isEmpty, vs.mkString("\n"))
+  }
+
   test("v2's signature projection survives CollapseProject (alias intact)") {
     // the __sig alias is what keeps the 36 plane dots computed ONCE per
     // row instead of once per band reference (a measured nTables×
