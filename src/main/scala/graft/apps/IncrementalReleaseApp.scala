@@ -173,8 +173,15 @@ object IncrementalReleaseApp {
               indexDir: String): Unit = {
     import org.apache.spark.sql.functions.{col => c}
     if (docIds.isEmpty) return
+    // a document's split is a pure function of its id, so the discovery
+    // scan partition-prunes to the target docs' split directories before
+    // the pushed doc_id filter does the row-group work
+    val splits = docIds.map { id =>
+      val h = graft.functions.StableHash.stable60Local(id.toString) % 100
+      if (h < 80) "train" else if (h < 90) "validation" else "test"
+    }.distinct
     val hit = spark.read.parquet(outDir)
-      .filter(c("doc_id").isin(docIds: _*))
+      .filter(c("split").isin(splits: _*) && c("doc_id").isin(docIds: _*))
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)) // bounded: ≤ |docIds| × epochs files
     if (hit.isEmpty) return
