@@ -211,19 +211,6 @@ object SimilarityOps {
     * the fixed-order float chain reproduce bit-for-bit in DuckDB. */
   def annQuantized(corpus: DataFrame, isProbe: Column, topK: Int,
                    rerankK: Int): DataFrame = {
-    // A ZERO vector has maxabs=0, so x·127/maxabs would be NaN — and NaN
-    // sorts GREATEST under desc ordering, flooding every candidate set
-    // (and DuckDB's NaN ordering diverges). Zero vectors quantize to
-    // zero CODES and score r=0 instead, matching cosineFromParts' zero-
-    // norm convention.
-    val quantized = corpus
-      .withColumn("maxabs",
-        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-      .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
-      .withColumn("qv", when(col("maxabs") === 0.0,
-          transform(col("embedding"), _ => lit(0L)))
-        .otherwise(transform(col("embedding"),
-          x => round(x.cast("double") * lit(127.0) / col("maxabs")).cast("long"))))
     // The quantized frame is referenced exactly ONCE (the candidate
     // scan), so it needs no persist (an earlier draft cached it and
     // leaked the blocks for the session lifetime): probes are few — re-
@@ -231,23 +218,57 @@ object SimilarityOps {
     // rerank reads raw (vec_id, embedding) columns, which is what a
     // 100 TB run does anyway (the corpus doesn't fit cache; the codes
     // are the MATERIALIZED index there, not a cache entry).
+    val quantized = quantizeCodes(corpus)
     val probes = quantized.filter(isProbe)
       .select(col("vec_id").as("q_id"), col("qv").as("qa"))
+    val scored = quantized.select(col("vec_id"), col("qv"), col("maxabs"), col("__nb"))
+      .crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("r", dequantizedRank)
+    exactRerank(corpus, isProbe, scored, rerankK, topK)
+  }
+
+  /** int8 scalar quantization — adds `maxabs` (the per-vector scale),
+    * `__nb` (the float norm) and `qv` (the codes) to `df`. A ZERO vector
+    * has maxabs=0, so x·127/maxabs would be NaN — and NaN sorts GREATEST
+    * under desc ordering, flooding every candidate set (and DuckDB's NaN
+    * ordering diverges). Zero vectors quantize to zero CODES instead,
+    * matching cosineFromParts' zero-norm convention. Shared by
+    * [[annQuantized]] and [[ivfQuantizedAnn]] — one drifting from the
+    * other would silently de-sync their oracles. */
+  private def quantizeCodes(df: DataFrame): DataFrame = df
+    .withColumn("maxabs",
+      array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+    .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
+    .withColumn("qv", when(col("maxabs") === 0.0,
+        transform(col("embedding"), _ => lit(0L)))
+      .otherwise(transform(col("embedding"),
+        x => round(x.cast("double") * lit(127.0) / col("maxabs")).cast("long"))))
+
+  /** Dequantized candidate score r = qdot·scale/‖b‖ over the exact int64
+    * code dot (columns `qa`/`qv`/`maxabs`/`__nb`); monotone in the probe
+    * so probe-side constants drop out. Zero-norm candidates score 0. */
+  private def dequantizedRank: Column = {
     val qdot = aggregate(
       zip_with(col("qa"), col("qv"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
-    // candidate selection runs on a NARROW (q_id, vec_id, r) projection:
-    // only 16 bytes + the rank key per scored row reach the crnk window
-    // exchange — shuffling the float vectors here would cost more than
-    // the quantization saved (the codes are for the SCAN, the window
-    // moves ids only). Survivors (≤ probes × rerankK rows) are tiny;
-    // they broadcast back against the corpus to fetch vectors for the
-    // exact rerank.
-    val cand = quantized.select(col("vec_id"), col("qv"), col("maxabs"), col("__nb"))
-      .crossJoin(broadcast(probes))
-      .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("r", when(col("__nb") === 0.0, lit(0.0)).otherwise(
-        (qdot.cast("double") * (col("maxabs") / lit(127.0))) / col("__nb")))
+    when(col("__nb") === 0.0, lit(0.0)).otherwise(
+      (qdot.cast("double") * (col("maxabs") / lit(127.0))) / col("__nb"))
+  }
+
+  /** Exact-cosine rerank: candidate selection runs on a NARROW
+    * (q_id, vec_id, r) projection — only 16 bytes + the rank key per
+    * scored row reach the crnk window exchange; shuffling the float
+    * vectors here would cost more than the quantization saved (the codes
+    * are for the SCAN, the window moves ids only). Survivors (≤ probes ×
+    * rerankK rows) are tiny; they broadcast back against the corpus to
+    * fetch vectors for the exact rerank, whose cosine is identical to
+    * [[annBruteForce]]'s — quantization error can only cost recall,
+    * never wrong scores. */
+  private def exactRerank(corpus: DataFrame, isProbe: Column,
+                          scored: DataFrame, rerankK: Int,
+                          topK: Int): DataFrame = {
+    val cand = scored
       .select(col("q_id"), col("vec_id"), col("r"))
       .withColumn("crnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("r").desc, col("vec_id"))))
@@ -467,48 +488,18 @@ object SimilarityOps {
   def ivfQuantizedAnn(corpus: DataFrame, centroids: DataFrame,
                       isProbe: Column, topK: Int, nprobe: Int,
                       rerankK: Int): DataFrame = {
-    def quantize(df: DataFrame, vec: String): DataFrame = df
-      .withColumn("__ma", array_max(transform(col(vec), x => abs(x.cast("double")))))
-      // zero vectors → zero codes, not NaN (see annQuantized)
-      .withColumn("__q", when(col("__ma") === 0.0,
-          transform(col(vec), _ => lit(0L)))
-        .otherwise(transform(col(vec),
-          x => round(x.cast("double") * lit(127.0) / col("__ma")).cast("long"))))
     // the inverted file: per-cell int8 codes, scale, norm — no embedding
-    val codes = quantize(assignCells(corpus, centroids, nprobe = 1), "embedding")
-      .select(col("vec_id"), col("cluster"), col("__q").as("qv"),
-        col("__ma").as("maxabs"), col("__nv"))
+    val codes = quantizeCodes(assignCells(corpus, centroids, nprobe = 1))
+      .select(col("vec_id"), col("cluster"), col("qv"), col("maxabs"),
+        col("__nb"))
     // probes are few: their nprobe-cell search list and codes broadcast
-    val qprobes = quantize(
-        assignCells(corpus.filter(isProbe), centroids, nprobe), "embedding")
-      .select(col("vec_id").as("q_id"), col("cluster"), col("__q").as("qa"))
-    val qdot = aggregate(
-      zip_with(col("qa"), col("qv"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
-    val cand = codes.join(broadcast(qprobes), "cluster")
+    val qprobes = quantizeCodes(
+        assignCells(corpus.filter(isProbe), centroids, nprobe))
+      .select(col("vec_id").as("q_id"), col("cluster"), col("qv").as("qa"))
+    val scored = codes.join(broadcast(qprobes), "cluster")
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("r", when(col("__nv") === 0.0, lit(0.0)).otherwise(
-        (qdot.cast("double") * (col("maxabs") / lit(127.0))) / col("__nv")))
-      .select(col("q_id"), col("vec_id"), col("r"))
-      .withColumn("crnk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("r").desc, col("vec_id"))))
-      .filter(col("crnk") <= rerankK)
-      .select(col("q_id"), col("vec_id"))
-    val withN = corpus
-      .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
-    val probeVecs = withN.filter(isProbe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("__nb").as("__na"))
-    broadcast(cand)
-      .join(broadcast(probeVecs), "q_id")
-      .join(withN.select(col("vec_id"), col("embedding"), col("__nb")), "vec_id")
-      .withColumn("cos_sim", cosineFromParts(
-        VectorFunctions.dot(col("q_vec"), col("embedding")),
-        col("__na"), col("__nb")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("vec_id"))))
-      .filter(col("rank") <= topK)
-      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+      .withColumn("r", dequantizedRank)
+    exactRerank(corpus, isProbe, scored, rerankK, topK)
   }
 
   /** N-gram-Jaccard near-dup: bottom-hash blocking over LONG (`blockN`)

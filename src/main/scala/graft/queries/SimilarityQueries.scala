@@ -444,24 +444,30 @@ object SimilarityQueries {
   /** v6 oracle: mirrors annQuantized exactly — int8 codes via
     * round(x·127/max|x|), exact int64 candidate dot, dequantized rank
     * (same float-op order as the Spark column chain), top-2k rerank
-    * with v1's cosine. */
+    * with v1's cosine. The zero-vector guards (maxabs=0 → zero codes,
+    * nb=0 → r=0) mirror the Spark side's — an unguarded division would
+    * yield NaN here and diverge from Spark's r=0 convention. */
   private val v6Sql =
     s"""WITH qz AS (
        |  SELECT vec_id, embedding,
        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nb,
-       |    list_transform(embedding,
-       |      x -> CAST(round(x::DOUBLE * 127.0 / list_max(
-       |        list_transform(embedding, y -> abs(y::DOUBLE)))) AS BIGINT)) AS qv
+       |    CASE WHEN list_max(list_transform(embedding, y -> abs(y::DOUBLE))) = 0
+       |      THEN list_transform(embedding, x -> 0::BIGINT)
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(round(x::DOUBLE * 127.0 / list_max(
+       |          list_transform(embedding, y -> abs(y::DOUBLE)))) AS BIGINT))
+       |    END AS qv
        |  FROM embeddings),
        |probes AS (
        |  SELECT vec_id AS q_id, embedding AS q_vec, qv AS qa
        |  FROM qz WHERE vec_id < $NProbes),
        |cand AS (
        |  SELECT q_id, vec_id, q_vec, embedding,
-       |    (CAST(list_reduce(list_transform(list_zip(qa, qv),
-       |        p -> p[1] * p[2]), (x, y) -> x + y) AS DOUBLE)
-       |      * (maxabs / 127.0)) / nb AS r
+       |    CASE WHEN nb = 0 THEN 0.0 ELSE
+       |      (CAST(list_reduce(list_transform(list_zip(qa, qv),
+       |          p -> p[1] * p[2]), (x, y) -> x + y) AS DOUBLE)
+       |        * (maxabs / 127.0)) / nb END AS r
        |  FROM qz CROSS JOIN probes WHERE q_id <> vec_id),
        |top AS (
        |  SELECT q_id, vec_id, q_vec, embedding FROM (
@@ -599,18 +605,22 @@ object SimilarityQueries {
        |  SELECT vec_id, cluster,
        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs,
        |    sqrt(${dotSql("embedding", "embedding")}) AS nv,
-       |    list_transform(embedding,
-       |      x -> CAST(round(x::DOUBLE * 127.0 / list_max(
-       |        list_transform(embedding, y -> abs(y::DOUBLE)))) AS BIGINT)) AS qv
+       |    CASE WHEN list_max(list_transform(embedding, y -> abs(y::DOUBLE))) = 0
+       |      THEN list_transform(embedding, x -> 0::BIGINT)
+       |      ELSE list_transform(embedding,
+       |        x -> CAST(round(x::DOUBLE * 127.0 / list_max(
+       |          list_transform(embedding, y -> abs(y::DOUBLE)))) AS BIGINT))
+       |    END AS qv
        |  FROM assigned),
        |qprobes AS (
        |  SELECT p.vec_id AS q_id, p.cluster, z.qv AS qa
        |  FROM pcells p JOIN qz z ON p.vec_id = z.vec_id),
        |cand AS (
        |  SELECT q_id, z.vec_id,
-       |    (CAST(list_reduce(list_transform(list_zip(qa, z.qv),
-       |        p -> p[1] * p[2]), (x, y) -> x + y) AS DOUBLE)
-       |      * (z.maxabs / 127.0)) / z.nv AS r
+       |    CASE WHEN z.nv = 0 THEN 0.0 ELSE
+       |      (CAST(list_reduce(list_transform(list_zip(qa, z.qv),
+       |          p -> p[1] * p[2]), (x, y) -> x + y) AS DOUBLE)
+       |        * (z.maxabs / 127.0)) / z.nv END AS r
        |  FROM qz z JOIN qprobes USING (cluster) WHERE q_id <> z.vec_id),
        |top AS (
        |  SELECT q_id, vec_id FROM (
