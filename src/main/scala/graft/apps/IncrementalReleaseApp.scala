@@ -1,5 +1,9 @@
 package graft.apps
 
+import java.net.URI
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,12 +24,14 @@ import graft.queries.{SimilarityQueries, TextQueries}
   *                  whose fp is already indexed can never be canonical);
   *   - `bands`    — every document's MinHash band signatures (near-dup
   *                  gate: delta candidates come from band-bucket
-  *                  collisions against base ∪ delta);
+  *                  collisions against base ∪ delta), PARTITIONED by a
+  *                  sig prefix so an append's read prunes to the delta's
+  *                  own buckets at planning time;
   *   - `shingles` — per-document shingle arrays (exact-Jaccard verify of
   *                  the rare candidates — the shingle index);
   *   - `totals`   — per-(split, bucket) token totals (the packing cumsum
   *                  CONTINUES from them);
-  *   - `meta`     — max doc_id released (monotonicity guard).
+  *   - `meta`     — max doc_id released (monotonicity + replay guard).
   *
   * Equality guarantee (spec-asserted byte-for-byte):
   * `append(releaseAll(A), B) == releaseAll(A ∪ B)` whenever
@@ -35,8 +41,20 @@ import graft.queries.{SimilarityQueries, TextQueries}
   *      change base verdicts, which an append cannot do — rebuild).
   * Every downstream stage (sample/mix/split/pack) is a pure per-document
   * function, so base rows are FINAL: the append never rewrites a base
-  * file, and all index updates are parquet appends — O(delta) work,
-  * O(delta) writes, regardless of base size.
+  * file, and all updates are parquet appends — O(delta) writes, and
+  * O(delta) READS of the bands index (the other index reads are a
+  * narrow fps column and the tiny totals/meta frames).
+  *
+  * Crash contract (spec-asserted): every append is STAGED first
+  * (`<indexDir>/_staging`), then committed by moving the staged files
+  * into place in one manifest-ordered pass with the `meta` marker LAST.
+  * A crash before the manifest exists leaves nothing visible (the
+  * staging is discarded and recomputed on replay); a crash mid-commit
+  * is completed idempotently from the manifest on the next append; and
+  * a delta whose ids are already covered by `meta` is a NO-OP — so a
+  * replayed micro-batch HEALS a torn append instead of double-appending.
+  * Single writer assumed (one stream / one operator per release), and
+  * staging+release+index must share a filesystem (renames, not copies).
   *
   * The benchmark is FIXED (a real eval set does not grow with the
   * corpus) and passed in explicitly — its shingle length must match the
@@ -50,6 +68,20 @@ object IncrementalReleaseApp {
   private val Thresh = SimilarityQueries.jaccardThreshold
   private val Cap = 1000 // candidatePairs' flood cap (same constant)
 
+  /** The bands index is directory-partitioned by this many leading hex
+    * chars of the md5 band sig (2 → 256 directories): an append collects
+    * the ≤ 256 prefixes its delta touches and prunes the index scan to
+    * those directories at PLANNING time — the same lever `retract` uses
+    * for split directories. */
+  private val SigPrefixLen = 2
+
+  /** TEST-ONLY crash injection for the replay-heal spec — never set
+    * outside tests. `crashBeforeCommit` dies after staging but before
+    * the commit manifest exists; `crashAfterMoves = n` dies after the
+    * n-th committed file move. */
+  private[apps] var crashBeforeCommit: Boolean = false
+  private[apps] var crashAfterMoves: Int = Int.MaxValue
+
   // ------------------------------------------------------------ full build
 
   /** Batch build over `docs` + static benchmark: writes the release to
@@ -59,6 +91,10 @@ object IncrementalReleaseApp {
                  outDir: String, indexDir: String): Unit = {
     require(bench.shingleN == N,
       s"benchmark shingle length ${bench.shingleN} != release's $N")
+    // a full rebuild overwrites everything — any torn append's staging
+    // under this index is superseded, not healed
+    val fs = fsFor(spark, indexDir)
+    fs.delete(stagingPath(indexDir), true)
     val sets = SimilarityOps.shingleSets(docs, col("doc_id"), col("text"), N)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = SimilarityOps.lshBands(
@@ -75,15 +111,20 @@ object IncrementalReleaseApp {
   // --------------------------------------------------------------- append
 
   /** Append `delta` to the release at `outDir` using ONLY the delta and
-    * the sidecar indexes — the base corpus is not an input. */
+    * the sidecar indexes — the base corpus is not an input. Idempotent:
+    * a delta already covered by the released max id no-ops (micro-batch
+    * replay), and a torn previous append is healed first. */
   def append(spark: SparkSession, delta: DataFrame,
              bench: StreamingDecontamApp.Benchmark,
              outDir: String, indexDir: String): Unit = {
     require(bench.shingleN == N,
       s"benchmark shingle length ${bench.shingleN} != release's $N")
+    heal(spark, indexDir)
     val maxBase = spark.read.parquet(s"$indexDir/meta")
       .agg(max(col("max_doc_id"))).head.getLong(0)
-    val minDelta = delta.agg(min(col("doc_id"))).head.getLong(0)
+    val mm = delta.agg(min(col("doc_id")), max(col("doc_id"))).head
+    val (minDelta, maxDelta) = (mm.getLong(0), mm.getLong(1))
+    if (maxDelta <= maxBase) return // replayed, fully-applied batch: no-op
     require(minDelta > maxBase,
       s"delta ids must exceed the released max ($minDelta <= $maxBase): " +
         "append-only equality needs monotone ingest order")
@@ -93,7 +134,13 @@ object IncrementalReleaseApp {
     val dbands = SimilarityOps.lshBands(
         SimilarityOps.minhashSignature(dsets, K), K, B)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idxBands = spark.read.parquet(s"$indexDir/bands")
+    // Only band buckets the DELTA touches can produce candidates or new
+    // flood verdicts, so the base index is read pruned two ways: the
+    // delta's sig prefixes eliminate whole index partitions at planning
+    // time, and the broadcast semi-join keeps only delta-touched buckets
+    // — O(delta) read, matching the header's claim.
+    val dkeys = dbands.select(col("band"), col("sig")).distinct()
+    val idxBands = deltaTouchedBands(spark, indexDir, dkeys)
 
     // ---- near-dup: candidates = band-bucket collisions with the DELTA
     // on the loser (greater-id) side, capped on the UNION bucket size —
@@ -104,7 +151,8 @@ object IncrementalReleaseApp {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // guard 2: a delta that pushes a bucket holding >= 2 base docs over
     // the cap would retroactively drop base-base pairs in a rebuild —
-    // the one shape an append cannot reproduce
+    // the one shape an append cannot reproduce. Untouched buckets keep
+    // their counts, so checking the delta-touched slice is exhaustive.
     val flooded = idxBands.groupBy("band", "sig")
       .agg(count(lit(1)).as("__base"))
       .filter(col("__base") >= 2 && col("__base") <= Cap)
@@ -114,7 +162,7 @@ object IncrementalReleaseApp {
       s"$flooded band buckets shared by base documents would cross the " +
         "flood cap — base verdicts would change; rebuild instead")
     val okBuckets = unionCounts.filter(col("__bc") <= Cap).select("band", "sig")
-    val partners = idxBands.union(dbands)
+    val partners = idxBands.unionByName(dbands)
       .join(okBuckets, Seq("band", "sig"))
       .select(col("band"), col("sig"), col("__id").as("a"))
     val dside = dbands.join(okBuckets, Seq("band", "sig"))
@@ -145,10 +193,118 @@ object IncrementalReleaseApp {
       .agg(sum(col("wc_sum")).as("total_wc"))
     val packed = packKept(freshDelta, dsets, dlosers, bench,
       baseTotals = Some(baseTotals))
-    CorpusReleaseApp.writeRelease(packed, outDir, mode = "append")
-    writeIndex(delta, dsets, dbands, packed, indexDir, mode = "append")
+
+    // ---- staged commit: write everything under _staging, then move the
+    // files into place manifest-ordered with meta LAST (see header).
+    val fs = fsFor(spark, indexDir)
+    val staging = stagingPath(indexDir)
+    fs.delete(staging, true)
+    CorpusReleaseApp.writeRelease(packed, s"$staging/release", mode = "overwrite")
+    writeIndex(delta, dsets, dbands, packed, s"$staging/idx", mode = "overwrite")
     dsets.unpersist(); dbands.unpersist(); unionCounts.unpersist()
+    if (crashBeforeCommit) throw new IllegalStateException(
+      "injected crash: staged but uncommitted")
+    val moves = stagedMoves(fs, staging, outDir, indexDir)
+    writeManifest(fs, staging, moves)
+    commitMoves(fs, moves)
+    fs.delete(staging, true)
   }
+
+  /** Complete (or discard) a torn append left by a crash: a staging dir
+    * WITH a commit manifest finishes its moves idempotently (meta last —
+    * after this the batch reads as applied and its replay no-ops); one
+    * WITHOUT a manifest never published anything and is simply removed. */
+  private def heal(spark: SparkSession, indexDir: String): Unit = {
+    val fs = fsFor(spark, indexDir)
+    val staging = stagingPath(indexDir)
+    if (!fs.exists(staging)) return
+    val manifest = new Path(staging, "COMMIT")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      commitMoves(fs, lines.map { l =>
+        val Array(s, d) = l.split('\t'); (new Path(s), new Path(d))
+      })
+    }
+    fs.delete(staging, true)
+  }
+
+  /** The bands-index slice an append actually needs: partition-pruned to
+    * the delta's sig prefixes (planning-time, ≤ 16^SigPrefixLen literal
+    * values), then semi-joined to the delta's exact (band, sig) buckets.
+    * Exposed private[apps] so the spec can assert the pruning. */
+  private[apps] def deltaTouchedBands(spark: SparkSession, indexDir: String,
+                                      dkeys: DataFrame): DataFrame = {
+    val prefixes = dkeys
+      .select(substring(col("sig"), 1, SigPrefixLen).as("p")).distinct()
+      .collect().map(_.getString(0)) // bounded: ≤ 256 values
+    spark.read.parquet(s"$indexDir/bands")
+      .filter(col("__sp").isin(prefixes.toSeq: _*))
+      .join(broadcast(dkeys), Seq("band", "sig"))
+      .select(col("__id"), col("band"), col("sig")) // lshBands' column order
+  }
+
+  /** Every staged data file and its final home, meta files LAST so the
+    * replay guard only trips once everything else is in place. */
+  private def stagedMoves(fs: FileSystem, staging: Path, outDir: String,
+                          indexDir: String): Seq[(Path, Path)] = {
+    def files(root: Path): Seq[Path] = {
+      if (!fs.exists(root)) return Nil
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (!p.getName.startsWith("_") && !p.getName.startsWith(".")) buf += p
+      }
+      buf.toSeq
+    }
+    // listFiles returns scheme-qualified paths — qualify the roots the
+    // same way before stripping them off
+    def rebase(p: Path, root: Path, dest: String): Path = {
+      val q = fs.makeQualified(root).toString + "/"
+      require(p.toString.startsWith(q), s"staged file $p outside root $q")
+      new Path(dest + "/" + p.toString.stripPrefix(q))
+    }
+    val rel = files(new Path(staging, "release"))
+      .map(p => p -> rebase(p, new Path(staging, "release"), outDir))
+    val idx = files(new Path(staging, "idx"))
+      .map(p => p -> rebase(p, new Path(staging, "idx"), indexDir))
+    val (meta, rest) = (rel ++ idx).partition(_._2.toString.contains("/meta/"))
+    rest ++ meta
+  }
+
+  private def writeManifest(fs: FileSystem, staging: Path,
+                            moves: Seq[(Path, Path)]): Unit = {
+    val tmp = new Path(staging, ".COMMIT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(moves.map { case (s, d) => s"$s\t$d" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new Path(staging, "COMMIT")),
+      "could not publish commit manifest")
+  }
+
+  /** Idempotent, resumable move pass: a file already at its destination
+    * (a replayed crash-interrupted commit) is skipped; missing on BOTH
+    * sides is corruption and fails loudly. */
+  private def commitMoves(fs: FileSystem, moves: Seq[(Path, Path)]): Unit =
+    moves.zipWithIndex.foreach { case ((src, dst), i) =>
+      if (i >= crashAfterMoves) throw new IllegalStateException(
+        s"injected crash: commit interrupted after $i moves")
+      if (fs.exists(src)) {
+        fs.mkdirs(dst.getParent)
+        require(!fs.exists(dst), s"commit destination already exists: $dst")
+        require(fs.rename(src, dst), s"commit move failed: $src -> $dst")
+      } else require(fs.exists(dst),
+        s"commit lost a file (neither $src nor $dst exists)")
+    }
+
+  private def fsFor(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def stagingPath(indexDir: String): Path =
+    new Path(s"$indexDir/_staging")
 
   // -------------------------------------------------------------- takedown
 
@@ -156,8 +312,8 @@ object IncrementalReleaseApp {
     * right-to-be-forgotten operation a living corpus must support
     * without a rebuild): rewrites ONLY the parquet files that contain
     * the target rows (split-directory pruning + per-file containment),
-    * leaving every other file byte-untouched — O(files-hit), not
-    * O(release).
+    * in ONE Spark job regardless of how many files are hit, leaving
+    * every other file byte-untouched — O(files-hit), not O(release).
     *
     * Semantics the spec pins down:
     *  - retracted rows vanish; all other rows are exactly preserved —
@@ -168,7 +324,20 @@ object IncrementalReleaseApp {
     *    appends land exactly where they would have anyway;
     *  - the fingerprint index keeps the retracted fp: a byte-identical
     *    future copy of a taken-down document must NOT re-enter the
-    *    release (takedown is a verdict, not an eviction). */
+    *    release (takedown is a verdict, not an eviction);
+    *  - the bands/shingles indexes ALSO keep the retracted documents,
+    *    deliberately: the verdict extends to NEAR-duplicates — a later
+    *    delta document that is substantially the taken-down content
+    *    loses the near-dup comparison against it and stays out, exactly
+    *    as a trivially-perturbed copy should. (Appends after a
+    *    retraction therefore equal a rebuild over the PRE-retraction
+    *    corpus minus the holes, not a rebuild that never saw the
+    *    retracted docs — that is the intended takedown semantic.)
+    *
+    * Each file swap goes through a dot-prefixed aside copy (invisible
+    * to parquet readers), so every intermediate state still holds one
+    * complete copy of the kept rows — a crash can orphan an aside file
+    * or leave a file's rows temporarily dark, but never lose them. */
   def retract(spark: SparkSession, docIds: Seq[Long], outDir: String,
               indexDir: String): Unit = {
     import org.apache.spark.sql.functions.{col => c}
@@ -183,31 +352,46 @@ object IncrementalReleaseApp {
     val hit = spark.read.parquet(outDir)
       .filter(c("split").isin(splits: _*) && c("doc_id").isin(docIds: _*))
       .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0)) // bounded: ≤ |docIds| × epochs files
+      .collect().map(_.getString(0)).sorted // bounded: ≤ |docIds| × epochs
     if (hit.isEmpty) return
-    // rewrite each hit file minus the targets, then swap — per-file, so
-    // a file's split value is implicit in its directory (re-derive it
-    // from the path for the rewritten rows' location)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    hit.foreach { f =>
-      val path = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      val dir = path.getParent // .../split=<s>
-      val kept = spark.read.parquet(f)
-        .filter(!c("doc_id").isin(docIds: _*))
-      // one file in, one file out: keep the layout contract (rows were
-      // sorted by (bucket, seq_id) within the file; the filter preserves
-      // order on a single-file single-partition read)
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        s".retract-${path.getName}")
-      kept.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath)
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no output for $f"))
-      fs.delete(path, false)
-      fs.rename(part, new org.apache.hadoop.fs.Path(dir, path.getName))
-      fs.delete(tmp, true)
+    // ONE job rewrites every hit file: the hit list is read as one
+    // relation, each row rejoins its file's ordinal via input_file_name
+    // (raise_error if a row somehow matches no hit file — losing kept
+    // rows silently is the one unacceptable failure), and the write
+    // fans the survivors back out into one directory per original file.
+    val lookup = spark.createDataFrame(hit.toSeq.zipWithIndex)
+      .toDF("__f", "__fid")
+    val tmp = new Path(s"$outDir/_retract")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(hit.toSeq: _*)
+      .withColumn("__f", input_file_name())
+      .join(broadcast(lookup), Seq("__f"), "left")
+      .withColumn("__fid", when(col("__fid").isNull,
+          raise_error(concat(lit("retract: unmatched input file "), col("__f"))))
+        .otherwise(col("__fid")))
+      .drop("__f")
+      .filter(!c("doc_id").isin(docIds: _*))
+      .repartition(hit.length, col("__fid"))
+      // one file per directory, rows in the layout contract's
+      // (bucket, seq_id) order (split is constant within a file),
+      // doc_id/epoch as a deterministic tiebreak
+      .sortWithinPartitions(col("__fid"), col("bucket"), col("seq_id"),
+        col("doc_id"), col("epoch"))
+      .write.mode("overwrite").partitionBy("__fid").parquet(tmp.toString)
+    hit.zipWithIndex.foreach { case (f, i) =>
+      val orig = new Path(new URI(f))
+      val dir = orig.getParent // .../split=<s>
+      val repl = Option(fs.globStatus(new Path(tmp, s"__fid=$i/*.parquet")))
+        .getOrElse(Array.empty).headOption.map(_.getPath)
+      // aside first: the original's rows stay recoverable at every step
+      val bak = new Path(dir, s".bak-${orig.getName}")
+      require(fs.rename(orig, bak), s"retract: could not set aside $orig")
+      repl.foreach { r => // None ⇔ every row of this file was retracted
+        require(fs.rename(r, orig), s"retract: could not install $r")
+      }
+      fs.delete(bak, false)
     }
+    fs.delete(tmp, true)
   }
 
   // ------------------------------------------------------------- streaming
@@ -218,12 +402,11 @@ object IncrementalReleaseApp {
     * batch — the corpus-release pipeline is no longer a nightly job.
     * Bootstrap with [[releaseAll]] over the day-0 backfill first.
     *
-    * Crash contract: a replayed micro-batch fails the monotonicity
-    * `require` LOUDLY instead of double-appending (the ids are already
-    * released) — corruption is impossible, resumption after a mid-append
-    * crash is operator-driven. Production would stage the release+index
-    * writes behind one manifest commit; that machinery is out of scope
-    * here and the abort-don't-corrupt behavior is spec-visible. */
+    * Crash contract: [[append]] is idempotent under micro-batch replay —
+    * a torn append is healed from its commit manifest (or discarded if
+    * it never reached the commit point) and an already-applied batch
+    * no-ops against the meta marker, so kill-and-restart converges to
+    * the clean run's output with no operator surgery (spec-asserted). */
   def stream(docs: DataFrame, bench: StreamingDecontamApp.Benchmark,
              outDir: String, indexDir: String,
              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -258,15 +441,19 @@ object IncrementalReleaseApp {
   }
 
   /** All index updates are parquet APPENDS (overwrite only on the full
-    * build): fps may repeat across batches (consumers `distinct`),
+    * build; the incremental path writes these under _staging and moves
+    * the files in): fps may repeat across batches (consumers `distinct`),
     * totals accumulate per-batch sums (consumers re-aggregate) — the
-    * same append-only discipline as the release rows themselves. */
+    * same append-only discipline as the release rows themselves. The
+    * bands index is partitioned by the sig prefix [[deltaTouchedBands]]
+    * prunes on. */
   private def writeIndex(docs: DataFrame, sets: DataFrame, bands: DataFrame,
                          packed: DataFrame, indexDir: String,
                          mode: String): Unit = {
     docs.select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
       .write.mode(mode).parquet(s"$indexDir/fps")
-    bands.write.mode(mode).parquet(s"$indexDir/bands")
+    bands.withColumn("__sp", substring(col("sig"), 1, SigPrefixLen))
+      .write.mode(mode).partitionBy("__sp").parquet(s"$indexDir/bands")
     sets.select(col("__id").as("doc_id"), col("__sh").as("sh"))
       .write.mode(mode).parquet(s"$indexDir/shingles")
     packed.groupBy("split", "bucket").agg(sum(col("wc")).as("wc_sum"))
