@@ -2,12 +2,17 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, GlobalLimitExec,
+  LocalLimitExec, LocalTableScanExec, RangeExec, SparkPlan,
+  TakeOrderedAndProjectExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec,
+  ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+import org.apache.spark.sql.internal.SQLConf
 
 /** Mechanical scale invariants over a query's PHYSICAL plan — the CI form
   * of PLANS.md's prose claims. A query that passes:
@@ -24,7 +29,14 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   *      single-partition exchanges are legal only above a partial
   *      aggregate (global aggregates move one pre-merged row per
   *      upstream partition — bounded by the partition count, not the
-  *      data).
+  *      data);
+  *   4. broadcasts only BOUNDED frames: a `BroadcastExchange` whose
+  *      subtree contains neither an aggregate, a limit (incl. rank-
+  *      window group limits), a literal relation, nor a scan under the
+  *      auto-broadcast threshold is a `broadcast()` hint on an
+  *      unbounded frame — it ships the data to every executor and OOMs
+  *      the driver at scale, and nothing before this rule would catch
+  *      it.
   *
   * Traversal descends into AQE wrappers and into each cached relation
   * once (two scans of one `InMemoryRelation` share one underlying plan).
@@ -60,6 +72,9 @@ object PlanAudit {
           if e.outputPartitioning == SinglePartition && !boundedInput(e.child) =>
         Seq("Exchange SinglePartition over unbounded input " +
           s"(child: ${e.child.getClass.getSimpleName})")
+      case b: BroadcastExchangeExec if !boundedBroadcast(b.child) =>
+        Seq("BroadcastExchange over an unbounded frame " +
+          s"(child: ${b.child.getClass.getSimpleName})")
     }.flatten
     walk(root)
   }
@@ -77,4 +92,24 @@ object PlanAudit {
             ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial ||
             ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.PartialMerge) => a
     }.isDefined
+
+  /** A broadcast subtree is accepted as bounded if it contains a
+    * cardinality reducer (aggregate, limit, top-k, rank-window group
+    * limit), a literal relation (collected/parallelized driver data, or
+    * `range` over literal bounds), or a file scan already under the
+    * auto-broadcast threshold. Descends into cached relations and AQE
+    * wrappers the same way the main walk does. */
+  private def boundedBroadcast(p: SparkPlan): Boolean =
+    p.collect {
+      case _: BaseAggregateExec => true
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
+      case _: LocalTableScanExec | _: RangeExec => true
+      case f: FileSourceScanExec =>
+        f.relation.location.sizeInBytes <= SQLConf.get.autoBroadcastJoinThreshold
+      case c: InMemoryTableScanExec => boundedBroadcast(c.relation.cachedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        boundedBroadcast(s.plan)
+      case a: AdaptiveSparkPlanExec => boundedBroadcast(a.executedPlan)
+    }.exists(identity)
 }

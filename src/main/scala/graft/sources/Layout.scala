@@ -75,28 +75,64 @@ object Layout {
     * this, against the single-sort layout as the control.
     *
     * Values map onto the curve by linear min/max scaling to `bits`-bit
-    * grid cells (one extra stats pass; rank-based scaling would resist
-    * skew better but needs quantiles — the knob to revisit per table).
+    * grid cells (one extra stats pass), or — `rankScaled = true` — by
+    * QUANTILE boundaries (one GK-sketch pass, t10's machinery): a
+    * zipfian column collapses most rows into a handful of linear grid
+    * cells and the curve loses locality on that axis, while rank cells
+    * hold equal row counts by construction and keep pruning selective
+    * under any marginal distribution (`LayoutSpec` measures the gap).
     * The curve value is sort-only — never materialized into the files. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
                     outDir: String, bits: Int = 16,
-                    numFiles: Option[Int] = None): Unit = {
-    val r = df.agg(
-      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head
-    val (minA, maxA, minB, maxB) =
-      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-    def scaled(c: String, lo: Long, hi: Long): Column = {
+                    numFiles: Option[Int] = None,
+                    rankScaled: Boolean = false): Unit = {
+    def linear(c: String, lo: Long, hi: Long): Column = {
+      // Driver-computed integer scale instead of the previous
+      // multiply-then-divide: (v - lo) · 2^bits overflows Long once the
+      // span reaches 2^(63-bits) — epoch-microsecond spans qualify —
+      // silently scrambling the curve. A wide span DIVIDES by its ceil'd
+      // cell width; a narrow span MULTIPLIES up to the grid instead
+      // (the product stays < 2^bits — no overflow), because BOTH columns
+      // must fill the same bit-width or the interleave degenerates into
+      // a plain sort on the wider column.
       val span = math.max(1L, hi - lo + 1)
-      ((coalesce(col(c).cast("long"), lit(lo)) - lit(lo)) * lit(1L << bits)
-        / lit(span)).cast("long")
+      val v = s"(coalesce(cast(`$c` as bigint), ${lo}L) - ${lo}L)"
+      if (span >= (1L << bits)) {
+        val step = // ceil(span / 2^bits), shift form — no overflow
+          (span >>> bits) + (if ((span & ((1L << bits) - 1)) != 0) 1L else 0L)
+        expr(s"$v div ${step}L")
+      } else expr(s"$v * ${(1L << bits) / span}L")
     }
-    val z = zInterleave(scaled(colA, minA, maxA), scaled(colB, minB, maxB), bits)
+    val z = if (rankScaled) {
+      require(bits <= 8,
+        s"rank scaling materializes 2^bits-1 quantile boundaries per " +
+          s"column — keep the grid <= 256 cells (bits=$bits)")
+      zInterleave(rankCell(df, colA, bits), rankCell(df, colB, bits), bits)
+    } else {
+      val r = df.agg(
+        min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+        min(col(colB)).cast("long"), max(col(colB)).cast("long")).head
+      zInterleave(linear(colA, r.getLong(0), r.getLong(1)),
+        linear(colB, r.getLong(2), r.getLong(3)), bits)
+    }
     // numFiles pins the curve-segment count (one file ≈ one rectangle of
     // the plane); default lets range partitioning + AQE size them
     numFiles.map(df.repartitionByRange(_, z)).getOrElse(df.repartitionByRange(z))
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Grid cell of `c` by RANK: the count of quantile boundaries ≤ the
+    * value (a codegen'd fold over a literal boundary array — 2^bits - 1
+    * comparisons per row, why rank mode caps `bits`). Boundaries come
+    * from one Greenwald–Khanna sketch pass; nulls sort into cell 0 like
+    * linear scaling's `coalesce(lo)`. */
+  private def rankCell(df: DataFrame, c: String, bits: Int): Column = {
+    val cells = 1 << bits
+    val bounds = df.stat.approxQuantile(
+      c, (1 until cells).map(_.toDouble / cells).toArray, 1.0 / (4 * cells))
+    aggregate(array(bounds.map(lit): _*), lit(0L), (acc, b) =>
+      acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
   }
 
   /** Count of partition directories the physical plan will actually

@@ -90,4 +90,24 @@ class PlanAuditSpec extends SparkSpec {
     val df = spark.read.parquet(s"$sf/region.parquet").agg(count(lit(1)).as("n"))
     assert(PlanAudit.violations(df).isEmpty)
   }
+
+  test("negative: a broadcast() hint on an unbounded frame is flagged") {
+    // with the threshold at 1 byte, no scan qualifies as small — the
+    // hinted broadcast of a raw table is exactly the unbounded-frame
+    // shape the rule exists for
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val dim = spark.read.parquet(s"$sf/nation.parquet")
+      val fact = spark.read.parquet(s"$sf/customer.parquet")
+      val df = fact.join(broadcast(dim),
+        fact("c_nationkey") === dim("n_nationkey"))
+      val vs = PlanAudit.violations(df)
+      assert(vs.exists(_.contains("BroadcastExchange")), vs.mkString("; "))
+      // and a cardinality reducer on the same frame un-flags it
+      val ok = fact.join(broadcast(dim.limit(25)),
+        fact("c_nationkey") === dim("n_nationkey"))
+      assert(!PlanAudit.violations(ok).exists(_.contains("BroadcastExchange")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

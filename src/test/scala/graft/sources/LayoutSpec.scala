@@ -89,4 +89,59 @@ class LayoutSpec extends SparkSpec {
     assert(zA < 0.6, s"z-order event_id hit fraction $zA")
     assert(zB < 0.6, s"z-order user_id hit fraction $zB")
   }
+
+  test("rank-scaled z-order keeps pruning selective under skew") {
+    // zipf-ish column: b = 20000/(1+k), k uniform in [0,200) — half the
+    // rows land in [100, 199], which linear scaling collapses into ONE
+    // grid cell (span/64 ≈ 311), smearing the dense region across every
+    // curve segment; rank cells hold equal row counts by construction
+    val src = spark.range(20000).toDF("id")
+      .withColumn("a", col("id"))
+      .withColumn("b", (lit(20000.0)
+        / (lit(1) + pmod(col("id") * 7919, lit(200)))).cast("long"))
+    // the realistic predicate: a narrow RANK window inside the dense region
+    val q = src.stat.approxQuantile("b", Array(0.25, 0.28), 0.0)
+    val (qLo, qHi) = (q(0), q(1))
+    def hitFiles(dir: String): Int =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name()).agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+        .count { case (lo, hi) => lo <= qHi && hi >= qLo }
+
+    val lin = Files.createTempDirectory("graft-zlin").toString
+    Layout.writeZOrdered(src, "a", "b", lin, bits = 6, numFiles = Some(16))
+    val rnk = Files.createTempDirectory("graft-zrnk").toString
+    Layout.writeZOrdered(src, "a", "b", rnk, bits = 6, numFiles = Some(16),
+      rankScaled = true)
+
+    // layout rewrite invariance holds in rank mode too
+    assert(spark.read.parquet(rnk).agg(count(lit(1)), sum(col("a")), sum(col("b")))
+      .head.toSeq == src.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head.toSeq)
+
+    val (hl, hr) = (hitFiles(lin), hitFiles(rnk))
+    assert(hr * 2 <= hl,
+      s"rank-scaled hit $hr of 16 files vs linear $hl — expected >= 2x better")
+  }
+
+  test("z-order survives huge column spans (no multiply overflow)") {
+    // span ≈ 2^52 — the old (v-lo)·2^bits form overflowed Long above
+    // 2^47 and silently scrambled the curve (every file then spans the
+    // whole domain and nothing prunes)
+    val src = spark.range(4096).toDF("id")
+      .withColumn("a", col("id") * lit(1L << 40))
+      .withColumn("b", pmod(col("id") * lit(2654435761L), lit(4096)))
+    val dir = Files.createTempDirectory("graft-zbig").toString
+    Layout.writeZOrdered(src, "a", "b", dir, bits = 16, numFiles = Some(16))
+    assert(spark.read.parquet(dir).agg(count(lit(1)), sum(col("a")))
+      .head.toSeq == src.agg(count(lit(1)), sum(col("a"))).head.toSeq)
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name()).agg(min(col("a")).as("lo"), max(col("a")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val domain = (stats.map(_._1).min, stats.map(_._2).max)
+    val mid = domain._1 + (domain._2 - domain._1) / 2
+    val (qLo, qHi) = (mid, mid + (domain._2 - domain._1) / 20)
+    val frac = stats.count { case (lo, hi) => lo <= qHi && hi >= qLo }
+      .toDouble / stats.length
+    assert(frac < 0.5, s"a-slice hit fraction $frac — curve scrambled?")
+  }
 }
