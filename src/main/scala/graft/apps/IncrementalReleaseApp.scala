@@ -21,14 +21,18 @@ import graft.queries.{SimilarityQueries, TextQueries}
   * them:
   *
   *   - `fps`      — fingerprints seen (exact-dedup gate: a delta doc
-  *                  whose fp is already indexed can never be canonical);
+  *                  whose fp is already indexed can never be canonical),
+  *                  partitioned by fp prefix;
   *   - `bands`    — every document's MinHash band signatures (near-dup
   *                  gate: delta candidates come from band-bucket
-  *                  collisions against base ∪ delta), PARTITIONED by a
-  *                  sig prefix so an append's read prunes to the delta's
-  *                  own buckets at planning time;
+  *                  collisions against base ∪ delta), partitioned by a
+  *                  sig prefix;
   *   - `shingles` — per-document shingle arrays (exact-Jaccard verify of
-  *                  the rare candidates — the shingle index);
+  *                  the rare candidates — the shingle index),
+  *                  partitioned by doc-id bucket;
+  *   (each index is directory-partitioned on the key its append-time
+  *   read filters on, so every read prunes to the delta's own
+  *   partitions at planning time);
   *   - `totals`   — per-(split, bucket) token totals (the packing cumsum
   *                  CONTINUES from them);
   *   - `meta`     — max doc_id released (monotonicity + replay guard).
@@ -68,12 +72,17 @@ object IncrementalReleaseApp {
   private val Thresh = SimilarityQueries.jaccardThreshold
   private val Cap = 1000 // candidatePairs' flood cap (same constant)
 
-  /** The bands index is directory-partitioned by this many leading hex
-    * chars of the md5 band sig (2 → 256 directories): an append collects
-    * the ≤ 256 prefixes its delta touches and prunes the index scan to
-    * those directories at PLANNING time — the same lever `retract` uses
-    * for split directories. */
+  /** The bands and fps indexes are directory-partitioned by this many
+    * leading hex chars of their md5 keys (2 → 256 directories): an
+    * append collects the ≤ 256 prefixes its delta touches and prunes
+    * each index scan to those directories at PLANNING time — the same
+    * lever `retract` uses for split directories. */
   private val SigPrefixLen = 2
+
+  /** The shingles index partitions by doc_id mod this: the exact-verify
+    * stage reads only the buckets holding its base-side candidate ids
+    * (collected as ≤ 64 literal values — never the ids themselves). */
+  private val DocPartitions = 64
 
   /** TEST-ONLY crash injection for the replay-heal spec — never set
     * outside tests. `crashBeforeCommit` dies after staging but before
@@ -169,11 +178,18 @@ object IncrementalReleaseApp {
       .select(col("band"), col("sig"), col("__id").as("b"))
     val cand = partners.join(dside, Seq("band", "sig"))
       .filter(col("a") < col("b")).select("a", "b").distinct()
-    // verify against the shingle index (base) ∪ the delta's own frame
-    val allSets = spark.read.parquet(s"$indexDir/shingles")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify against the shingle index — read pruned to the doc-id
+    // buckets holding base-side candidates (b is always a delta doc, so
+    // the delta's own frame covers everything else); a delta with no
+    // base collisions reads NO base shingles at all
+    val basePrefixes = cand.filter(col("a") <= maxBase)
+      .select(pmod(col("a"), lit(DocPartitions.toLong)).as("p")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ DocPartitions values
+    val baseSets = spark.read.parquet(s"$indexDir/shingles")
+      .filter(col("__dp").isin(basePrefixes.toSeq: _*))
       .select(col("doc_id").as("__id"), col("sh").as("__sh"))
-      .union(dsets)
-    val dlosers = SimilarityOps.jaccardVerify(cand, allSets, Thresh)
+    val dlosers = SimilarityOps.jaccardVerify(cand, baseSets.union(dsets), Thresh)
       .select(col("b").as("doc_b")).distinct()
 
     // ---- exact dedup across the boundary: a delta doc whose fp is
@@ -181,11 +197,18 @@ object IncrementalReleaseApp {
     // Dups are dropped BEFORE packing — in the pack they would shift the
     // cumsum and every later delta row's seq_id. Bands/shingles/fps above
     // still cover the FULL delta (a rebuild's pair search sees dup docs
-    // too, and they can make other docs losers).
-    val idxFps = spark.read.parquet(s"$indexDir/fps").distinct()
-    val dupOfBase = delta
+    // too, and they can make other docs losers). The fps read prunes to
+    // the partitions the delta's own fingerprints can land in.
+    val dfps = delta
       .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
-      .join(idxFps, "fp").select("doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpPrefixes = dfps
+      .select(substring(col("fp"), 1, SigPrefixLen).as("p")).distinct()
+      .collect().map(_.getString(0)) // bounded: ≤ 256 values
+    val idxFps = spark.read.parquet(s"$indexDir/fps")
+      .filter(col("__fp").isin(fpPrefixes.toSeq: _*))
+      .select("fp").distinct()
+    val dupOfBase = dfps.join(idxFps, "fp").select("doc_id")
     val freshDelta = delta.join(dupOfBase, Seq("doc_id"), "left_anti")
 
     val baseTotals = spark.read.parquet(s"$indexDir/totals")
@@ -202,6 +225,7 @@ object IncrementalReleaseApp {
     CorpusReleaseApp.writeRelease(packed, s"$staging/release", mode = "overwrite")
     writeIndex(delta, dsets, dbands, packed, s"$staging/idx", mode = "overwrite")
     dsets.unpersist(); dbands.unpersist(); unionCounts.unpersist()
+    cand.unpersist(); dfps.unpersist()
     if (crashBeforeCommit) throw new IllegalStateException(
       "injected crash: staged but uncommitted")
     val moves = stagedMoves(fs, staging, outDir, indexDir)
@@ -451,11 +475,13 @@ object IncrementalReleaseApp {
                          packed: DataFrame, indexDir: String,
                          mode: String): Unit = {
     docs.select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
-      .write.mode(mode).parquet(s"$indexDir/fps")
+      .withColumn("__fp", substring(col("fp"), 1, SigPrefixLen))
+      .write.mode(mode).partitionBy("__fp").parquet(s"$indexDir/fps")
     bands.withColumn("__sp", substring(col("sig"), 1, SigPrefixLen))
       .write.mode(mode).partitionBy("__sp").parquet(s"$indexDir/bands")
     sets.select(col("__id").as("doc_id"), col("__sh").as("sh"))
-      .write.mode(mode).parquet(s"$indexDir/shingles")
+      .withColumn("__dp", pmod(col("doc_id"), lit(DocPartitions.toLong)))
+      .write.mode(mode).partitionBy("__dp").parquet(s"$indexDir/shingles")
     packed.groupBy("split", "bucket").agg(sum(col("wc")).as("wc_sum"))
       .write.mode(mode).parquet(s"$indexDir/totals")
     docs.agg(max(col("doc_id")).as("max_doc_id"))

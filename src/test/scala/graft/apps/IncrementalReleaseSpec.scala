@@ -249,7 +249,7 @@ class IncrementalReleaseSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
       .collect().map(_.getString(0)).toSet
     val idxFps = spark.read.parquet(s"$idx/fps")
-      .as[String].collect().toSet
+      .select("fp").as[String].collect().toSet
     assert(retractedFps.subsetOf(idxFps))
   }
 
