@@ -84,13 +84,6 @@ object IncrementalReleaseApp {
     * (collected as ≤ 64 literal values — never the ids themselves). */
   private val DocPartitions = 64
 
-  /** TEST-ONLY crash injection for the replay-heal spec — never set
-    * outside tests. `crashBeforeCommit` dies after staging but before
-    * the commit manifest exists; `crashAfterMoves = n` dies after the
-    * n-th committed file move. */
-  private[apps] var crashBeforeCommit: Boolean = false
-  private[apps] var crashAfterMoves: Int = Int.MaxValue
-
   // ------------------------------------------------------------ full build
 
   /** Batch build over `docs` + static benchmark: writes the release to
@@ -218,7 +211,7 @@ object IncrementalReleaseApp {
       baseTotals = Some(baseTotals))
 
     // ---- staged commit: write everything under _staging, then move the
-    // files into place manifest-ordered with meta LAST (see header).
+    // files into place manifest-ordered with meta LAST ([[StagedCommit]]).
     val fs = fsFor(spark, indexDir)
     val staging = stagingPath(indexDir)
     fs.delete(staging, true)
@@ -226,33 +219,15 @@ object IncrementalReleaseApp {
     writeIndex(delta, dsets, dbands, packed, s"$staging/idx", mode = "overwrite")
     dsets.unpersist(); dbands.unpersist(); unionCounts.unpersist()
     cand.unpersist(); dfps.unpersist()
-    if (crashBeforeCommit) throw new IllegalStateException(
-      "injected crash: staged but uncommitted")
-    val moves = stagedMoves(fs, staging, outDir, indexDir)
-    writeManifest(fs, staging, moves)
-    commitMoves(fs, moves)
-    fs.delete(staging, true)
+    StagedCommit.publish(fs, staging,
+      Seq("release" -> outDir, "idx" -> indexDir), lastFragment = "/meta/")
   }
 
-  /** Complete (or discard) a torn append left by a crash: a staging dir
-    * WITH a commit manifest finishes its moves idempotently (meta last —
-    * after this the batch reads as applied and its replay no-ops); one
-    * WITHOUT a manifest never published anything and is simply removed. */
-  private def heal(spark: SparkSession, indexDir: String): Unit = {
-    val fs = fsFor(spark, indexDir)
-    val staging = stagingPath(indexDir)
-    if (!fs.exists(staging)) return
-    val manifest = new Path(staging, "COMMIT")
-    if (fs.exists(manifest)) {
-      val in = fs.open(manifest)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      commitMoves(fs, lines.map { l =>
-        val Array(s, d) = l.split('\t'); (new Path(s), new Path(d))
-      })
-    }
-    fs.delete(staging, true)
-  }
+  /** Complete (or discard) a torn append left by a crash (meta lands
+    * last — after healing, the batch reads as applied and its replay
+    * no-ops). */
+  private def heal(spark: SparkSession, indexDir: String): Unit =
+    StagedCommit.heal(fsFor(spark, indexDir), stagingPath(indexDir))
 
   /** The bands-index slice an append actually needs: partition-pruned to
     * the delta's sig prefixes (planning-time, ≤ 16^SigPrefixLen literal
@@ -268,61 +243,6 @@ object IncrementalReleaseApp {
       .join(broadcast(dkeys), Seq("band", "sig"))
       .select(col("__id"), col("band"), col("sig")) // lshBands' column order
   }
-
-  /** Every staged data file and its final home, meta files LAST so the
-    * replay guard only trips once everything else is in place. */
-  private def stagedMoves(fs: FileSystem, staging: Path, outDir: String,
-                          indexDir: String): Seq[(Path, Path)] = {
-    def files(root: Path): Seq[Path] = {
-      if (!fs.exists(root)) return Nil
-      val it = fs.listFiles(root, true)
-      val buf = scala.collection.mutable.ArrayBuffer[Path]()
-      while (it.hasNext) {
-        val p = it.next().getPath
-        if (!p.getName.startsWith("_") && !p.getName.startsWith(".")) buf += p
-      }
-      buf.toSeq
-    }
-    // listFiles returns scheme-qualified paths — qualify the roots the
-    // same way before stripping them off
-    def rebase(p: Path, root: Path, dest: String): Path = {
-      val q = fs.makeQualified(root).toString + "/"
-      require(p.toString.startsWith(q), s"staged file $p outside root $q")
-      new Path(dest + "/" + p.toString.stripPrefix(q))
-    }
-    val rel = files(new Path(staging, "release"))
-      .map(p => p -> rebase(p, new Path(staging, "release"), outDir))
-    val idx = files(new Path(staging, "idx"))
-      .map(p => p -> rebase(p, new Path(staging, "idx"), indexDir))
-    val (meta, rest) = (rel ++ idx).partition(_._2.toString.contains("/meta/"))
-    rest ++ meta
-  }
-
-  private def writeManifest(fs: FileSystem, staging: Path,
-                            moves: Seq[(Path, Path)]): Unit = {
-    val tmp = new Path(staging, ".COMMIT.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(moves.map { case (s, d) => s"$s\t$d" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(tmp, new Path(staging, "COMMIT")),
-      "could not publish commit manifest")
-  }
-
-  /** Idempotent, resumable move pass: a file already at its destination
-    * (a replayed crash-interrupted commit) is skipped; missing on BOTH
-    * sides is corruption and fails loudly. */
-  private def commitMoves(fs: FileSystem, moves: Seq[(Path, Path)]): Unit =
-    moves.zipWithIndex.foreach { case ((src, dst), i) =>
-      if (i >= crashAfterMoves) throw new IllegalStateException(
-        s"injected crash: commit interrupted after $i moves")
-      if (fs.exists(src)) {
-        fs.mkdirs(dst.getParent)
-        require(!fs.exists(dst), s"commit destination already exists: $dst")
-        require(fs.rename(src, dst), s"commit move failed: $src -> $dst")
-      } else require(fs.exists(dst),
-        s"commit lost a file (neither $src nor $dst exists)")
-    }
 
   private def fsFor(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,120 @@
+package graft.apps
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Manifest-ordered staged commit for multi-directory parquet updates —
+  * the crash contract shared by [[IncrementalReleaseApp]] and
+  * [[VectorIndexApp]].
+  *
+  * A writer stages every output under one `_staging` directory, then
+  * [[publish]]es: the staged files are enumerated into a manifest
+  * (written atomically via temp + rename), moved into their final
+  * directories one by one, with any path matching `lastFragment` (the
+  * watermark/meta marker) moved LAST. The invariants a replayer can
+  * rely on:
+  *
+  *  - no manifest ⇒ nothing was published — [[heal]] discards the
+  *    staging and the writer recomputes;
+  *  - manifest present ⇒ the move set is FROZEN — [[heal]] finishes the
+  *    remaining moves idempotently (a file already at its destination
+  *    is skipped; missing on both sides fails loudly);
+  *  - the `lastFragment` marker is visible only after every other file
+  *    landed, so a watermark check ("is this batch applied?") can never
+  *    observe a half-applied batch as applied.
+  *
+  * Single writer assumed; staging and destinations must share a
+  * filesystem (renames, not copies). */
+object StagedCommit {
+
+  /** TEST-ONLY crash injection for replay-heal specs — never set
+    * outside tests. `crashBeforeCommit` dies after staging but before
+    * the commit manifest exists; `crashAfterMoves = n` dies after the
+    * n-th committed file move. */
+  private[apps] var crashBeforeCommit: Boolean = false
+  private[apps] var crashAfterMoves: Int = Int.MaxValue
+
+  /** Enumerate the staged files under each `(stagingSubdir → destRoot)`
+    * mapping, write the manifest, move everything (`lastFragment` paths
+    * last), and remove the staging directory. */
+  def publish(fs: FileSystem, staging: Path,
+              mappings: Seq[(String, String)],
+              lastFragment: String): Unit = {
+    if (crashBeforeCommit) throw new IllegalStateException(
+      "injected crash: staged but uncommitted")
+    val moves = stagedMoves(fs, staging, mappings, lastFragment)
+    writeManifest(fs, staging, moves)
+    commitMoves(fs, moves)
+    fs.delete(staging, true)
+  }
+
+  /** Complete (or discard) a torn publish left by a crash: a staging
+    * dir WITH a commit manifest finishes its moves idempotently; one
+    * WITHOUT a manifest never published anything and is removed. */
+  def heal(fs: FileSystem, staging: Path): Unit = {
+    if (!fs.exists(staging)) return
+    val manifest = new Path(staging, "COMMIT")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      commitMoves(fs, lines.map { l =>
+        val Array(s, d) = l.split('\t'); (new Path(s), new Path(d))
+      })
+    }
+    fs.delete(staging, true)
+  }
+
+  private def stagedMoves(fs: FileSystem, staging: Path,
+                          mappings: Seq[(String, String)],
+                          lastFragment: String): Seq[(Path, Path)] = {
+    def files(root: Path): Seq[Path] = {
+      if (!fs.exists(root)) return Nil
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (!p.getName.startsWith("_") && !p.getName.startsWith(".")) buf += p
+      }
+      buf.toSeq
+    }
+    // listFiles returns scheme-qualified paths — qualify the roots the
+    // same way before stripping them off
+    def rebase(p: Path, root: Path, dest: String): Path = {
+      val q = fs.makeQualified(root).toString + "/"
+      require(p.toString.startsWith(q), s"staged file $p outside root $q")
+      new Path(dest + "/" + p.toString.stripPrefix(q))
+    }
+    val all = mappings.flatMap { case (sub, dest) =>
+      val root = new Path(staging, sub)
+      files(root).map(p => p -> rebase(p, root, dest))
+    }
+    val (last, rest) = all.partition(_._2.toString.contains(lastFragment))
+    rest ++ last
+  }
+
+  private def writeManifest(fs: FileSystem, staging: Path,
+                            moves: Seq[(Path, Path)]): Unit = {
+    val tmp = new Path(staging, ".COMMIT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(moves.map { case (s, d) => s"$s\t$d" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new Path(staging, "COMMIT")),
+      "could not publish commit manifest")
+  }
+
+  /** Idempotent, resumable move pass: a file already at its destination
+    * (a replayed crash-interrupted commit) is skipped; missing on BOTH
+    * sides is corruption and fails loudly. */
+  private def commitMoves(fs: FileSystem, moves: Seq[(Path, Path)]): Unit =
+    moves.zipWithIndex.foreach { case ((src, dst), i) =>
+      if (i >= crashAfterMoves) throw new IllegalStateException(
+        s"injected crash: commit interrupted after $i moves")
+      if (fs.exists(src)) {
+        fs.mkdirs(dst.getParent)
+        require(!fs.exists(dst), s"commit destination already exists: $dst")
+        require(fs.rename(src, dst), s"commit move failed: $src -> $dst")
+      } else require(fs.exists(dst),
+        s"commit lost a file (neither $src nor $dst exists)")
+    }
+}

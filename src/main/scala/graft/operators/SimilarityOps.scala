@@ -487,15 +487,34 @@ object SimilarityOps {
     * survivors join. */
   def ivfQuantizedAnn(corpus: DataFrame, centroids: DataFrame,
                       isProbe: Column, topK: Int, nprobe: Int,
-                      rerankK: Int): DataFrame = {
-    // the inverted file: per-cell int8 codes, scale, norm — no embedding
-    val codes = quantizeCodes(assignCells(corpus, centroids, nprobe = 1))
+                      rerankK: Int): DataFrame =
+    ivfSearchCodes(ivfCodes(corpus, centroids),
+      ivfProbes(corpus, centroids, isProbe, nprobe), corpus, isProbe,
+      topK, rerankK)
+
+  /** The inverted file's PAYLOAD: per-vector cell assignment + int8
+    * codes + scale + norm — no embeddings. This is what a persistent
+    * vector index materializes, partitioned by `cluster` so a probe's
+    * cell list becomes a directory filter
+    * ([[graft.apps.VectorIndexApp]]). */
+  def ivfCodes(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    quantizeCodes(assignCells(corpus, centroids, nprobe = 1))
       .select(col("vec_id"), col("cluster"), col("qv"), col("maxabs"),
         col("__nb"))
-    // probes are few: their nprobe-cell search list and codes broadcast
-    val qprobes = quantizeCodes(
-        assignCells(corpus.filter(isProbe), centroids, nprobe))
+
+  /** The probe-side search list: one row per (probe, probed cell) with
+    * the probe's own codes. Probes are few — this frame broadcasts. */
+  def ivfProbes(corpus: DataFrame, centroids: DataFrame, isProbe: Column,
+                nprobe: Int): DataFrame =
+    quantizeCodes(assignCells(corpus.filter(isProbe), centroids, nprobe))
       .select(col("vec_id").as("q_id"), col("cluster"), col("qv").as("qa"))
+
+  /** V7's search stage over a PREBUILT codes frame (freshly computed or
+    * loaded from a persisted index): cell-local int64 code dot →
+    * narrow (q_id, vec_id, r) rank → exact rerank against `corpus`. */
+  def ivfSearchCodes(codes: DataFrame, qprobes: DataFrame,
+                     corpus: DataFrame, isProbe: Column, topK: Int,
+                     rerankK: Int): DataFrame = {
     val scored = codes.join(broadcast(qprobes), "cluster")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("r", dequantizedRank)

@@ -180,11 +180,11 @@ class IncrementalReleaseSpec extends SparkSpec {
     IncrementalReleaseApp.releaseAll(spark, base, bench, out1, idx1)
     val basePublished = releaseRows(out1)
     try {
-      IncrementalReleaseApp.crashBeforeCommit = true
+      StagedCommit.crashBeforeCommit = true
       intercept[IllegalStateException] {
         IncrementalReleaseApp.append(spark, delta, bench, out1, idx1)
       }
-    } finally IncrementalReleaseApp.crashBeforeCommit = false
+    } finally StagedCommit.crashBeforeCommit = false
     // the torn append published NOTHING (staging is invisible to readers)
     assert(releaseRows(out1) == basePublished)
     IncrementalReleaseApp.append(spark, delta, bench, out1, idx1) // replay
@@ -196,11 +196,11 @@ class IncrementalReleaseSpec extends SparkSpec {
     val out2 = tmp("crash-mid"); val idx2 = tmp("crash-mid-idx")
     IncrementalReleaseApp.releaseAll(spark, base, bench, out2, idx2)
     try {
-      IncrementalReleaseApp.crashAfterMoves = 2
+      StagedCommit.crashAfterMoves = 2
       intercept[IllegalStateException] {
         IncrementalReleaseApp.append(spark, delta, bench, out2, idx2)
       }
-    } finally IncrementalReleaseApp.crashAfterMoves = Int.MaxValue
+    } finally StagedCommit.crashAfterMoves = Int.MaxValue
     IncrementalReleaseApp.append(spark, delta, bench, out2, idx2) // replay
     assert(releaseRows(out2) == want)
     assert(!Files.exists(Paths.get(s"$idx2/_staging")))

@@ -1,0 +1,112 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SimilarityOps
+import graft.sources.Tables
+
+/** The persistent IVF index contract: a built index answers queries
+  * identically to the in-memory v7 operator with the stored codebook,
+  * the codes scan prunes to the probed cells' directories at planning
+  * time, and appends against the frozen codebook equal a rebuild. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private val (kCells, iters, topK, nprobe, rerankK) = (8, 2, 5, 2, 10)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+    case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+    case s: QueryStageExec => scansOf(s.plan)
+    case f: FileSourceScanExec => Seq(f)
+  }.flatten
+
+  test("query == ivfQuantizedAnn with the stored codebook; scan prunes to probed cells") {
+    val corpus = Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("vidx").toString
+    VectorIndexApp.build(spark, corpus, idx, kCells, iters)
+
+    val isProbe = col("vec_id") < 5
+    val got = VectorIndexApp.query(spark, corpus, idx, isProbe,
+      topK, nprobe, rerankK)
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val want = SimilarityOps.ivfQuantizedAnn(corpus, cents, isProbe,
+      topK, nprobe, rerankK)
+    assert(rows(got) == rows(want), "persisted index diverged from v7")
+
+    // IVF's "read only the probed lists", enforced at planning time:
+    // the codes scan touches <= probes x nprobe cell directories
+    val totalCells = Files.list(Paths.get(s"$idx/codes")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("cluster="))
+    assert(totalCells > nprobe, s"codebook collapsed to $totalCells cells")
+    val codeScans = scansOf(got.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/codes")))
+    assert(codeScans.nonEmpty, "no codes scan in the query plan")
+    // drop runtime DPP subqueries (unexecutable pre-run) — the STATIC
+    // literal cell filter alone must already prune the directories
+    val scanned = codeScans.map { f =>
+      val static = f.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      f.relation.location.listFiles(static, f.dataFilters).size
+    }.sum
+    assert(scanned <= 5 * nprobe,
+      s"scanned $scanned cell partitions > probes x nprobe")
+    assert(scanned < totalCells,
+      s"planning-time cell pruning did nothing ($scanned of $totalCells)")
+  }
+
+  test("append == rebuild with the frozen codebook; replay no-ops") {
+    val corpus = Tables.embeddings(spark, sf)
+    val cut = corpus.stat.approxQuantile("vec_id", Array(0.7), 0.0).head.toLong
+    val base = corpus.filter(col("vec_id") <= cut)
+    val delta = corpus.filter(col("vec_id") > cut)
+    assert(delta.count() > 0)
+
+    val idx = Files.createTempDirectory("vidx-inc").toString
+    VectorIndexApp.build(spark, base, idx, kCells, iters)
+    val cents = spark.read.parquet(s"$idx/centroids")
+    VectorIndexApp.append(spark, delta, idx)
+    assert(!Files.exists(Paths.get(s"$idx/_staging")))
+
+    // the incrementally-extended index answers like a rebuild over the
+    // full corpus with the SAME (base-trained, frozen) codebook
+    val isProbe = col("vec_id") < 5
+    val got = VectorIndexApp.query(spark, corpus, idx, isProbe,
+      topK, nprobe, rerankK)
+    val want = SimilarityOps.ivfQuantizedAnn(corpus, cents, isProbe,
+      topK, nprobe, rerankK)
+    assert(rows(got) == rows(want), "appended index diverged from rebuild")
+    // and the top-k actually reaches into the appended vectors
+    assert(rows(got).exists(_._2 > cut),
+      "no delta vector in any result — fixture too small")
+
+    // replaying the applied delta is a no-op (watermark guard)
+    def files(): Map[String, Long] =
+      Files.walk(Paths.get(idx)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => p.toString -> Files.size(p)).toMap
+    val before = files()
+    VectorIndexApp.append(spark, delta, idx)
+    assert(files() == before, "replay must not write anything")
+    // a watermark-STRADDLING delta (one indexed id, one new) refuses —
+    // replaying the full corpus would just no-op, so straddle explicitly
+    val maxId = corpus.agg(max(col("vec_id"))).head.getLong(0)
+    val straddle = corpus.filter(col("vec_id") === maxId)
+      .union(corpus.filter(col("vec_id") === maxId)
+        .withColumn("vec_id", col("vec_id") + lit(1000L)))
+    intercept[IllegalArgumentException] {
+      VectorIndexApp.append(spark, straddle, idx)
+    }
+  }
+}
