@@ -1,7 +1,5 @@
 package graft.apps
 
-import java.net.URI
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -296,46 +294,13 @@ object IncrementalReleaseApp {
     val hit = spark.read.parquet(outDir)
       .filter(c("split").isin(splits: _*) && c("doc_id").isin(docIds: _*))
       .select(input_file_name().as("f")).distinct()
-      .collect().map(_.getString(0)).sorted // bounded: ≤ |docIds| × epochs
-    if (hit.isEmpty) return
-    // ONE job rewrites every hit file: the hit list is read as one
-    // relation, each row rejoins its file's ordinal via input_file_name
-    // (raise_error if a row somehow matches no hit file — losing kept
-    // rows silently is the one unacceptable failure), and the write
-    // fans the survivors back out into one directory per original file.
-    val lookup = spark.createDataFrame(hit.toSeq.zipWithIndex)
-      .toDF("__f", "__fid")
-    val tmp = new Path(s"$outDir/_retract")
-    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(hit.toSeq: _*)
-      .withColumn("__f", input_file_name())
-      .join(broadcast(lookup), Seq("__f"), "left")
-      .withColumn("__fid", when(col("__fid").isNull,
-          raise_error(concat(lit("retract: unmatched input file "), col("__f"))))
-        .otherwise(col("__fid")))
-      .drop("__f")
-      .filter(!c("doc_id").isin(docIds: _*))
-      .repartition(hit.length, col("__fid"))
-      // one file per directory, rows in the layout contract's
-      // (bucket, seq_id) order (split is constant within a file),
-      // doc_id/epoch as a deterministic tiebreak
-      .sortWithinPartitions(col("__fid"), col("bucket"), col("seq_id"),
-        col("doc_id"), col("epoch"))
-      .write.mode("overwrite").partitionBy("__fid").parquet(tmp.toString)
-    hit.zipWithIndex.foreach { case (f, i) =>
-      val orig = new Path(new URI(f))
-      val dir = orig.getParent // .../split=<s>
-      val repl = Option(fs.globStatus(new Path(tmp, s"__fid=$i/*.parquet")))
-        .getOrElse(Array.empty).headOption.map(_.getPath)
-      // aside first: the original's rows stay recoverable at every step
-      val bak = new Path(dir, s".bak-${orig.getName}")
-      require(fs.rename(orig, bak), s"retract: could not set aside $orig")
-      repl.foreach { r => // None ⇔ every row of this file was retracted
-        require(fs.rename(r, orig), s"retract: could not install $r")
-      }
-      fs.delete(bak, false)
-    }
-    fs.delete(tmp, true)
+      .collect().map(_.getString(0)).toSeq // bounded: ≤ |docIds| × epochs
+    // rows stay in the layout contract's (bucket, seq_id) order (split
+    // is constant within a file), doc_id/epoch as a deterministic
+    // tiebreak
+    SurgicalRewrite.rewrite(spark, hit, s"$outDir/_retract",
+      _.filter(!c("doc_id").isin(docIds: _*)),
+      Seq(col("bucket"), col("seq_id"), col("doc_id"), col("epoch")))
   }
 
   // ------------------------------------------------------------- streaming

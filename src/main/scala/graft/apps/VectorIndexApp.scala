@@ -49,9 +49,7 @@ object VectorIndexApp {
     fs.delete(staging(indexDir), true) // superseded, not healed
     val cents = SimilarityOps.kmeansCodebook(corpus, kCells, iters)
     cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    SimilarityOps.ivfCodes(corpus, cents)
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$indexDir/codes")
+    writeCodes(SimilarityOps.ivfCodes(corpus, cents), s"$indexDir/codes")
     corpus.agg(max(col("vec_id")).as("max_vec_id"))
       .write.mode("overwrite").parquet(s"$indexDir/meta")
   }
@@ -93,14 +91,41 @@ object VectorIndexApp {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val stg = staging(indexDir)
     fs.delete(stg, true)
-    SimilarityOps.ivfCodes(delta, cents)
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$stg/idx/codes")
+    writeCodes(SimilarityOps.ivfCodes(delta, cents), s"$stg/idx/codes")
     delta.agg(max(col("vec_id")).as("max_vec_id"))
       .write.mode("overwrite").parquet(s"$stg/idx/meta")
     StagedCommit.publish(fs, stg, Seq("idx" -> indexDir),
       lastFragment = "/meta/")
   }
+
+  /** Retract vectors (takedown): rewrites ONLY the cell files holding
+    * the targets, in one job, through [[SurgicalRewrite]]'s aside-swap.
+    * Discovery is a narrow (vec_id) scan with a pushed filter — the
+    * in-partition vec_id sort below makes row-group min/max stats do
+    * the skipping. The meta watermark is NOT lowered: a retracted id
+    * can never re-enter (monotone ingest), matching the release's
+    * takedown-is-a-verdict semantic. */
+  def retract(spark: SparkSession, vecIds: Seq[Long],
+              indexDir: String): Unit = {
+    if (vecIds.isEmpty) return
+    val hit = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("vec_id").isin(vecIds: _*))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: ≤ |vecIds| files
+    SurgicalRewrite.rewrite(spark, hit, s"$indexDir/_retract",
+      _.filter(!col("vec_id").isin(vecIds: _*)), Seq(col("vec_id")))
+  }
+
+  /** The codes table layout: one exchange on the partition key (without
+    * it every task writes a sliver of every cell — O(tasks × cells)
+    * small files), rows clustered by vec_id inside each cell so pushed
+    * vec_id filters (retraction discovery, point lookups) skip
+    * row-groups via parquet min/max stats. */
+  private def writeCodes(codes: DataFrame, dest: String): Unit =
+    codes
+      .repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col("vec_id"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(dest)
 
   /** Streaming ingestion: every micro-batch of new vectors appends
     * incrementally — the index is valid, queryable state after each

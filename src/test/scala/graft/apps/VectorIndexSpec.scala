@@ -109,4 +109,37 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndexApp.append(spark, straddle, idx)
     }
   }
+
+  test("retract removes vectors from the index, touches only hit cell files") {
+    val corpus = Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("vidx-ret").toString
+    VectorIndexApp.build(spark, corpus, idx, kCells, iters)
+
+    def files(): Map[String, Long] =
+      Files.walk(Paths.get(s"$idx/codes")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => p.toString -> Files.size(p)).toMap
+    val before = files()
+    val indexed = spark.read.parquet(s"$idx/codes")
+      .select("vec_id").as[Long].collect().toSet
+    val targets = indexed.toSeq.sorted.take(3)
+    val hitFiles = spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id").isin(targets: _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+      .map(f => new java.net.URI(f).getPath).toSet
+
+    VectorIndexApp.retract(spark, targets, idx)
+
+    val left = spark.read.parquet(s"$idx/codes")
+      .select("vec_id").as[Long].collect().toSet
+    assert(left == indexed -- targets, "retract must drop exactly the targets")
+    files().foreach { case (f, size) =>
+      if (!hitFiles.contains(f))
+        assert(before.get(f).contains(size), s"retract touched unrelated $f")
+    }
+    // retracted vectors no longer appear in any result
+    val got = VectorIndexApp.query(spark, corpus, idx,
+      col("vec_id") < 5, topK, nprobe, rerankK)
+    assert(!rows(got).exists(r => targets.contains(r._2)))
+  }
 }
