@@ -64,6 +64,11 @@ class VectorIndexSpec extends SparkSpec {
       s"scanned $scanned cell partitions > probes x nprobe")
     assert(scanned < totalCells,
       s"planning-time cell pruning did nothing ($scanned of $totalCells)")
+
+    // the composed serving plan satisfies the mechanical scale
+    // invariants (no cartesian, pushed filters, bounded broadcasts …)
+    val vs = graft.plans.PlanAudit.violations(got)
+    assert(vs.isEmpty, vs.mkString("\n"))
   }
 
   test("append == rebuild with the frozen codebook; replay no-ops") {
