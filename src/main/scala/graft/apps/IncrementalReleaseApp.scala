@@ -2,7 +2,7 @@ package graft.apps
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -359,14 +359,27 @@ object IncrementalReleaseApp {
   private def writeIndex(docs: DataFrame, sets: DataFrame, bands: DataFrame,
                          packed: DataFrame, indexDir: String,
                          mode: String): Unit = {
-    docs.select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
-      .withColumn("__fp", substring(col("fp"), 1, SigPrefixLen))
-      .write.mode(mode).partitionBy("__fp").parquet(s"$indexDir/fps")
-    bands.withColumn("__sp", substring(col("sig"), 1, SigPrefixLen))
-      .write.mode(mode).partitionBy("__sp").parquet(s"$indexDir/bands")
-    sets.select(col("__id").as("doc_id"), col("__sh").as("sh"))
-      .withColumn("__dp", pmod(col("doc_id"), lit(DocPartitions.toLong)))
-      .write.mode(mode).partitionBy("__dp").parquet(s"$indexDir/shingles")
+    // each partitioned index writes through ONE exchange on its
+    // partition key — without it every task writes a sliver of every
+    // directory and the index fragments into O(tasks × partitions)
+    // small files (the keys are md5-prefix/mod values: uniform, no
+    // skew); rows cluster by the lookup key inside each directory
+    def partitioned(df: DataFrame, pcol: String, cluster: Column,
+                    dest: String): Unit =
+      df.repartition(col(pcol))
+        .sortWithinPartitions(col(pcol), cluster)
+        .write.mode(mode).partitionBy(pcol).parquet(dest)
+    partitioned(
+      docs.select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+        .withColumn("__fp", substring(col("fp"), 1, SigPrefixLen)),
+      "__fp", col("fp"), s"$indexDir/fps")
+    partitioned(
+      bands.withColumn("__sp", substring(col("sig"), 1, SigPrefixLen)),
+      "__sp", col("sig"), s"$indexDir/bands")
+    partitioned(
+      sets.select(col("__id").as("doc_id"), col("__sh").as("sh"))
+        .withColumn("__dp", pmod(col("doc_id"), lit(DocPartitions.toLong))),
+      "__dp", col("doc_id"), s"$indexDir/shingles")
     packed.groupBy("split", "bucket").agg(sum(col("wc")).as("wc_sum"))
       .write.mode(mode).parquet(s"$indexDir/totals")
     docs.agg(max(col("doc_id")).as("max_doc_id"))
