@@ -120,6 +120,7 @@ object IncrementalReleaseApp {
     require(bench.shingleN == N,
       s"benchmark shingle length ${bench.shingleN} != release's $N")
     heal(spark, indexDir)
+    if (delta.isEmpty) return // nothing to apply (and min/max would be null)
     val maxBase = spark.read.parquet(s"$indexDir/meta")
       .agg(max(col("max_doc_id"))).head.getLong(0)
     val mm = delta.agg(min(col("doc_id")), max(col("doc_id"))).head
@@ -284,6 +285,10 @@ object IncrementalReleaseApp {
               indexDir: String): Unit = {
     import org.apache.spark.sql.functions.{col => c}
     if (docIds.isEmpty) return
+    // finish any torn append FIRST: a target row sitting in a staged-
+    // but-unmoved file would otherwise dodge discovery and re-enter the
+    // release when a later append heals the manifest
+    heal(spark, indexDir)
     // a document's split is a pure function of its id, so the discovery
     // scan partition-prunes to the target docs' split directories before
     // the pushed doc_id filter does the row-group work

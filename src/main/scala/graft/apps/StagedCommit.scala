@@ -78,18 +78,22 @@ object StagedCommit {
       buf.toSeq
     }
     // listFiles returns scheme-qualified paths — qualify the roots the
-    // same way before stripping them off
-    def rebase(p: Path, root: Path, dest: String): Path = {
-      val q = fs.makeQualified(root).toString + "/"
-      require(p.toString.startsWith(q), s"staged file $p outside root $q")
-      new Path(dest + "/" + p.toString.stripPrefix(q))
-    }
+    // same way before stripping them off. lastFragment matches the
+    // STAGING-RELATIVE path only: matching the absolute destination
+    // would misclassify every move under a destination root that
+    // happens to contain the fragment (e.g. /warehouse/meta/corpus-idx)
+    // and void the watermark-moves-last invariant.
     val all = mappings.flatMap { case (sub, dest) =>
       val root = new Path(staging, sub)
-      files(root).map(p => p -> rebase(p, root, dest))
+      files(root).map { p =>
+        val q = fs.makeQualified(root).toString + "/"
+        require(p.toString.startsWith(q), s"staged file $p outside root $q")
+        val rel = p.toString.stripPrefix(q)
+        (p, new Path(dest + "/" + rel), "/" + rel)
+      }
     }
-    val (last, rest) = all.partition(_._2.toString.contains(lastFragment))
-    rest ++ last
+    val (last, rest) = all.partition(_._3.contains(lastFragment))
+    (rest ++ last).map { case (src, dst, _) => (src, dst) }
   }
 
   private def writeManifest(fs: FileSystem, staging: Path,

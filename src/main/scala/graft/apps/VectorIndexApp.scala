@@ -65,7 +65,9 @@ object VectorIndexApp {
             rerankK: Int): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val qprobes = SimilarityOps.ivfProbes(corpus, cents, isProbe, nprobe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probes are few and their assignment is map-side against broadcast
+    // centroids — recomputing the small frame at execution is cheaper
+    // than leaking one session-lifetime cache entry per query
     val cells = qprobes.select("cluster").distinct()
       .collect().map(_.getLong(0)) // bounded: ≤ probes × nprobe values
     val codes = spark.read.parquet(s"$indexDir/codes")
@@ -81,6 +83,7 @@ object VectorIndexApp {
     val fs = new Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     StagedCommit.heal(fs, staging(indexDir))
+    if (delta.isEmpty) return // nothing to apply (and min/max would be null)
     val maxBase = spark.read.parquet(s"$indexDir/meta")
       .agg(max(col("max_vec_id"))).head.getLong(0)
     val mm = delta.agg(min(col("vec_id")), max(col("vec_id"))).head
@@ -108,6 +111,10 @@ object VectorIndexApp {
   def retract(spark: SparkSession, vecIds: Seq[Long],
               indexDir: String): Unit = {
     if (vecIds.isEmpty) return
+    // finish any torn append first — a target in a staged-but-unmoved
+    // file would dodge discovery and re-enter on the next heal
+    StagedCommit.heal(fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), staging(indexDir))
     val hit = spark.read.parquet(s"$indexDir/codes")
       .filter(col("vec_id").isin(vecIds: _*))
       .select(input_file_name().as("f")).distinct()

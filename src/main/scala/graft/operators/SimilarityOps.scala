@@ -235,15 +235,21 @@ object SimilarityOps {
     * ordering diverges). Zero vectors quantize to zero CODES instead,
     * matching cosineFromParts' zero-norm convention. Shared by
     * [[annQuantized]] and [[ivfQuantizedAnn]] — one drifting from the
-    * other would silently de-sync their oracles. */
-  private def quantizeCodes(df: DataFrame): DataFrame = df
-    .withColumn("maxabs",
-      array_max(transform(col("embedding"), x => abs(x.cast("double")))))
-    .withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
-    .withColumn("qv", when(col("maxabs") === 0.0,
-        transform(col("embedding"), _ => lit(0L)))
-      .otherwise(transform(col("embedding"),
-        x => round(x.cast("double") * lit(127.0) / col("maxabs")).cast("long"))))
+    * other would silently de-sync their oracles. An already-present
+    * `__nb` column is reused (assignCells computes the identical norm;
+    * Spark does not CSE across independently-defined columns, so
+    * recomputing it would cost a second full self-dot per vector). */
+  private def quantizeCodes(df: DataFrame): DataFrame = {
+    val withNorm = if (df.columns.contains("__nb")) df
+      else df.withColumn("__nb", sqrt(VectorFunctions.norm2(col("embedding"))))
+    withNorm
+      .withColumn("maxabs",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("qv", when(col("maxabs") === 0.0,
+          transform(col("embedding"), _ => lit(0L)))
+        .otherwise(transform(col("embedding"),
+          x => round(x.cast("double") * lit(127.0) / col("maxabs")).cast("long"))))
+  }
 
   /** Dequantized candidate score r = qdot·scale/‖b‖ over the exact int64
     * code dot (columns `qa`/`qv`/`maxabs`/`__nb`); monotone in the probe
@@ -498,7 +504,8 @@ object SimilarityOps {
     * cell list becomes a directory filter
     * ([[graft.apps.VectorIndexApp]]). */
   def ivfCodes(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    quantizeCodes(assignCells(corpus, centroids, nprobe = 1))
+    quantizeCodes(assignCells(corpus, centroids, nprobe = 1)
+        .withColumnRenamed("__nv", "__nb")) // reuse the assignment's norm
       .select(col("vec_id"), col("cluster"), col("qv"), col("maxabs"),
         col("__nb"))
 
@@ -506,7 +513,8 @@ object SimilarityOps {
     * the probe's own codes. Probes are few — this frame broadcasts. */
   def ivfProbes(corpus: DataFrame, centroids: DataFrame, isProbe: Column,
                 nprobe: Int): DataFrame =
-    quantizeCodes(assignCells(corpus.filter(isProbe), centroids, nprobe))
+    quantizeCodes(assignCells(corpus.filter(isProbe), centroids, nprobe)
+        .withColumnRenamed("__nv", "__nb"))
       .select(col("vec_id").as("q_id"), col("cluster"), col("qv").as("qa"))
 
   /** V7's search stage over a PREBUILT codes frame (freshly computed or

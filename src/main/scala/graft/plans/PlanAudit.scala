@@ -93,23 +93,30 @@ object PlanAudit {
             ae.mode == org.apache.spark.sql.catalyst.expressions.aggregate.PartialMerge) => a
     }.isDefined
 
-  /** A broadcast subtree is accepted as bounded if it contains a
-    * cardinality reducer (aggregate, limit, top-k, rank-window group
-    * limit), a literal relation (collected/parallelized driver data, or
-    * `range` over literal bounds), or a file scan already under the
-    * auto-broadcast threshold. Descends into cached relations and AQE
-    * wrappers the same way the main walk does. */
-  private def boundedBroadcast(p: SparkPlan): Boolean =
-    p.collect {
-      case _: BaseAggregateExec => true
-      case _: GlobalLimitExec | _: LocalLimitExec |
-           _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
-      case _: LocalTableScanExec | _: RangeExec => true
-      case f: FileSourceScanExec =>
-        f.relation.location.sizeInBytes <= SQLConf.get.autoBroadcastJoinThreshold
-      case c: InMemoryTableScanExec => boundedBroadcast(c.relation.cachedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        boundedBroadcast(s.plan)
-      case a: AdaptiveSparkPlanExec => boundedBroadcast(a.executedPlan)
-    }.exists(identity)
+  /** A broadcast subtree is bounded when every root-to-leaf SPINE is
+    * covered by a cardinality reducer (aggregate, limit, top-k,
+    * rank-window group limit) or terminates in a bounded leaf (literal
+    * relation, `range`, a file scan under the auto-broadcast
+    * threshold). Judged root-downward, NOT by any-descendant matching —
+    * a fact-sized join whose small side contains a limit must still be
+    * flagged (the reducer bounds that side, not the join's output).
+    * Multi-child nodes (joins, unions) are bounded only if ALL inputs
+    * are; other nodes inherit from their children; unknown leaves are
+    * conservatively unbounded. */
+  private def boundedBroadcast(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case _: GlobalLimitExec | _: LocalLimitExec |
+         _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
+    case _: LocalTableScanExec | _: RangeExec => true
+    case f: FileSourceScanExec =>
+      f.relation.location.sizeInBytes <= SQLConf.get.autoBroadcastJoinThreshold
+    case c: InMemoryTableScanExec => boundedBroadcast(c.relation.cachedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      boundedBroadcast(s.plan)
+    case a: AdaptiveSparkPlanExec => boundedBroadcast(a.executedPlan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      boundedBroadcast(r.child)
+    case other =>
+      other.children.nonEmpty && other.children.forall(boundedBroadcast)
+  }
 }

@@ -90,24 +90,32 @@ object Layout {
       // Driver-computed integer scale instead of the previous
       // multiply-then-divide: (v - lo) · 2^bits overflows Long once the
       // span reaches 2^(63-bits) — epoch-microsecond spans qualify —
-      // silently scrambling the curve. A wide span DIVIDES by its ceil'd
-      // cell width; a narrow span MULTIPLIES up to the grid instead
-      // (the product stays < 2^bits — no overflow), because BOTH columns
-      // must fill the same bit-width or the interleave degenerates into
-      // a plain sort on the wider column.
-      val span = math.max(1L, hi - lo + 1)
-      val v = s"(coalesce(cast(`$c` as bigint), ${lo}L) - ${lo}L)"
-      if (span >= (1L << bits)) {
-        val step = // ceil(span / 2^bits), shift form — no overflow
-          (span >>> bits) + (if ((span & ((1L << bits) - 1)) != 0) 1L else 0L)
-        expr(s"$v div ${step}L")
-      } else expr(s"$v * ${(1L << bits) / span}L")
+      // silently scrambling the curve. Span arithmetic runs in BigInt
+      // (hi - lo + 1 itself wraps Long when a MinValue sentinel meets
+      // positive values), and the wide branch divides BEFORE
+      // subtracting (v div step − lo div step: monotone, ≥ 0, clamped)
+      // so no row-side expression can overflow either. A narrow span
+      // MULTIPLIES up to the grid instead (the product stays < 2^bits),
+      // because BOTH columns must fill the same bit-width or the
+      // interleave degenerates into a plain sort on the wider column.
+      val cells = BigInt(1) << bits
+      val span = (BigInt(hi) - BigInt(lo) + 1).max(BigInt(1))
+      val v = s"coalesce(cast(`$c` as bigint), ${lo}L)"
+      if (span >= cells) {
+        val step = ((span + cells - 1) / cells).toLong // ≤ 2^(64-bits)
+        expr(s"least(($v div ${step}L) - (${lo}L div ${step}L), " +
+          s"${(1L << bits) - 1}L)")
+      } else expr(s"($v - ${lo}L) * ${(cells / span).toLong}L")
     }
     val z = if (rankScaled) {
       require(bits <= 8,
         s"rank scaling materializes 2^bits-1 quantile boundaries per " +
           s"column — keep the grid <= 256 cells (bits=$bits)")
-      zInterleave(rankCell(df, colA, bits), rankCell(df, colB, bits), bits)
+      val cells = 1 << bits
+      // ONE Greenwald–Khanna pass sketches both columns
+      val bounds = df.stat.approxQuantile(Array(colA, colB),
+        (1 until cells).map(_.toDouble / cells).toArray, 1.0 / (4 * cells))
+      zInterleave(rankCell(colA, bounds(0)), rankCell(colB, bounds(1)), bits)
     } else {
       val r = df.agg(
         min(col(colA)).cast("long"), max(col(colA)).cast("long"),
@@ -124,16 +132,11 @@ object Layout {
 
   /** Grid cell of `c` by RANK: the count of quantile boundaries ≤ the
     * value (a codegen'd fold over a literal boundary array — 2^bits - 1
-    * comparisons per row, why rank mode caps `bits`). Boundaries come
-    * from one Greenwald–Khanna sketch pass; nulls sort into cell 0 like
-    * linear scaling's `coalesce(lo)`. */
-  private def rankCell(df: DataFrame, c: String, bits: Int): Column = {
-    val cells = 1 << bits
-    val bounds = df.stat.approxQuantile(
-      c, (1 until cells).map(_.toDouble / cells).toArray, 1.0 / (4 * cells))
+    * comparisons per row, why rank mode caps `bits`). Nulls sort into
+    * cell 0 like linear scaling's `coalesce(lo)`. */
+  private def rankCell(c: String, bounds: Array[Double]): Column =
     aggregate(array(bounds.map(lit): _*), lit(0L), (acc, b) =>
       acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
-  }
 
   /** Count of partition directories the physical plan will actually
     * read for `df` (after partition pruning). Diagnostic used by

@@ -108,6 +108,14 @@ class PlanAuditSpec extends SparkSpec {
       val ok = fact.join(broadcast(dim.limit(25)),
         fact("c_nationkey") === dim("n_nationkey"))
       assert(!PlanAudit.violations(ok).exists(_.contains("BroadcastExchange")))
+      // but a reducer buried on one side of a fact-sized join does NOT
+      // launder the join's own broadcast: boundedness is judged along
+      // the output spine, not by any-descendant matching
+      val fact2 = spark.read.parquet(s"$sf/orders.parquet")
+      val nested = fact2.join(broadcast(ok),
+        fact2("o_custkey") === fact("c_custkey"))
+      assert(PlanAudit.violations(nested).exists(_.contains("BroadcastExchange")),
+        "fact-sized broadcast with a nested limit sailed through")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
