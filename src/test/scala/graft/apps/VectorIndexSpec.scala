@@ -115,6 +115,41 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingestion: micro-batch appends == rebuild with the frozen codebook") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = Tables.embeddings(spark, sf)
+    val cut = corpus.stat.approxQuantile("vec_id", Array(0.6, 0.8), 0.0)
+    val (c1, c2) = (cut(0).toLong, cut(1).toLong)
+    val base = corpus.filter(col("vec_id") <= c1)
+
+    val idx = Files.createTempDirectory("vidx-str").toString
+    VectorIndexApp.build(spark, base, idx, kCells, iters)
+    val cents = spark.read.parquet(s"$idx/centroids")
+
+    // new vectors stream in two micro-batches, ids ascending
+    val d = corpus.filter(col("vec_id") > c1)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val (b1, b2) = d.partition(_._1 <= c2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = VectorIndexApp.stream(
+      mem.toDF().toDF("vec_id", "embedding"), idx,
+      Files.createTempDirectory("vidx-cp").toString)
+    try {
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    } finally q.stop()
+
+    val isProbe = col("vec_id") < 5
+    val got = VectorIndexApp.query(spark, corpus, idx, isProbe,
+      topK, nprobe, rerankK)
+    val want = SimilarityOps.ivfQuantizedAnn(corpus, cents, isProbe,
+      topK, nprobe, rerankK)
+    assert(rows(got) == rows(want), "streamed index diverged from rebuild")
+  }
+
   test("retract removes vectors from the index, touches only hit cell files") {
     val corpus = Tables.embeddings(spark, sf)
     val idx = Files.createTempDirectory("vidx-ret").toString
