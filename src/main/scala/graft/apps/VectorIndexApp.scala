@@ -149,4 +149,18 @@ object VectorIndexApp {
 
   private def staging(indexDir: String): Path =
     new Path(s"$indexDir/_staging")
+
+  /** Usage: `runMain graft.apps.VectorIndexApp <sfDir> <indexDir>` —
+    * builds the index over the embeddings table and smoke-queries it. */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, indexDir) = args
+    val spark = graft.GraftSession.local("graft-vector-index")
+    try {
+      val corpus = graft.sources.Tables.embeddings(spark, sfDir)
+      build(spark, corpus, indexDir, kCells = 16, iters = 2)
+      val n = query(spark, corpus, indexDir, col("vec_id") < 10,
+        topK = 10, nprobe = 2, rerankK = 20).count()
+      println(s"[vector-index] built at $indexDir; smoke query rows: $n")
+    } finally spark.stop()
+  }
 }

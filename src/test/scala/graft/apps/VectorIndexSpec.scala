@@ -115,6 +115,25 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("a corpus wider than the index yields only indexed candidates, scored exactly") {
+    val corpus = Tables.embeddings(spark, sf)
+    val cut = corpus.stat.approxQuantile("vec_id", Array(0.7), 0.0).head.toLong
+    val indexed = corpus.filter(col("vec_id") <= cut)
+    val idx = Files.createTempDirectory("vidx-wide").toString
+    VectorIndexApp.build(spark, indexed, idx, kCells, iters)
+    // probes drawn from the FULL corpus (some of it not yet indexed):
+    // candidates must come from the index alone, scores from the corpus
+    val got = rows(VectorIndexApp.query(spark, corpus, idx,
+      col("vec_id") < 5, topK, nprobe, rerankK))
+    assert(got.forall(_._2 <= cut), "an un-indexed vector surfaced as a candidate")
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val want = rows(SimilarityOps.ivfSearchCodes(
+      SimilarityOps.ivfCodes(indexed, cents),
+      SimilarityOps.ivfProbes(corpus, cents, col("vec_id") < 5, nprobe),
+      corpus, col("vec_id") < 5, topK, rerankK))
+    assert(got == want)
+  }
+
   test("streaming ingestion: micro-batch appends == rebuild with the frozen codebook") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
