@@ -37,7 +37,12 @@ import graft.operators.SimilarityOps
   *
   * Queries against a larger corpus than the index covers (e.g. probes
   * arriving before their batch is indexed) still rerank exactly: the
-  * candidate set comes from the index, the scores from the corpus. */
+  * candidate set comes from the index, the scores from the corpus.
+  *
+  * The reference has no vector/ANN surface — its only serving-side
+  * index is the HBase dim table (`util/HBaseUtil.java`); this is part
+  * of the LLM-pipeline extension tier (IVF per the FAISS lineage:
+  * Jégou et al. '11 inverted files + scalar quantization). */
 object VectorIndexApp {
 
   /** Train the codebook on `corpus` and materialize the full index. A
