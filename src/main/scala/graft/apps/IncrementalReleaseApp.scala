@@ -326,9 +326,11 @@ object IncrementalReleaseApp {
              checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
+      // no empty-batch pre-check: append() no-ops on an empty delta
+      // itself, and calling it unconditionally lets an empty batch
+      // heal a torn previous append immediately
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (batch.limit(1).count() > 0)
-          append(batch.sparkSession, batch, bench, outDir, indexDir)
+        append(batch.sparkSession, batch, bench, outDir, indexDir)
       }
       .start()
 

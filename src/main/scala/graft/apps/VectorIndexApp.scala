@@ -69,12 +69,17 @@ object VectorIndexApp {
             isProbe: Column, topK: Int, nprobe: Int,
             rerankK: Int): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    val qprobes = SimilarityOps.ivfProbes(corpus, cents, isProbe, nprobe)
-    // probes are few and their assignment is map-side against broadcast
-    // centroids — recomputing the small frame at execution is cheaper
-    // than leaking one session-lifetime cache entry per query
-    val cells = qprobes.select("cluster").distinct()
-      .collect().map(_.getLong(0)) // bounded: ≤ probes × nprobe values
+    // the probe frame is bounded (≤ probes × nprobe rows of ids, cells
+    // and short code arrays), and BOTH its consumers — the cell list
+    // and the search's broadcast side — need it whole: collect it ONCE
+    // and serve the join from a local relation, so the corpus-side
+    // probe scan runs exactly once per query with no session-lifetime
+    // cache entry
+    val probeFrame = SimilarityOps.ivfProbes(corpus, cents, isProbe, nprobe)
+    val collected = probeFrame.collect()
+    val cells = collected.map(_.getAs[Long]("cluster")).distinct
+    val qprobes = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), probeFrame.schema)
     val codes = spark.read.parquet(s"$indexDir/codes")
       .filter(col("cluster").isin(cells.toSeq: _*))
     SimilarityOps.ivfSearchCodes(codes, qprobes, corpus, isProbe,
@@ -146,9 +151,11 @@ object VectorIndexApp {
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
+      // no empty-batch pre-check: append() no-ops on an empty delta
+      // itself, and calling it unconditionally lets an empty batch
+      // heal a torn previous append immediately
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (batch.limit(1).count() > 0)
-          append(batch.sparkSession, batch, indexDir)
+        append(batch.sparkSession, batch, indexDir)
       }
       .start()
 

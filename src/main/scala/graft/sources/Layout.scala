@@ -120,8 +120,12 @@ object Layout {
       val r = df.agg(
         min(col(colA)).cast("long"), max(col(colA)).cast("long"),
         min(col(colB)).cast("long"), max(col(colB)).cast("long")).head
-      zInterleave(linear(colA, r.getLong(0), r.getLong(1)),
-        linear(colB, r.getLong(2), r.getLong(3)), bits)
+      // an empty frame or all-null column aggregates to null min/max:
+      // treat as a one-point domain (every row lands in cell 0) rather
+      // than NPE — the write still round-trips the rows unchanged
+      def at(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      zInterleave(linear(colA, at(0), at(1)), linear(colB, at(2), at(3)),
+        bits)
     }
     // numFiles pins the curve-segment count (one file ≈ one rectangle of
     // the plane); default lets range partitioning + AQE size them
