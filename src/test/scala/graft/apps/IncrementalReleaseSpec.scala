@@ -329,6 +329,34 @@ class IncrementalReleaseSpec extends SparkSpec {
     }
   }
 
+  test("takedown is a verdict: copies AND near-dups of retracted content stay out") {
+    val docs = Tables.documents(spark, sf)
+    val bench = StreamingDecontamApp.benchmarkFrom(
+      docs, shingleN = 3, benchMod = 37, minOverlap = 3)
+    val out = tmp("rel-verdict"); val idx = tmp("rel-verdict-idx")
+    IncrementalReleaseApp.releaseAll(spark, docs, bench, out, idx)
+
+    // take down a released doc, then try to sneak its content back in
+    val target = releaseRows(out).map(_._1).min
+    val targetText = docs.filter(col("doc_id") === target)
+      .select("text").as[String].head()
+    IncrementalReleaseApp.retract(spark, Seq(target), out, idx)
+
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val delta = Seq(
+      (maxId + 1, targetText, "crawl"),            // byte-identical copy
+      (maxId + 2, targetText + " postscript", "crawl") // near-duplicate
+    ).toDF("doc_id", "text", "source")
+    IncrementalReleaseApp.append(spark, delta, bench, out, idx)
+
+    val ids = releaseRows(out).map(_._1)
+    assert(!ids.contains(maxId + 1),
+      "a byte-identical copy of taken-down content re-entered (fp gate)")
+    assert(!ids.contains(maxId + 2),
+      "a near-duplicate of taken-down content re-entered (band/shingle gate)")
+    assert(!ids.contains(target))
+  }
+
   test("lifecycle soak: bootstrap → streamed appends → retract == rebuild minus holes") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
