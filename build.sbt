@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench/test JVMs compile one unique whole-stage-codegen class
+  // per query (and Spark caps its codegen cache at 100 entries): with
+  // the default 240 MB code cache, a long suite fills it, the JIT
+  // stops compiling, and EVERYTHING afterwards runs interpreted — the
+  // uniform ~1.5x whole-suite slowdown observed in round 6 on
+  // byte-untouched queries. Headroom makes the harness measure plans,
+  // not code-cache luck.
+  "-XX:ReservedCodeCacheSize=1g",
 )

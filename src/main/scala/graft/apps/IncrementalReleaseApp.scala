@@ -146,23 +146,29 @@ object IncrementalReleaseApp {
     // ---- near-dup: candidates = band-bucket collisions with the DELTA
     // on the loser (greater-id) side, capped on the UNION bucket size —
     // exactly the pairs a full rebuild would consider with b ∈ delta.
-    val unionCounts = idxBands.select("band", "sig")
-      .union(dbands.select("band", "sig"))
-      .groupBy("band", "sig").agg(count(lit(1)).as("__bc"))
+    // Base-side and union bucket counts come out of ONE aggregation
+    // (base rows tagged 1, delta rows 0) so the flood guard below costs
+    // no extra scan/aggregation job — its count() materializes the
+    // cached frame okBuckets then reuses.
+    val bucketCounts = idxBands.select(col("band"), col("sig"),
+        lit(1L).as("__isBase"))
+      .unionByName(dbands.select(col("band"), col("sig"),
+        lit(0L).as("__isBase")))
+      .groupBy("band", "sig")
+      .agg(count(lit(1)).as("__bc"), sum(col("__isBase")).as("__base"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // guard 2: a delta that pushes a bucket holding >= 2 base docs over
     // the cap would retroactively drop base-base pairs in a rebuild —
     // the one shape an append cannot reproduce. Untouched buckets keep
     // their counts, so checking the delta-touched slice is exhaustive.
-    val flooded = idxBands.groupBy("band", "sig")
-      .agg(count(lit(1)).as("__base"))
-      .filter(col("__base") >= 2 && col("__base") <= Cap)
-      .join(unionCounts.filter(col("__bc") > Cap), Seq("band", "sig"))
+    val flooded = bucketCounts
+      .filter(col("__base") >= 2 && col("__base") <= Cap &&
+        col("__bc") > Cap)
       .count()
     require(flooded == 0,
       s"$flooded band buckets shared by base documents would cross the " +
         "flood cap — base verdicts would change; rebuild instead")
-    val okBuckets = unionCounts.filter(col("__bc") <= Cap).select("band", "sig")
+    val okBuckets = bucketCounts.filter(col("__bc") <= Cap).select("band", "sig")
     val partners = idxBands.unionByName(dbands)
       .join(okBuckets, Seq("band", "sig"))
       .select(col("band"), col("sig"), col("__id").as("a"))
@@ -216,7 +222,7 @@ object IncrementalReleaseApp {
     fs.delete(staging, true)
     CorpusReleaseApp.writeRelease(packed, s"$staging/release", mode = "overwrite")
     writeIndex(delta, dsets, dbands, packed, s"$staging/idx", mode = "overwrite")
-    dsets.unpersist(); dbands.unpersist(); unionCounts.unpersist()
+    dsets.unpersist(); dbands.unpersist(); bucketCounts.unpersist()
     cand.unpersist(); dfps.unpersist()
     StagedCommit.publish(fs, staging,
       Seq("release" -> outDir, "idx" -> indexDir), lastFragment = "/meta/")
@@ -287,8 +293,11 @@ object IncrementalReleaseApp {
     if (docIds.isEmpty) return
     // finish any torn append FIRST: a target row sitting in a staged-
     // but-unmoved file would otherwise dodge discovery and re-enter the
-    // release when a later append heals the manifest
+    // release when a later append heals the manifest — and repair any
+    // torn swap from a crashed PREVIOUS retraction, whose dark rows
+    // would likewise dodge the discovery scan below
     heal(spark, indexDir)
+    SurgicalRewrite.heal(fsFor(spark, outDir), new Path(outDir))
     // a document's split is a pure function of its id, so the discovery
     // scan partition-prunes to the target docs' split directories before
     // the pushed doc_id filter does the row-group work
@@ -296,15 +305,22 @@ object IncrementalReleaseApp {
       val h = graft.functions.StableHash.stable60Local(id.toString) % 100
       if (h < 80) "train" else if (h < 90) "validation" else "test"
     }.distinct
-    val hit = spark.read.parquet(outDir)
-      .filter(c("split").isin(splits: _*) && c("doc_id").isin(docIds: _*))
-      .select(input_file_name().as("f")).distinct()
+    // small takedowns stay a pushed In-filter; large ones run as a
+    // broadcast semi-join (discovery) / anti-join (rewrite) so the
+    // expression tree never grows with the takedown size.
+    // input_file_name is attached BEFORE the membership gate: it is
+    // only defined in the scan stage, not past a join boundary
+    val hit = SurgicalRewrite.matching(
+        spark.read.parquet(outDir)
+          .filter(c("split").isin(splits: _*))
+          .withColumn("f", input_file_name()), docIds, "doc_id")
+      .select("f").distinct()
       .collect().map(_.getString(0)).toSeq // bounded: ≤ |docIds| × epochs
     // rows stay in the layout contract's (bucket, seq_id) order (split
     // is constant within a file), doc_id/epoch as a deterministic
     // tiebreak
     SurgicalRewrite.rewrite(spark, hit, s"$outDir/_retract",
-      _.filter(!c("doc_id").isin(docIds: _*)),
+      SurgicalRewrite.excluding(_, docIds, "doc_id"),
       Seq(col("bucket"), col("seq_id"), col("doc_id"), col("epoch")))
   }
 

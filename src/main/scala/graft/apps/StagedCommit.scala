@@ -9,9 +9,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * A writer stages every output under one `_staging` directory, then
   * [[publish]]es: the staged files are enumerated into a manifest
   * (written atomically via temp + rename), moved into their final
-  * directories one by one, with any path matching `lastFragment` (the
-  * watermark/meta marker) moved LAST. The invariants a replayer can
-  * rely on:
+  * directories (a bounded rename pool for the bulk; order within it is
+  * irrelevant because nothing is observable until the watermark lands),
+  * with any path matching `lastFragment` (the watermark/meta marker)
+  * moved strictly LAST, serially, after the pool drains. The invariants
+  * a replayer can rely on:
   *
   *  - no manifest ⇒ nothing was published — [[heal]] discards the
   *    staging and the writer recomputes;
@@ -33,6 +35,15 @@ object StagedCommit {
   private[apps] var crashBeforeCommit: Boolean = false
   private[apps] var crashAfterMoves: Int = Int.MaxValue
 
+  /** Concurrent renames [[publish]] uses for the non-watermark moves.
+    * Renames are metadata-only but each is a filesystem round-trip: a
+    * delta touching all 256 band prefixes stages a thousand-odd files,
+    * and moving them serially on the driver made the commit latency
+    * O(files). A small pool hides the per-call latency; the watermark
+    * moves are still strictly serial AFTER the pool drains, so the
+    * "`lastFragment` visible ⇒ everything landed" invariant holds. */
+  private val CommitParallelism = 16
+
   /** Enumerate the staged files under each `(stagingSubdir → destRoot)`
     * mapping, write the manifest, move everything (`lastFragment` paths
     * last), and remove the staging directory. */
@@ -41,10 +52,33 @@ object StagedCommit {
               lastFragment: String): Unit = {
     if (crashBeforeCommit) throw new IllegalStateException(
       "injected crash: staged but uncommitted")
-    val moves = stagedMoves(fs, staging, mappings, lastFragment)
-    writeManifest(fs, staging, moves)
-    commitMoves(fs, moves)
+    val (rest, last) = stagedMoves(fs, staging, mappings, lastFragment)
+    writeManifest(fs, staging, rest ++ last)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    moveParallel(fs, rest, counter) // barrier: every non-watermark file
+    commitMoves(fs, last, counter)  // … lands before the watermark moves
     fs.delete(staging, true)
+  }
+
+  private def moveParallel(fs: FileSystem, moves: Seq[(Path, Path)],
+      counter: java.util.concurrent.atomic.AtomicInteger): Unit = {
+    if (moves.length <= 1) { commitMoves(fs, moves, counter); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(CommitParallelism, moves.length))
+    try {
+      val futures = moves.map { case (src, dst) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = moveOne(fs, src, dst, counter)
+        })
+      }
+      // .get() rethrows wrapped — unwrap so callers (and the crash-
+      // injection specs) see the original failure, not the pool's
+      futures.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      }
+    } finally pool.shutdownNow()
   }
 
   /** Complete (or discard) a torn publish left by a crash: a staging
@@ -65,8 +99,8 @@ object StagedCommit {
   }
 
   private def stagedMoves(fs: FileSystem, staging: Path,
-                          mappings: Seq[(String, String)],
-                          lastFragment: String): Seq[(Path, Path)] = {
+                          mappings: Seq[(String, String)], lastFragment: String)
+      : (Seq[(Path, Path)], Seq[(Path, Path)]) = {
     def files(root: Path): Seq[Path] = {
       if (!fs.exists(root)) return Nil
       val it = fs.listFiles(root, true)
@@ -93,7 +127,8 @@ object StagedCommit {
       }
     }
     val (last, rest) = all.partition(_._3.contains(lastFragment))
-    (rest ++ last).map { case (src, dst, _) => (src, dst) }
+    (rest.map { case (src, dst, _) => (src, dst) },
+      last.map { case (src, dst, _) => (src, dst) })
   }
 
   private def writeManifest(fs: FileSystem, staging: Path,
@@ -110,15 +145,26 @@ object StagedCommit {
   /** Idempotent, resumable move pass: a file already at its destination
     * (a replayed crash-interrupted commit) is skipped; missing on BOTH
     * sides is corruption and fails loudly. */
-  private def commitMoves(fs: FileSystem, moves: Seq[(Path, Path)]): Unit =
-    moves.zipWithIndex.foreach { case ((src, dst), i) =>
-      if (i >= crashAfterMoves) throw new IllegalStateException(
-        s"injected crash: commit interrupted after $i moves")
-      if (fs.exists(src)) {
-        fs.mkdirs(dst.getParent)
-        require(!fs.exists(dst), s"commit destination already exists: $dst")
-        require(fs.rename(src, dst), s"commit move failed: $src -> $dst")
-      } else require(fs.exists(dst),
-        s"commit lost a file (neither $src nor $dst exists)")
-    }
+  private def commitMoves(fs: FileSystem, moves: Seq[(Path, Path)],
+      counter: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger(0)): Unit =
+    moves.foreach { case (src, dst) => moveOne(fs, src, dst, counter) }
+
+  private def moveOne(fs: FileSystem, src: Path, dst: Path,
+      counter: java.util.concurrent.atomic.AtomicInteger): Unit = {
+    if (counter.getAndIncrement() >= crashAfterMoves)
+      throw new IllegalStateException(
+        s"injected crash: commit interrupted mid-moves")
+    if (fs.exists(src)) {
+      fs.mkdirs(dst.getParent)
+      // src AND dst both present: the manifest froze the intended
+      // state, so the staged src is authoritative — an out-of-band
+      // file at dst is replaced, not an unrecoverable failure (the old
+      // require here made every subsequent heal() replay the same
+      // collision and fail forever, wedging the release)
+      if (fs.exists(dst)) fs.delete(dst, false)
+      require(fs.rename(src, dst), s"commit move failed: $src -> $dst")
+    } else require(fs.exists(dst),
+      s"commit lost a file (neither $src nor $dst exists)")
+  }
 }

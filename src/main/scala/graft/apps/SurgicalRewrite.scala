@@ -20,8 +20,69 @@ import org.apache.spark.sql.functions._
   * through a dot-prefixed aside copy (invisible to parquet readers), so
   * every intermediate state still holds one complete copy of the kept
   * rows — a crash can orphan an aside file or leave a file's rows
-  * temporarily dark, but never lose them. */
+  * temporarily dark, but never lose them. [[heal]] (run by callers
+  * BEFORE takedown discovery, and per-directory at [[rewrite]] entry)
+  * repairs any torn swap: a `.bak-` whose original is missing is
+  * restored, a leftover one whose original landed is removed — so a
+  * crashed takedown's kept rows become visible again and the REPLAYED
+  * takedown (the operator retries a failed retraction) completes it. */
 private[apps] object SurgicalRewrite {
+
+  /** TEST-ONLY crash injection for the torn-swap heal specs — never set
+    * outside tests. Dies after the n-th aside rename, BEFORE that
+    * file's replacement is installed (the dark-rows window). */
+  private[apps] var crashAfterAside: Int = Int.MaxValue
+
+  /** Repair torn swaps under `root` (recursive): restore every
+    * `.bak-f` whose `f` is missing (crash between aside and install —
+    * the rows' only copy), delete every `.bak-f` whose `f` exists
+    * (crash between install and cleanup — the swap completed). After
+    * a heal the tree is a consistent pre- or post-swap state per file,
+    * and replaying the takedown converges it. Callers MUST heal before
+    * takedown DISCOVERY: rows visible only in a `.bak-` would dodge
+    * the hit-file scan and silently survive the retraction. */
+  def heal(fs: org.apache.hadoop.fs.FileSystem, root: Path): Unit = {
+    if (!fs.exists(root)) return
+    val it = fs.listFiles(root, true)
+    val baks = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.startsWith(".bak-")) baks += p
+    }
+    baks.foreach { p =>
+      val orig = new Path(p.getParent, p.getName.stripPrefix(".bak-"))
+      if (!fs.exists(orig))
+        require(fs.rename(p, orig), s"heal: could not restore $p")
+      else fs.delete(p, false)
+    }
+  }
+
+  /** Membership gate for the takedown paths. A small id set stays a
+    * literal In-predicate (it pushes down to parquet row-group stats);
+    * above [[InlineIdMax]] ids the same semantics run as a BROADCAST
+    * semi/anti join — expression-tree size and per-row eval cost stay
+    * O(1) instead of growing with the takedown size. */
+  private[apps] val InlineIdMax = 1000
+
+  private def idsFrame(spark: SparkSession, ids: Seq[Long],
+                       idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.toDF(idCol)
+  }
+
+  /** Rows of `df` whose `idCol` IS in `ids` (takedown discovery). */
+  private[apps] def matching(df: DataFrame, ids: Seq[Long],
+                             idCol: String): DataFrame =
+    if (ids.length <= InlineIdMax) df.filter(col(idCol).isin(ids: _*))
+    else df.join(broadcast(idsFrame(df.sparkSession, ids, idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Rows of `df` whose `idCol` is NOT in `ids` (the kept rows). */
+  private[apps] def excluding(df: DataFrame, ids: Seq[Long],
+                              idCol: String): DataFrame =
+    if (ids.length <= InlineIdMax) df.filter(!col(idCol).isin(ids: _*))
+    else df.join(broadcast(idsFrame(df.sparkSession, ids, idCol)),
+      Seq(idCol), "left_anti")
 
   /** Rewrite `files` (fully-qualified URIs) keeping only `transform`'s
     * output rows, each rewritten file internally ordered by `order`.
@@ -35,6 +96,13 @@ private[apps] object SurgicalRewrite {
     val lookup = spark.createDataFrame(hit.zipWithIndex).toDF("__f", "__fid")
     val tmp = new Path(tmpDir)
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // belt-and-braces: repair torn swaps in the hit files' own
+    // directories before touching anything (a stale .bak- would make
+    // the aside rename below fail; a missing original would read as
+    // zero rows). Callers additionally heal the whole root BEFORE
+    // discovery — a dark file outside the hit list is their problem.
+    hit.map(f => new Path(new URI(f)).getParent).distinct
+      .foreach(heal(fs, _))
     val tagged = spark.read.parquet(hit: _*)
       .withColumn("__f", input_file_name())
       .join(broadcast(lookup), Seq("__f"), "left")
@@ -53,6 +121,8 @@ private[apps] object SurgicalRewrite {
       // aside first: the original's rows stay recoverable at every step
       val bak = new Path(orig.getParent, s".bak-${orig.getName}")
       require(fs.rename(orig, bak), s"rewrite: could not set aside $orig")
+      if (i >= crashAfterAside) throw new IllegalStateException(
+        s"injected crash: rewrite interrupted after aside $i")
       repl.foreach { r => // None ⇔ every row of this file was dropped
         require(fs.rename(r, orig), s"rewrite: could not install $r")
       }

@@ -69,17 +69,21 @@ object VectorIndexApp {
             isProbe: Column, topK: Int, nprobe: Int,
             rerankK: Int): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    // the probe frame is bounded (≤ probes × nprobe rows of ids, cells
-    // and short code arrays), and BOTH its consumers — the cell list
-    // and the search's broadcast side — need it whole: collect it ONCE
-    // and serve the join from a local relation, so the corpus-side
-    // probe scan runs exactly once per query with no session-lifetime
-    // cache entry
-    val probeFrame = SimilarityOps.ivfProbes(corpus, cents, isProbe, nprobe)
-    val collected = probeFrame.collect()
-    val cells = collected.map(_.getAs[Long]("cluster")).distinct
-    val qprobes = spark.createDataFrame(
-      java.util.Arrays.asList(collected: _*), probeFrame.schema)
+    // the probe frame stays DISTRIBUTED: only the distinct probed cell
+    // ids come to the driver — bounded by the CODEBOOK size (kCells
+    // values), not the probe count — so a batch job joining 1M probes
+    // against the index never materializes code arrays driver-side.
+    // Persisted because both consumers (the cell list here and the
+    // search's broadcast side) traverse it: the cells collect fills
+    // the cache the broadcast exchange then reads, so the corpus-side
+    // probe scan still runs exactly once per query. The entry is
+    // bounded (probes × nprobe narrow code rows) and freed by
+    // clearCache()/session stop — serving loops issuing many queries
+    // should clear between batches.
+    val qprobes = SimilarityOps.ivfProbes(corpus, cents, isProbe, nprobe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = qprobes.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)) // ≤ kCells values, never per-probe
     val codes = spark.read.parquet(s"$indexDir/codes")
       .filter(col("cluster").isin(cells.toSeq: _*))
     SimilarityOps.ivfSearchCodes(codes, qprobes, corpus, isProbe,
@@ -121,16 +125,26 @@ object VectorIndexApp {
   def retract(spark: SparkSession, vecIds: Seq[Long],
               indexDir: String): Unit = {
     if (vecIds.isEmpty) return
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     // finish any torn append first — a target in a staged-but-unmoved
-    // file would dodge discovery and re-enter on the next heal
-    StagedCommit.heal(fs = new Path(indexDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration), staging(indexDir))
-    val hit = spark.read.parquet(s"$indexDir/codes")
-      .filter(col("vec_id").isin(vecIds: _*))
-      .select(input_file_name().as("f")).distinct()
+    // file would dodge discovery and re-enter on the next heal — and
+    // repair any torn swap from a crashed PREVIOUS retraction, whose
+    // dark rows would likewise dodge the discovery scan below
+    StagedCommit.heal(fs, staging(indexDir))
+    SurgicalRewrite.heal(fs, new Path(s"$indexDir/codes"))
+    // small takedowns stay a pushed In-filter; large ones run as a
+    // broadcast semi-join (discovery) / anti-join (rewrite) so the
+    // expression tree never grows with the takedown size.
+    // input_file_name is attached BEFORE the membership gate: it is
+    // only defined in the scan stage, not past a join boundary
+    val hit = SurgicalRewrite.matching(
+        spark.read.parquet(s"$indexDir/codes")
+          .withColumn("f", input_file_name()), vecIds, "vec_id")
+      .select("f").distinct()
       .collect().map(_.getString(0)).toSeq // bounded: ≤ |vecIds| files
     SurgicalRewrite.rewrite(spark, hit, s"$indexDir/_retract",
-      _.filter(!col("vec_id").isin(vecIds: _*)), Seq(col("vec_id")))
+      SurgicalRewrite.excluding(_, vecIds, "vec_id"), Seq(col("vec_id")))
   }
 
   /** The codes table layout: one exchange on the partition key (without

@@ -46,6 +46,13 @@ import org.apache.spark.sql.internal.SQLConf
   */
 object PlanAudit {
 
+  /** Floor (bytes) under which a file-scan leaf is always a bounded
+    * broadcast side, regardless of `autoBroadcastJoinThreshold` — the
+    * session conf can be -1 (auto-broadcast disabled), which would
+    * otherwise flip rule 4 to flag every explicit broadcast() over a
+    * small dim. 10 MB = Spark's own default threshold. */
+  private[plans] val BroadcastFloorBytes: Long = 10L * 1024 * 1024
+
   def violations(df: DataFrame): Seq[String] =
     violations(df.queryExecution.executedPlan)
 
@@ -109,7 +116,13 @@ object PlanAudit {
          _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
     case _: LocalTableScanExec | _: RangeExec => true
     case f: FileSourceScanExec =>
-      f.relation.location.sizeInBytes <= SQLConf.get.autoBroadcastJoinThreshold
+      // floor the bound: with autoBroadcastJoinThreshold = -1 (auto-
+      // broadcast disabled, a common production setting) every scan
+      // leaf would read as unbounded and every legitimate broadcast()
+      // hint over a small dim would flag — the audit verdict must
+      // depend on the plan's scale, not on an unrelated session conf
+      f.relation.location.sizeInBytes <=
+        math.max(SQLConf.get.autoBroadcastJoinThreshold, BroadcastFloorBytes)
     case c: InMemoryTableScanExec => boundedBroadcast(c.relation.cachedPlan)
     case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
       boundedBroadcast(s.plan)

@@ -81,6 +81,8 @@ object Layout {
     * cells and the curve loses locality on that axis, while rank cells
     * hold equal row counts by construction and keep pruning selective
     * under any marginal distribution (`LayoutSpec` measures the gap).
+    * Rank mode clamps `bits` to 8 (the per-row boundary fold is
+    * 2^bits - 1 comparisons); the default works in both modes.
     * The curve value is sort-only — never materialized into the files. */
   def writeZOrdered(df: DataFrame, colA: String, colB: String,
                     outDir: String, bits: Int = 16,
@@ -108,14 +110,17 @@ object Layout {
       } else expr(s"($v - ${lo}L) * ${(cells / span).toLong}L")
     }
     val z = if (rankScaled) {
-      require(bits <= 8,
-        s"rank scaling materializes 2^bits-1 quantile boundaries per " +
-          s"column — keep the grid <= 256 cells (bits=$bits)")
-      val cells = 1 << bits
+      // rank scaling materializes 2^bits - 1 quantile boundaries per
+      // column (each row folds over them) — CLAMP to an 8-bit grid
+      // rather than require: the default bits=16 is right for linear
+      // mode, and making rankScaled=true throw under the default was
+      // an API footgun (callers had to know the cap to use the flag)
+      val rbits = math.min(bits, 8)
+      val cells = 1 << rbits
       // ONE Greenwald–Khanna pass sketches both columns
       val bounds = df.stat.approxQuantile(Array(colA, colB),
         (1 until cells).map(_.toDouble / cells).toArray, 1.0 / (4 * cells))
-      zInterleave(rankCell(colA, bounds(0)), rankCell(colB, bounds(1)), bits)
+      zInterleave(rankCell(colA, bounds(0)), rankCell(colB, bounds(1)), rbits)
     } else {
       val r = df.agg(
         min(col(colA)).cast("long"), max(col(colA)).cast("long"),

@@ -59,8 +59,27 @@ class IncrementalReleaseSpec extends SparkSpec {
     val inc = tmp("rel-inc"); val incIdx = tmp("rel-inc-idx")
     IncrementalReleaseApp.releaseAll(spark, base, bench, inc, incIdx)
     val before = parquetFiles(inc)
-    IncrementalReleaseApp.append(spark, delta, bench, inc, incIdx)
+    spark.sparkContext.setJobGroup("inc-append", "delta append")
+    try IncrementalReleaseApp.append(spark, delta, bench, inc, incIdx)
+    finally spark.sparkContext.clearJobGroup()
     val after = parquetFiles(inc)
+    // the append's job count is part of its contract: the flood guard
+    // rides the bucket-counts aggregation (not a scan of its own), so the
+    // whole append is a FIXED number of jobs — a regression that adds a
+    // per-append job (an extra count(), a lost cache) fails here. The
+    // status store is fed asynchronously: poll until stable.
+    def groupJobs(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup("inc-append").length
+    val deadline = System.nanoTime() + 5_000_000_000L
+    var jobs = groupJobs()
+    while (System.nanoTime() < deadline &&
+      { val j = groupJobs(); val c = j != jobs; jobs = j; c })
+      Thread.sleep(100)
+    info(s"append ran $jobs jobs")
+    // measured 82 with the folded guard — the pre-fold shape (its own
+    // idxBands aggregation + join) costs one more; a cache regression
+    // costs many more
+    assert(jobs > 0 && jobs <= 82, s"append ran $jobs jobs — budget is 82")
 
     // append-only: every pre-existing release file survives unchanged
     before.foreach { case (f, size) =>

@@ -1,0 +1,152 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SimilarityOps
+import graft.queries.SimilarityQueries
+
+/** Scale-soak of the incremental lifecycle at ~10x the fixture size:
+  * a synthetic corpus an order of magnitude wider than sf0.001's docs
+  * table, bootstrapped, then grown through five appends, each a tenth
+  * of the base — asserting the O(delta) claims NUMERICALLY, not by
+  * prose: every append's bands-index read prunes to the delta's own
+  * sig prefixes no matter how large the base has grown, and the append
+  * wall-time tracks the delta, not the base (same-size delta against a
+  * 10x base must not cost 10x). */
+class IncrementalSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic docs that PASS the release's quality gate
+    * (>= 20 words, stopword density, no punctuation flood): 20 "the
+    * <content>" pairs plus a unique lead token. Content words mix the
+    * id twice (linear and div-97 terms) so no two ids in a 9k range
+    * collide — every doc is distinct, deltas genuinely grow the
+    * release. Cheap enough to shingle thousands of docs in a test. */
+  private def synthDocs(lo: Long, hi: Long): DataFrame = {
+    val vocab = array((0 until 97).map(i => lit(s"w$i")): _*)
+    def word(j: Int) = element_at(vocab,
+      (pmod(col("id") * (31 * j + 7) + lit(j) * floor(col("id") / 97),
+        lit(97)) + 1).cast("int"))
+    spark.range(lo, hi).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        concat(lit("u"), col("id")) +:
+          (0 until 20).flatMap(j => Seq(lit("the"), word(j))): _*)
+        .as("text"),
+      lit("crawl").as("source"))
+  }
+
+  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+    case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+    case s: QueryStageExec => scansOf(s.plan)
+    case f: FileSourceScanExec => Seq(f)
+  }.flatten
+
+  /** Bands-index partition directories the append for `delta` would
+    * read, together with the delta's own touched-prefix count — the
+    * pruning pair the O(delta) claim is made of. */
+  private def bandsRead(idx: String, delta: DataFrame): (Long, Long) = {
+    val dsets = SimilarityOps.shingleSets(
+      delta, col("doc_id"), col("text"), SimilarityQueries.shingleN)
+    val dbands = SimilarityOps.lshBands(
+      SimilarityOps.minhashSignature(dsets, SimilarityQueries.minhashK),
+      SimilarityQueries.minhashK, SimilarityQueries.bandSize)
+    val dkeys = dbands.select(col("band"), col("sig")).distinct()
+    val touched = dkeys.select(substring(col("sig"), 1, 2)).distinct().count()
+    val pruned = IncrementalReleaseApp.deltaTouchedBands(spark, idx, dkeys)
+    val scanned = scansOf(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/bands")))
+      .map(f => f.relation.location.listFiles(
+        f.partitionFilters, f.dataFilters).size.toLong).sum
+    (scanned, touched)
+  }
+
+  test("10x soak: five appends, each bands read pruned to the delta; wall tracks the delta") {
+    val Base = 2000L      // ~10x the sf0.001 documents fixture
+    val Delta = 200L      // each append = a tenth of the base
+    val bench = StreamingDecontamApp.benchmarkFrom(
+      synthDocs(0, Base), shingleN = 3, benchMod = 37, minOverlap = 3)
+
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val out = tmp("soak10"); val idx = tmp("soak10-idx")
+    IncrementalReleaseApp.releaseAll(spark, synthDocs(0, Base), bench, out, idx)
+    val totalDirs = Files.list(Paths.get(s"$idx/bands")).iterator().asScala
+      .count(_.getFileName.toString.startsWith("__sp="))
+    assert(totalDirs > 64, s"bands index spread over only $totalDirs prefixes")
+
+    // a CONTROL release a tenth the size: the same delta appended to
+    // both measures whether append cost follows the base or the delta
+    val outS = tmp("soak1"); val idxS = tmp("soak1-idx")
+    IncrementalReleaseApp.releaseAll(
+      spark, synthDocs(0, Delta), bench, outS, idxS)
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    var lo = Base
+    val walls = scala.collection.mutable.ArrayBuffer[Double]()
+    (1 to 5).foreach { i =>
+      val delta = synthDocs(lo, lo + Delta)
+      // O(delta) READ, asserted at planning time BEFORE the append
+      // mutates the index: partitions scanned <= delta-touched prefixes,
+      // and strictly under the (growing) index's total
+      val (scanned, touched) = bandsRead(idx, delta)
+      assert(scanned <= touched,
+        s"append $i read $scanned bands partitions > $touched delta prefixes")
+      val (_, w) = timed(
+        IncrementalReleaseApp.append(spark, delta, bench, out, idx))
+      walls += w
+      info(f"append $i (base=${lo}): bands read $scanned/$totalDirs dirs, " +
+        f"touched=$touched, wall=$w%.1f s")
+      lo += Delta
+    }
+    // wall-time stays flat as the base grows 2000 -> 3000: the last
+    // append may not cost a multiple of the first (generous 3x bound —
+    // an O(base) append would also fail the control check below)
+    assert(walls.last <= walls.head * 3 + 1.0,
+      s"append wall grew with the base: ${walls.toList}")
+
+    // a SMALL delta against the grown base: its bands read must prune
+    // to a small fraction of the index's directories — the non-vacuous
+    // form of the O(delta) claim (a 200-doc delta legitimately touches
+    // most of the 256 sig prefixes; 5 docs cannot)
+    val (scannedSmall, touchedSmall) = bandsRead(idx, synthDocs(lo, lo + 5))
+    info(s"5-doc delta: bands read $scannedSmall/$totalDirs dirs " +
+      s"(touched=$touchedSmall)")
+    assert(scannedSmall <= touchedSmall && scannedSmall < totalDirs / 2,
+      s"tiny delta read $scannedSmall of $totalDirs bands partitions")
+
+    // the SAME-SIZE delta against a base 10x smaller: if appends were
+    // O(base), the big-base append would cost ~10x the small-base one
+    val probe = synthDocs(lo, lo + Delta)
+    val probeSmall = probe.withColumn("doc_id",
+      col("doc_id") - lit(Base - Delta)) // stay monotone over the small base
+    val (_, wBig) = timed(
+      IncrementalReleaseApp.append(spark, probe, bench, out, idx))
+    val (_, wSmall) = timed(
+      IncrementalReleaseApp.append(spark, probeSmall, bench, outS, idxS))
+    info(f"same delta: big-base wall $wBig%.1f s, small-base wall $wSmall%.1f s")
+    assert(wBig <= wSmall * 3 + 1.0,
+      f"append against the 10x base cost $wBig%.1f s vs $wSmall%.1f s — not O(delta)")
+
+    // and the grown release is still exactly a rebuild over the union
+    val full = tmp("soak10-full"); val fullIdx = tmp("soak10-full-idx")
+    IncrementalReleaseApp.releaseAll(
+      spark, synthDocs(0, lo + Delta), bench, full, fullIdx)
+    val rows = (d: String) => spark.read.parquet(d)
+      .select(col("doc_id"), col("split").cast("string"),
+        col("bucket"), col("seq_id"), col("wc"))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(rows(out) == rows(full), "soaked release diverged from rebuild")
+  }
+}

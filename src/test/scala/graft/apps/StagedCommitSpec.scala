@@ -1,0 +1,94 @@
+package graft.apps
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** [[StagedCommit]]'s commit mechanics in isolation (the app-level specs
+  * exercise it through append): the bulk moves run through a rename
+  * pool but the watermark still lands strictly last, a big manifest
+  * commits whole, and a heal replay resolves a destination collision
+  * deterministically instead of wedging forever. */
+class StagedCommitSpec extends SparkSpec {
+
+  private def fs = new Path("/tmp").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def mkFile(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def listNames(root: Path): Set[String] = {
+    if (!fs.exists(root)) return Set.empty
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.Set[String]()
+    while (it.hasNext) {
+      val p = it.next().getPath
+      buf += p.toString.stripPrefix(fs.makeQualified(root).toString + "/")
+    }
+    buf.toSet
+  }
+
+  test("a 1k-file manifest commits whole; watermark lands only after every other file") {
+    val base = Files.createTempDirectory("sc-bulk").toString
+    val stg = new Path(s"$base/_staging")
+    val dest = s"$base/out"
+    val n = 1000
+    (0 until n).foreach(i => mkFile(new Path(stg, s"idx/d${i % 31}/f$i"), s"c$i"))
+    mkFile(new Path(stg, "idx/meta/part-0"), "wm")
+
+    // crash mid-bulk: the watermark must NOT be visible — with the
+    // rename pool the set of landed bulk files is nondeterministic, but
+    // meta moves serially AFTER the pool drains, so a crash anywhere in
+    // the bulk phase can never have published it
+    try {
+      StagedCommit.crashAfterMoves = n / 2
+      intercept[IllegalStateException] {
+        StagedCommit.publish(fs, stg, Seq("idx" -> dest), lastFragment = "/meta/")
+      }
+    } finally StagedCommit.crashAfterMoves = Int.MaxValue
+    assert(!fs.exists(new Path(s"$dest/meta/part-0")),
+      "watermark visible after a mid-bulk crash")
+    assert(fs.exists(new Path(stg, "COMMIT")), "manifest must survive the crash")
+
+    // heal completes the frozen manifest: all 1001 files land, meta included
+    val t0 = System.nanoTime()
+    StagedCommit.heal(fs, stg)
+    val healSec = (System.nanoTime() - t0) / 1e9
+    assert(listNames(new Path(dest)).size == n + 1,
+      s"expected ${n + 1} files at $dest")
+    assert(fs.exists(new Path(s"$dest/meta/part-0")))
+    assert(!fs.exists(stg), "staging must be removed after heal")
+    assert(healSec < 60, f"1k-file heal took $healSec%.1f s")
+  }
+
+  test("heal resolves a src-and-dst collision from the frozen manifest, not a permanent failure") {
+    val base = Files.createTempDirectory("sc-coll").toString
+    val stg = new Path(s"$base/_staging")
+    val dest = s"$base/out"
+    mkFile(new Path(stg, "idx/a/f0"), "staged")
+    mkFile(new Path(stg, "idx/meta/part-0"), "wm")
+    // crash before ANY move, so the manifest freezes with both files
+    try {
+      StagedCommit.crashAfterMoves = 0
+      intercept[IllegalStateException] {
+        StagedCommit.publish(fs, stg, Seq("idx" -> dest), lastFragment = "/meta/")
+      }
+    } finally StagedCommit.crashAfterMoves = Int.MaxValue
+    // an out-of-band file lands at a manifest destination — the old
+    // require(!exists(dst)) made every subsequent heal fail forever here
+    mkFile(new Path(s"$dest/a/f0"), "out-of-band")
+
+    StagedCommit.heal(fs, stg)
+    val in = fs.open(new Path(s"$dest/a/f0"))
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(got == "staged", "the staged (manifest-frozen) content must win")
+    assert(!fs.exists(stg))
+    // and a second heal over the now-clean tree is a no-op
+    StagedCommit.heal(fs, stg)
+  }
+}

@@ -169,6 +169,66 @@ class VectorIndexSpec extends SparkSpec {
     assert(rows(got) == rows(want), "streamed index diverged from rebuild")
   }
 
+  test("wide probe sets stay distributed; a 5k-id takedown broadcasts, in one rewrite pass") {
+    // a synthetic corpus an order of magnitude past the fixture: 12k
+    // vectors — enough that collecting the probe frame to the driver
+    // (the old shape) would materialize 12k code rows there, and a 6k
+    // takedown would build a 6k-literal In-predicate
+    val wide = spark.range(0, 12000).select(col("id").as("vec_id"),
+      array((0 until 4).map(i =>
+        (pmod(col("id") * (7 * i + 3), lit(997)).cast("float") / lit(997f))
+          + lit(0.01f)): _*).cast("array<float>").as("embedding"))
+    val idx = Files.createTempDirectory("vidx-wideprobe").toString
+    VectorIndexApp.build(spark, wide, idx, kCells = 32, iters = 1)
+
+    // EVERY vector probes (12k probes): only the distinct cell ids may
+    // reach the driver — bounded by the codebook (<= 32 values), never
+    // by the probe count. Structurally: the probe side of the search is
+    // a distributed (cached) frame, so no LocalTableScan — the plan
+    // signature of a collected-then-parallelized relation — may appear.
+    val got = VectorIndexApp.query(spark, wide, idx, col("vec_id") >= 0,
+      topK = 3, nprobe = 1, rerankK = 5)
+    def localsOf(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => localsOf(a.executedPlan)
+      case s: QueryStageExec => localsOf(s.plan)
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => Seq(l)
+    }.flatten
+    assert(localsOf(got.queryExecution.executedPlan).isEmpty,
+      "probe rows were collected to the driver and re-parallelized")
+    assert(got.count() > 0)
+    spark.catalog.clearCache() // drop the query's probe-frame cache entry
+
+    // takedown of 6000 ids: above the inline cap, so discovery and the
+    // rewrite filter must run as broadcast joins (asserted structurally
+    // in SurgicalRewriteSpec), across >= 8 cell files, in ONE rewrite
+    // pass — job count bounded by the plan, not the file count
+    val targets = (0L until 12000L by 2L).toSeq
+    val hitCells = spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id").isin(targets: _*))
+      .select(input_file_name()).distinct().count()
+    assert(hitCells >= 8, s"takedown spread over only $hitCells files")
+    spark.sparkContext.setJobGroup("vidx-big-retract", "5k+ takedown")
+    try VectorIndexApp.retract(spark, targets, idx)
+    finally spark.sparkContext.clearJobGroup()
+    def groupJobs(): Int = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("vidx-big-retract").length
+    val deadline = System.nanoTime() + 5_000_000_000L
+    var jobs = groupJobs()
+    while (System.nanoTime() < deadline &&
+      { val j = groupJobs(); val c = j != jobs; jobs = j; c })
+      Thread.sleep(100)
+    // discovery + the broadcast ids frame + one staged rewrite — a
+    // handful of jobs bounded by the PLAN (the old per-file loop would
+    // run 2+ jobs per hit file, >= 60 here)
+    assert(jobs > 0 && jobs <= 10,
+      s"retract ran $jobs jobs over $hitCells files")
+
+    val left = spark.read.parquet(s"$idx/codes")
+      .select("vec_id").as[Long].collect().toSet
+    assert(left == (1L until 12000L by 2L).toSet,
+      "retract must drop exactly the even ids")
+  }
+
   test("retract removes vectors from the index, touches only hit cell files") {
     val corpus = Tables.embeddings(spark, sf)
     val idx = Files.createTempDirectory("vidx-ret").toString

@@ -92,30 +92,48 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("negative: a broadcast() hint on an unbounded frame is flagged") {
-    // with the threshold at 1 byte, no scan qualifies as small — the
-    // hinted broadcast of a raw table is exactly the unbounded-frame
-    // shape the rule exists for
+    // the audit floors the leaf bound at 10 MB (BroadcastFloorBytes) so
+    // session conf alone can't flip the verdict — the unbounded side
+    // must be GENUINELY over the floor: sf0.1 lineitem is ~11 MB
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
     try {
+      val big = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
       val dim = spark.read.parquet(s"$sf/nation.parquet")
-      val fact = spark.read.parquet(s"$sf/customer.parquet")
-      val df = fact.join(broadcast(dim),
-        fact("c_nationkey") === dim("n_nationkey"))
+      val df = dim.join(broadcast(big),
+        dim("n_nationkey") === big("l_suppkey"))
       val vs = PlanAudit.violations(df)
       assert(vs.exists(_.contains("BroadcastExchange")), vs.mkString("; "))
       // and a cardinality reducer on the same frame un-flags it
-      val ok = fact.join(broadcast(dim.limit(25)),
-        fact("c_nationkey") === dim("n_nationkey"))
+      val small = big.limit(25).select(col("l_partkey").as("r_partkey"))
+      val ok = big.join(broadcast(small),
+        big("l_orderkey") === small("r_partkey"))
       assert(!PlanAudit.violations(ok).exists(_.contains("BroadcastExchange")))
       // but a reducer buried on one side of a fact-sized join does NOT
       // launder the join's own broadcast: boundedness is judged along
       // the output spine, not by any-descendant matching
       val fact2 = spark.read.parquet(s"$sf/orders.parquet")
       val nested = fact2.join(broadcast(ok),
-        fact2("o_custkey") === fact("c_custkey"))
+        fact2("o_orderkey") === big("l_orderkey"))
       assert(PlanAudit.violations(nested).exists(_.contains("BroadcastExchange")),
         "fact-sized broadcast with a nested limit sailed through")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("broadcast of a small dim passes even with auto-broadcast disabled") {
+    // autoBroadcastJoinThreshold = -1 is a common production setting
+    // (all broadcasts explicit); without the audit's 10 MB floor every
+    // scan leaf would read as unbounded and every legitimate
+    // broadcast() hint over a small dim would flag
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dim = spark.read.parquet(s"$sf/nation.parquet")
+      val fact = spark.read.parquet(s"$sf/customer.parquet")
+      val df = fact.join(broadcast(dim),
+        fact("c_nationkey") === dim("n_nationkey"))
+      val vs = PlanAudit.violations(df)
+      assert(!vs.exists(_.contains("BroadcastExchange")), vs.mkString("; "))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

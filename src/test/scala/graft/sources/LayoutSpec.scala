@@ -123,6 +123,21 @@ class LayoutSpec extends SparkSpec {
       s"rank-scaled hit $hr of 16 files vs linear $hl — expected >= 2x better")
   }
 
+  test("rank-scaled z-order works under the DEFAULT bits (clamped, not thrown)") {
+    // writeZOrdered(rankScaled = true) with the default bits = 16 used
+    // to throw (the rank cap was a require) — an API footgun: the flag
+    // was unusable without also knowing to override a default. Rank
+    // mode now clamps to its 8-bit grid instead.
+    val src = spark.range(2000).toDF("id")
+      .withColumn("a", col("id"))
+      .withColumn("b", pmod(col("id") * 7919, lit(500)))
+    val dir = Files.createTempDirectory("graft-zdef").toString
+    Layout.writeZOrdered(src, "a", "b", dir, numFiles = Some(8),
+      rankScaled = true) // bits left at its default
+    assert(spark.read.parquet(dir).agg(count(lit(1)), sum(col("a")), sum(col("b")))
+      .head.toSeq == src.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head.toSeq)
+  }
+
   test("z-order survives huge column spans (no multiply overflow)") {
     // span ≈ 2^52 — the old (v-lo)·2^bits form overflowed Long above
     // 2^47 and silently scrambled the curve (every file then spans the
