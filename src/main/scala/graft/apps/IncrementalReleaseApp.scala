@@ -295,9 +295,14 @@ object IncrementalReleaseApp {
     // but-unmoved file would otherwise dodge discovery and re-enter the
     // release when a later append heals the manifest — and repair any
     // torn swap from a crashed PREVIOUS retraction, whose dark rows
-    // would likewise dodge the discovery scan below
+    // would likewise dodge the discovery scan below. The heal walk is
+    // gated on the crashed rewrite's marker (its tmp dir is removed
+    // only after every swap completes), keeping the common no-crash
+    // takedown O(files-hit) — never an O(release) recursive listing.
     heal(spark, indexDir)
-    SurgicalRewrite.heal(fsFor(spark, outDir), new Path(outDir))
+    val relFs = fsFor(spark, outDir)
+    if (relFs.exists(new Path(s"$outDir/_retract")))
+      SurgicalRewrite.heal(relFs, new Path(outDir))
     // a document's split is a pure function of its id, so the discovery
     // scan partition-prunes to the target docs' split directories before
     // the pushed doc_id filter does the row-group work
@@ -307,15 +312,10 @@ object IncrementalReleaseApp {
     }.distinct
     // small takedowns stay a pushed In-filter; large ones run as a
     // broadcast semi-join (discovery) / anti-join (rewrite) so the
-    // expression tree never grows with the takedown size.
-    // input_file_name is attached BEFORE the membership gate: it is
-    // only defined in the scan stage, not past a join boundary
-    val hit = SurgicalRewrite.matching(
-        spark.read.parquet(outDir)
-          .filter(c("split").isin(splits: _*))
-          .withColumn("f", input_file_name()), docIds, "doc_id")
-      .select("f").distinct()
-      .collect().map(_.getString(0)).toSeq // bounded: ≤ |docIds| × epochs
+    // expression tree never grows with the takedown size
+    val hit = SurgicalRewrite.hitFiles(
+      spark.read.parquet(outDir).filter(c("split").isin(splits: _*)),
+      docIds, "doc_id") // bounded: ≤ |docIds| × epochs
     // rows stay in the layout contract's (bucket, seq_id) order (split
     // is constant within a file), doc_id/epoch as a deterministic
     // tiebreak

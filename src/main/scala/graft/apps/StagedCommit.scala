@@ -62,13 +62,15 @@ object StagedCommit {
 
   private def moveParallel(fs: FileSystem, moves: Seq[(Path, Path)],
       counter: java.util.concurrent.atomic.AtomicInteger): Unit = {
-    if (moves.length <= 1) { commitMoves(fs, moves, counter); return }
+    if (moves.length <= 1) {
+      commitMoves(fs, moves, counter, healing = false); return
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(CommitParallelism, moves.length))
     try {
       val futures = moves.map { case (src, dst) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = moveOne(fs, src, dst, counter)
+          def call(): Unit = moveOne(fs, src, dst, counter, healing = false)
         })
       }
       // .get() rethrows wrapped — unwrap so callers (and the crash-
@@ -93,7 +95,7 @@ object StagedCommit {
         .getLines().toList finally in.close()
       commitMoves(fs, lines.map { l =>
         val Array(s, d) = l.split('\t'); (new Path(s), new Path(d))
-      })
+      }, healing = true)
     }
     fs.delete(staging, true)
   }
@@ -147,22 +149,29 @@ object StagedCommit {
     * sides is corruption and fails loudly. */
   private def commitMoves(fs: FileSystem, moves: Seq[(Path, Path)],
       counter: java.util.concurrent.atomic.AtomicInteger =
-        new java.util.concurrent.atomic.AtomicInteger(0)): Unit =
-    moves.foreach { case (src, dst) => moveOne(fs, src, dst, counter) }
+        new java.util.concurrent.atomic.AtomicInteger(0),
+      healing: Boolean = false): Unit =
+    moves.foreach { case (src, dst) => moveOne(fs, src, dst, counter, healing) }
 
   private def moveOne(fs: FileSystem, src: Path, dst: Path,
-      counter: java.util.concurrent.atomic.AtomicInteger): Unit = {
+      counter: java.util.concurrent.atomic.AtomicInteger,
+      healing: Boolean): Unit = {
     if (counter.getAndIncrement() >= crashAfterMoves)
       throw new IllegalStateException(
         s"injected crash: commit interrupted mid-moves")
     if (fs.exists(src)) {
       fs.mkdirs(dst.getParent)
-      // src AND dst both present: the manifest froze the intended
-      // state, so the staged src is authoritative — an out-of-band
-      // file at dst is replaced, not an unrecoverable failure (the old
-      // require here made every subsequent heal() replay the same
-      // collision and fail forever, wedging the release)
-      if (fs.exists(dst)) fs.delete(dst, false)
+      if (fs.exists(dst)) {
+        // src AND dst both present. On a FIRST-RUN publish that is a
+        // destination collision (duplicate manifest entries, a violated
+        // single-writer assumption) and silently replacing dst would be
+        // data loss — fail loudly with both files intact. On a HEAL
+        // replay the manifest froze the intended state before the
+        // crash, so the staged src is authoritative: an out-of-band dst
+        // is replaced rather than wedging every subsequent heal forever.
+        require(healing, s"commit destination already exists: $dst")
+        fs.delete(dst, false)
+      }
       require(fs.rename(src, dst), s"commit move failed: $src -> $dst")
     } else require(fs.exists(dst),
       s"commit lost a file (neither $src nor $dst exists)")

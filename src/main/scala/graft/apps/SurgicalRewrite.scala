@@ -70,19 +70,50 @@ private[apps] object SurgicalRewrite {
     ids.toDF(idCol)
   }
 
-  /** Rows of `df` whose `idCol` IS in `ids` (takedown discovery). */
+  /** Rows of `df` whose `idCol` IS in `ids` (takedown discovery).
+    * `idCol` must be non-null (it is a key in every caller): the two
+    * shapes treat null differently (In-filter drops, semi-join drops —
+    * but [[excluding]]'s pair diverges), so nullable ids are out of
+    * contract. */
   private[apps] def matching(df: DataFrame, ids: Seq[Long],
                              idCol: String): DataFrame =
     if (ids.length <= InlineIdMax) df.filter(col(idCol).isin(ids: _*))
     else df.join(broadcast(idsFrame(df.sparkSession, ids, idCol)),
       Seq(idCol), "left_semi")
 
-  /** Rows of `df` whose `idCol` is NOT in `ids` (the kept rows). */
+  /** Rows of `df` whose `idCol` is NOT in `ids` (the kept rows).
+    * `idCol` must be non-null: `!isin` evaluates null to null (row
+    * dropped) while the anti join would keep it — the switch at
+    * [[InlineIdMax]] must never change a verdict. */
   private[apps] def excluding(df: DataFrame, ids: Seq[Long],
                               idCol: String): DataFrame =
     if (ids.length <= InlineIdMax) df.filter(!col(idCol).isin(ids: _*))
     else df.join(broadcast(idsFrame(df.sparkSession, ids, idCol)),
       Seq(idCol), "left_anti")
+
+  /** Files of `df` (a parquet scan frame) holding any of `ids` — the
+    * takedown discovery step. The two membership shapes ORDER the
+    * nondeterministic `input_file_name()` differently on purpose: the
+    * small path filters FIRST (a Project containing input_file_name is
+    * nondeterministic, and Catalyst refuses to push predicates through
+    * it — attaching the column before the filter would turn a pushed
+    * row-group-skipping In-filter into a full scan); the large path
+    * must attach it before its join (the column is only defined in the
+    * scan stage), which costs nothing since a join side never pushes
+    * literal predicates anyway. */
+  private[apps] def hitFiles(df: DataFrame, ids: Seq[Long],
+                             idCol: String): Seq[String] = {
+    val files =
+      if (ids.length <= InlineIdMax)
+        df.filter(col(idCol).isin(ids: _*))
+          .select(input_file_name().as("f"))
+      else
+        df.withColumn("f", input_file_name())
+          .join(broadcast(idsFrame(df.sparkSession, ids, idCol)),
+            Seq(idCol), "left_semi")
+          .select("f")
+    files.distinct().collect().map(_.getString(0)).toSeq
+  }
 
   /** Rewrite `files` (fully-qualified URIs) keeping only `transform`'s
     * output rows, each rewritten file internally ordered by `order`.

@@ -60,28 +60,30 @@ object VectorIndexApp {
   }
 
   /** Top-k search: probes = `corpus.filter(isProbe)`. The codes scan is
-    * pruned to the probed cells' directories (collected as ≤ probes ×
-    * nprobe literal values); raw embeddings are read from `corpus` only
-    * for the ≤ probes × rerankK rerank survivors. Output is identical
-    * to [[SimilarityOps.ivfQuantizedAnn]] over the indexed corpus with
+    * pruned to the probed cells' directories (collected as ≤ kCells
+    * distinct literal values — bounded by the codebook, not the probe
+    * count); raw embeddings are read from `corpus` only for the ≤
+    * probes × rerankK rerank survivors. Output is identical to
+    * [[SimilarityOps.ivfQuantizedAnn]] over the indexed corpus with
     * the stored codebook (spec-asserted). */
   def query(spark: SparkSession, corpus: DataFrame, indexDir: String,
             isProbe: Column, topK: Int, nprobe: Int,
             rerankK: Int): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    // the probe frame stays DISTRIBUTED: only the distinct probed cell
-    // ids come to the driver — bounded by the CODEBOOK size (kCells
-    // values), not the probe count — so a batch job joining 1M probes
-    // against the index never materializes code arrays driver-side.
-    // Persisted because both consumers (the cell list here and the
-    // search's broadcast side) traverse it: the cells collect fills
-    // the cache the broadcast exchange then reads, so the corpus-side
-    // probe scan still runs exactly once per query. The entry is
-    // bounded (probes × nprobe narrow code rows) and freed by
-    // clearCache()/session stop — serving loops issuing many queries
-    // should clear between batches.
+    // The probe frame is never collect()ed wholesale: the only
+    // per-query driver collect is the DISTINCT CELL list — bounded by
+    // the CODEBOOK size (≤ kCells values), not the probe count. The
+    // frame still reaches the driver once, transiently, inside the
+    // search's broadcast build (inherent to broadcasting the probe
+    // side — the IVF serving contract is that one query carries a
+    // bounded probe batch); what the old collect-shape added on top —
+    // a second full copy pinned in a LocalRelation in the plan, and
+    // rows shipped through the task closure — is gone. Deliberately
+    // NOT persisted: the derivation runs twice (cells job + broadcast
+    // build), both narrow map-side passes over corpus.filter(isProbe),
+    // because a persist with no caller-accessible handle would leak
+    // one cache entry per query in a serving loop.
     val qprobes = SimilarityOps.ivfProbes(corpus, cents, isProbe, nprobe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = qprobes.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)) // ≤ kCells values, never per-probe
     val codes = spark.read.parquet(s"$indexDir/codes")
@@ -130,20 +132,20 @@ object VectorIndexApp {
     // finish any torn append first — a target in a staged-but-unmoved
     // file would dodge discovery and re-enter on the next heal — and
     // repair any torn swap from a crashed PREVIOUS retraction, whose
-    // dark rows would likewise dodge the discovery scan below
+    // dark rows would likewise dodge the discovery scan below. The
+    // heal walk is gated on the crashed rewrite's marker (its tmp dir
+    // is removed only after every swap completes), so the common
+    // no-crash takedown never pays an O(index) recursive listing.
     StagedCommit.heal(fs, staging(indexDir))
-    SurgicalRewrite.heal(fs, new Path(s"$indexDir/codes"))
+    val tmpDir = s"$indexDir/_retract"
+    if (fs.exists(new Path(tmpDir)))
+      SurgicalRewrite.heal(fs, new Path(s"$indexDir/codes"))
     // small takedowns stay a pushed In-filter; large ones run as a
     // broadcast semi-join (discovery) / anti-join (rewrite) so the
-    // expression tree never grows with the takedown size.
-    // input_file_name is attached BEFORE the membership gate: it is
-    // only defined in the scan stage, not past a join boundary
-    val hit = SurgicalRewrite.matching(
-        spark.read.parquet(s"$indexDir/codes")
-          .withColumn("f", input_file_name()), vecIds, "vec_id")
-      .select("f").distinct()
-      .collect().map(_.getString(0)).toSeq // bounded: ≤ |vecIds| files
-    SurgicalRewrite.rewrite(spark, hit, s"$indexDir/_retract",
+    // expression tree never grows with the takedown size
+    val hit = SurgicalRewrite.hitFiles(
+      spark.read.parquet(s"$indexDir/codes"), vecIds, "vec_id")
+    SurgicalRewrite.rewrite(spark, hit, tmpDir,
       SurgicalRewrite.excluding(_, vecIds, "vec_id"), Seq(col("vec_id")))
   }
 

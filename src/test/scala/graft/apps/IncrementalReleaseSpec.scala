@@ -66,15 +66,8 @@ class IncrementalReleaseSpec extends SparkSpec {
     // the append's job count is part of its contract: the flood guard
     // rides the bucket-counts aggregation (not a scan of its own), so the
     // whole append is a FIXED number of jobs — a regression that adds a
-    // per-append job (an extra count(), a lost cache) fails here. The
-    // status store is fed asynchronously: poll until stable.
-    def groupJobs(): Int =
-      spark.sparkContext.statusTracker.getJobIdsForGroup("inc-append").length
-    val deadline = System.nanoTime() + 5_000_000_000L
-    var jobs = groupJobs()
-    while (System.nanoTime() < deadline &&
-      { val j = groupJobs(); val c = j != jobs; jobs = j; c })
-      Thread.sleep(100)
+    // per-append job (an extra count(), a lost cache) fails here
+    val jobs = stableJobCount("inc-append")
     info(s"append ran $jobs jobs")
     // measured 82 with the folded guard — the pre-fold shape (its own
     // idxBands aggregation + join) costs one more; a cache regression
@@ -306,13 +299,7 @@ class IncrementalReleaseSpec extends SparkSpec {
     spark.sparkContext.setJobGroup("retract-wide", "batched retraction")
     try IncrementalReleaseApp.retract(spark, perFile, out, idx)
     finally spark.sparkContext.clearJobGroup()
-    // the status store is fed asynchronously — poll until it stabilizes
-    def groupJobs(): Int =
-      spark.sparkContext.statusTracker.getJobIdsForGroup("retract-wide").length
-    val deadline = System.nanoTime() + 5_000_000_000L
-    var jobs = groupJobs()
-    while (System.nanoTime() < deadline && { val j = groupJobs(); val c = j != jobs; jobs = j; c })
-      Thread.sleep(100)
+    val jobs = stableJobCount("retract-wide")
     // discovery + broadcast + one staged write ≈ a handful of jobs —
     // bounded by the PLAN, not the file count (the old per-file loop ran
     // 2+ jobs per hit file, ≥ 16 here)

@@ -101,6 +101,26 @@ class SurgicalRewriteSpec extends SparkSpec {
     assert(!smallPlan.contains("Join"),
       s"small id set should stay a filter, not a join:\n$smallPlan")
 
+    // the small DISCOVERY shape must keep its In-filter PUSHED: the
+    // nondeterministic input_file_name projection sits ABOVE the
+    // filter (filter-then-project) — projecting first would block
+    // Catalyst from pushing the predicate and turn row-group skipping
+    // into a full scan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case s: QueryStageExec => scansOf(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val disc = df.filter(col("doc_id").isin(small: _*))
+      .select(input_file_name().as("f"))
+    val pushed = scansOf(disc.queryExecution.executedPlan)
+      .flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(_.contains("In(")),
+      s"small discovery lost filter pushdown: $pushed")
+
     val largeSemi = SurgicalRewrite.matching(df, large, "doc_id")
       .queryExecution.optimizedPlan.toString
     assert(largeSemi.contains("LeftSemi"),

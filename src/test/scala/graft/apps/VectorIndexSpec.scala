@@ -181,11 +181,13 @@ class VectorIndexSpec extends SparkSpec {
     val idx = Files.createTempDirectory("vidx-wideprobe").toString
     VectorIndexApp.build(spark, wide, idx, kCells = 32, iters = 1)
 
-    // EVERY vector probes (12k probes): only the distinct cell ids may
-    // reach the driver — bounded by the codebook (<= 32 values), never
-    // by the probe count. Structurally: the probe side of the search is
-    // a distributed (cached) frame, so no LocalTableScan — the plan
-    // signature of a collected-then-parallelized relation — may appear.
+    // EVERY vector probes (12k probes): the only per-query driver
+    // collect is the distinct cell list — bounded by the codebook
+    // (<= 32 values), never by the probe count (the broadcast build
+    // still holds one transient probe-batch copy; that is the
+    // documented serving contract). Structurally: the probe side stays
+    // a distributed frame, so no LocalTableScan — the plan signature
+    // of a collected-then-parallelized relation — may appear.
     val got = VectorIndexApp.query(spark, wide, idx, col("vec_id") >= 0,
       topK = 3, nprobe = 1, rerankK = 5)
     def localsOf(p: SparkPlan): Seq[SparkPlan] = p.collect {
@@ -196,7 +198,6 @@ class VectorIndexSpec extends SparkSpec {
     assert(localsOf(got.queryExecution.executedPlan).isEmpty,
       "probe rows were collected to the driver and re-parallelized")
     assert(got.count() > 0)
-    spark.catalog.clearCache() // drop the query's probe-frame cache entry
 
     // takedown of 6000 ids: above the inline cap, so discovery and the
     // rewrite filter must run as broadcast joins (asserted structurally
@@ -210,13 +211,7 @@ class VectorIndexSpec extends SparkSpec {
     spark.sparkContext.setJobGroup("vidx-big-retract", "5k+ takedown")
     try VectorIndexApp.retract(spark, targets, idx)
     finally spark.sparkContext.clearJobGroup()
-    def groupJobs(): Int = spark.sparkContext.statusTracker
-      .getJobIdsForGroup("vidx-big-retract").length
-    val deadline = System.nanoTime() + 5_000_000_000L
-    var jobs = groupJobs()
-    while (System.nanoTime() < deadline &&
-      { val j = groupJobs(); val c = j != jobs; jobs = j; c })
-      Thread.sleep(100)
+    val jobs = stableJobCount("vidx-big-retract")
     // discovery + the broadcast ids frame + one staged rewrite — a
     // handful of jobs bounded by the PLAN (the old per-file loop would
     // run 2+ jobs per hit file, >= 60 here)
@@ -260,5 +255,35 @@ class VectorIndexSpec extends SparkSpec {
     val got = VectorIndexApp.query(spark, corpus, idx,
       col("vec_id") < 5, topK, nprobe, rerankK)
     assert(!rows(got).exists(r => targets.contains(r._2)))
+  }
+
+  test("a crashed retraction heals on the next retract (marker-gated walk)") {
+    val corpus = Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("vidx-crash").toString
+    VectorIndexApp.build(spark, corpus, idx, kCells, iters)
+    val indexed = spark.read.parquet(s"$idx/codes")
+      .select("vec_id").as[Long].collect().toSet
+    val targets = indexed.toSeq.sorted.take(3)
+
+    // crash after the first aside rename: one cell file's rows go dark
+    // and the rewrite's tmp dir survives as the crash marker
+    try {
+      SurgicalRewrite.crashAfterAside = 0
+      intercept[IllegalStateException] {
+        VectorIndexApp.retract(spark, targets, idx)
+      }
+    } finally SurgicalRewrite.crashAfterAside = Int.MaxValue
+    assert(Files.exists(Paths.get(s"$idx/_retract")),
+      "crashed rewrite must leave its tmp-dir marker")
+    assert(spark.read.parquet(s"$idx/codes")
+      .select("vec_id").as[Long].collect().toSet != indexed,
+      "expected dark rows after the injected crash")
+
+    // the REPLAYED retract sees the marker, heals the dark file back,
+    // re-discovers, and completes — the takedown's crash contract
+    VectorIndexApp.retract(spark, targets, idx)
+    assert(spark.read.parquet(s"$idx/codes")
+      .select("vec_id").as[Long].collect().toSet == indexed -- targets)
+    assert(!Files.exists(Paths.get(s"$idx/_retract")))
   }
 }
