@@ -65,10 +65,16 @@ object VectorIndexApp {
     * count); raw embeddings are read from `corpus` only for the ≤
     * probes × rerankK rerank survivors. Output is identical to
     * [[SimilarityOps.ivfQuantizedAnn]] over the indexed corpus with
-    * the stored codebook (spec-asserted). */
+    * the stored codebook (spec-asserted).
+    *
+    * `broadcastProbes = false` is the BATCH mode: joining a probe set
+    * the size of a table against the index, where a broadcast build
+    * would not fit the driver — every probe-side frame runs shuffled
+    * instead (see [[SimilarityOps.ivfSearchCodes]]). Results are
+    * identical in both modes (spec-asserted). */
   def query(spark: SparkSession, corpus: DataFrame, indexDir: String,
-            isProbe: Column, topK: Int, nprobe: Int,
-            rerankK: Int): DataFrame = {
+            isProbe: Column, topK: Int, nprobe: Int, rerankK: Int,
+            broadcastProbes: Boolean = true): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
     // The probe frame is never collect()ed wholesale: the only
     // per-query driver collect is the DISTINCT CELL list — bounded by
@@ -89,7 +95,7 @@ object VectorIndexApp {
     val codes = spark.read.parquet(s"$indexDir/codes")
       .filter(col("cluster").isin(cells.toSeq: _*))
     SimilarityOps.ivfSearchCodes(codes, qprobes, corpus, isProbe,
-      topK, rerankK)
+      topK, rerankK, broadcastProbes)
   }
 
   /** Append `delta` vectors against the frozen codebook. Idempotent

@@ -272,8 +272,20 @@ object SimilarityOps {
     * [[annBruteForce]]'s — quantization error can only cost recall,
     * never wrong scores. */
   private def exactRerank(corpus: DataFrame, isProbe: Column,
-                          scored: DataFrame, rerankK: Int,
-                          topK: Int): DataFrame = {
+                          scored: DataFrame, rerankK: Int, topK: Int,
+                          broadcastProbes: Boolean = true): DataFrame = {
+    // serving mode (broadcastProbes): survivors and probe vectors are
+    // tiny relative to the corpus — ship them to every executor, zero
+    // shuffle of the corpus. Batch mode: with 1M+ probes the survivor
+    // set (probes × rerankK) and the probe vectors no longer fit a
+    // broadcast build on the driver; the same joins run shuffled on
+    // the high-cardinality q_id/vec_id keys instead.
+    // the batch gate HINTS shuffle_hash rather than merely dropping
+    // the broadcast hint: the optimizer would otherwise re-introduce a
+    // driver broadcast build whenever its size estimate fits the
+    // threshold — the exact failure mode batch mode exists to prevent
+    val gate: DataFrame => DataFrame =
+      if (broadcastProbes) broadcast else (df => df.hint("shuffle_hash"))
     val cand = scored
       .select(col("q_id"), col("vec_id"), col("r"))
       .withColumn("crnk", row_number().over(
@@ -285,8 +297,8 @@ object SimilarityOps {
     val probeVecs = withNb.filter(isProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("__nb").as("__na"))
-    broadcast(cand)
-      .join(broadcast(probeVecs), "q_id")
+    gate(cand)
+      .join(gate(probeVecs), "q_id")
       .join(withNb.select(col("vec_id"), col("embedding"), col("__nb")), "vec_id")
       .withColumn("cos_sim", cosineFromParts(
         VectorFunctions.dot(col("q_vec"), col("embedding")),
@@ -519,14 +531,27 @@ object SimilarityOps {
 
   /** V7's search stage over a PREBUILT codes frame (freshly computed or
     * loaded from a persisted index): cell-local int64 code dot →
-    * narrow (q_id, vec_id, r) rank → exact rerank against `corpus`. */
+    * narrow (q_id, vec_id, r) rank → exact rerank against `corpus`.
+    *
+    * `broadcastProbes = true` (serving, the default): the probe batch
+    * rides a broadcast — bounded driver/executor copies, zero shuffle
+    * of the codes scan. `false` (batch ANN — joining a probe SET the
+    * size of a table against the index): every probe-side frame runs
+    * shuffled instead; the scoring join exchanges on `cluster` (its
+    * parallelism is the cell count — size kCells for the batch, e.g.
+    * √N cells, the standard IVF sizing), the rerank joins on the
+    * high-cardinality q_id/vec_id. Output identical either way
+    * (spec-asserted). */
   def ivfSearchCodes(codes: DataFrame, qprobes: DataFrame,
                      corpus: DataFrame, isProbe: Column, topK: Int,
-                     rerankK: Int): DataFrame = {
-    val scored = codes.join(broadcast(qprobes), "cluster")
+                     rerankK: Int,
+                     broadcastProbes: Boolean = true): DataFrame = {
+    val probeSide = if (broadcastProbes) broadcast(qprobes)
+      else qprobes.hint("shuffle_hash") // never a driver broadcast build
+    val scored = codes.join(probeSide, "cluster")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("r", dequantizedRank)
-    exactRerank(corpus, isProbe, scored, rerankK, topK)
+    exactRerank(corpus, isProbe, scored, rerankK, topK, broadcastProbes)
   }
 
   /** N-gram-Jaccard near-dup: bottom-hash blocking over LONG (`blockN`)

@@ -257,6 +257,37 @@ class VectorIndexSpec extends SparkSpec {
     assert(!rows(got).exists(r => targets.contains(r._2)))
   }
 
+  test("batch (shuffled) probe mode == serving (broadcast) mode, with no probe broadcast") {
+    val corpus = Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("vidx-batch").toString
+    VectorIndexApp.build(spark, corpus, idx, kCells, iters)
+    val isProbe = col("vec_id") < 20
+
+    val serving = VectorIndexApp.query(spark, corpus, idx, isProbe,
+      topK, nprobe, rerankK)
+    val batch = VectorIndexApp.query(spark, corpus, idx, isProbe,
+      topK, nprobe, rerankK, broadcastProbes = false)
+    assert(rows(batch) == rows(serving),
+      "shuffled batch mode diverged from broadcast serving mode")
+
+    // batch mode must not broadcast anything probe-sized: the only
+    // broadcast left is the single-row centroid array inside the cell
+    // assignment — every probe-carrying join runs shuffled
+    def bcasts(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case a: AdaptiveSparkPlanExec => bcasts(a.executedPlan)
+      case s: QueryStageExec => bcasts(s.plan)
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        Seq(b)
+    }.flatten
+    val servingB = bcasts(serving.queryExecution.executedPlan).size
+    val batchB = bcasts(batch.queryExecution.executedPlan).size
+    assert(batchB < servingB,
+      s"batch mode still broadcasts ($batchB vs $servingB exchanges)")
+    // and the audit's mechanical invariants hold for the batch plan too
+    val vs = graft.plans.PlanAudit.violations(batch)
+    assert(vs.isEmpty, vs.mkString("\n"))
+  }
+
   test("a crashed retraction heals on the next retract (marker-gated walk)") {
     val corpus = Tables.embeddings(spark, sf)
     val idx = Files.createTempDirectory("vidx-crash").toString
