@@ -135,6 +135,14 @@ object StagedCommit {
 
   private def writeManifest(fs: FileSystem, staging: Path,
                             moves: Seq[(Path, Path)]): Unit = {
+    // duplicate destinations must never enter the FROZEN manifest: a
+    // first-run collision failure would otherwise be "resolved" by the
+    // next restart's heal replay overwriting the first writer's file —
+    // the moveOne require only survives the crash contract if the
+    // manifest itself is collision-free
+    val dups = moves.groupBy(_._2).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"staged commit maps multiple sources to ${dups.mkString(", ")}")
     val tmp = new Path(staging, ".COMMIT.tmp")
     val out = fs.create(tmp, true)
     try out.write(moves.map { case (s, d) => s"$s\t$d" }

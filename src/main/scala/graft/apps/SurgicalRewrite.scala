@@ -102,18 +102,23 @@ private[apps] object SurgicalRewrite {
     * scan stage), which costs nothing since a join side never pushes
     * literal predicates anyway. */
   private[apps] def hitFiles(df: DataFrame, ids: Seq[Long],
-                             idCol: String): Seq[String] = {
-    val files =
-      if (ids.length <= InlineIdMax)
-        df.filter(col(idCol).isin(ids: _*))
-          .select(input_file_name().as("f"))
-      else
-        df.withColumn("f", input_file_name())
-          .join(broadcast(idsFrame(df.sparkSession, ids, idCol)),
-            Seq(idCol), "left_semi")
-          .select("f")
-    files.distinct().collect().map(_.getString(0)).toSeq
-  }
+                             idCol: String): Seq[String] =
+    hitFilesFrame(df, ids, idCol).collect().map(_.getString(0)).toSeq
+
+  /** The discovery FRAME behind [[hitFiles]], exposed separately so the
+    * spec pins the pushdown shape of the real production plan (not a
+    * hand-built copy of it). */
+  private[apps] def hitFilesFrame(df: DataFrame, ids: Seq[Long],
+                                  idCol: String): DataFrame =
+    (if (ids.length <= InlineIdMax)
+      df.filter(col(idCol).isin(ids: _*))
+        .select(input_file_name().as("f"))
+    else
+      df.withColumn("f", input_file_name())
+        .join(broadcast(idsFrame(df.sparkSession, ids, idCol)),
+          Seq(idCol), "left_semi")
+        .select("f"))
+      .distinct()
 
   /** Rewrite `files` (fully-qualified URIs) keeping only `transform`'s
     * output rows, each rewritten file internally ordered by `order`.
@@ -122,11 +127,18 @@ private[apps] object SurgicalRewrite {
   def rewrite(spark: SparkSession, files: Seq[String], tmpDir: String,
               transform: DataFrame => DataFrame,
               order: Seq[Column]): Unit = {
-    if (files.isEmpty) return
-    val hit = files.sorted
-    val lookup = spark.createDataFrame(hit.zipWithIndex).toDF("__f", "__fid")
     val tmp = new Path(tmpDir)
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (files.isEmpty) {
+      // still remove any stale tmp: a replayed takedown whose targets
+      // are already gone discovers nothing, and leaving a crashed
+      // run's marker behind would re-enable the O(index) heal walk on
+      // every subsequent takedown forever
+      fs.delete(tmp, true)
+      return
+    }
+    val hit = files.sorted
+    val lookup = spark.createDataFrame(hit.zipWithIndex).toDF("__f", "__fid")
     // belt-and-braces: repair torn swaps in the hit files' own
     // directories before touching anything (a stale .bak- would make
     // the aside rename below fail; a missing original would read as

@@ -71,7 +71,14 @@ object VectorIndexApp {
     * the size of a table against the index, where a broadcast build
     * would not fit the driver — every probe-side frame runs shuffled
     * instead (see [[SimilarityOps.ivfSearchCodes]]). Results are
-    * identical in both modes (spec-asserted). */
+    * identical in both modes (spec-asserted).
+    *
+    * CONTRACT: `corpus` and `isProbe` must be DETERMINISTIC (no
+    * `rand()` sampling predicates) — the probe derivation is evaluated
+    * more than once (the cell list and the search side), and a
+    * nondeterministic probe set would let a probe surface whose cells
+    * were pruned by the other evaluation, silently truncating its
+    * results. Sample into a materialized frame first if needed. */
   def query(spark: SparkSession, corpus: DataFrame, indexDir: String,
             isProbe: Column, topK: Int, nprobe: Int, rerankK: Int,
             broadcastProbes: Boolean = true): DataFrame = {

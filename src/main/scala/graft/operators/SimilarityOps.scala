@@ -297,8 +297,12 @@ object SimilarityOps {
     val probeVecs = withNb.filter(isProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("__nb").as("__na"))
-    gate(cand)
-      .join(gate(probeVecs), "q_id")
+    // the OUTER gate matters: a join hint is consumed by its nearest
+    // join, so without re-gating the composed survivors frame the final
+    // corpus join would fall back to the optimizer's size estimate — in
+    // serving mode that broadcast is exactly intended (survivors are
+    // tiny), in batch mode it would re-open the driver-build hole
+    gate(gate(cand).join(gate(probeVecs), "q_id"))
       .join(withNb.select(col("vec_id"), col("embedding"), col("__nb")), "vec_id")
       .withColumn("cos_sim", cosineFromParts(
         VectorFunctions.dot(col("q_vec"), col("embedding")),

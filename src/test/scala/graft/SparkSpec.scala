@@ -1,12 +1,30 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all specs (getOrCreate ⇒ one JVM-wide session;
   * small core count keeps per-suite overhead low). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
+
+  /** Collect matching nodes from a physical plan, descending through
+    * the AQE wrappers (`AdaptiveSparkPlanExec`, `QueryStageExec`) that
+    * a plain `plan.collect` treats as leaves — the one shared walker
+    * for every structural plan assertion (scans, broadcasts, local
+    * relations); a per-spec copy that misses a wrapper silently walks
+    * an empty subtree and turns its assertion vacuous. */
+  def collectPlan[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = if (pf.isDefinedAt(p)) Seq(pf(p)) else Nil
+    val below = p match {
+      case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)(pf)
+      case s: QueryStageExec => collectPlan(s.plan)(pf)
+      case other => other.children.flatMap(c => collectPlan(c)(pf))
+    }
+    here ++ below
+  }
 
   /** Job count for `group` once the async status store stops moving:
     * sample, SLEEP, resample until two consecutive samples agree (or

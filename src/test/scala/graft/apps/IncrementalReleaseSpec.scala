@@ -153,12 +153,9 @@ class IncrementalReleaseSpec extends SparkSpec {
     val touched = dkeys.select(substring(col("sig"), 1, 2)).distinct().count()
     val pruned = IncrementalReleaseApp.deltaTouchedBands(spark, idx, dkeys)
 
-    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-      case s: QueryStageExec => scansOf(s.plan)
-      case f: FileSourceScanExec => Seq(f)
-    }.flatten
-    val bandScans = scansOf(pruned.queryExecution.executedPlan)
+    val bandScans = collectPlan(pruned.queryExecution.executedPlan) {
+        case f: FileSourceScanExec => f
+      }
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("/bands")))
     assert(bandScans.nonEmpty, "no bands scan in the pruned plan")
     val scanned = bandScans.map(f =>

@@ -44,11 +44,8 @@ class IncrementalSoakSpec extends SparkSpec {
       lit("crawl").as("source"))
   }
 
-  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-    case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-    case s: QueryStageExec => scansOf(s.plan)
-    case f: FileSourceScanExec => Seq(f)
-  }.flatten
+  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] =
+    collectPlan(p) { case f: FileSourceScanExec => f }
 
   /** Bands-index partition directories the append for `delta` would
     * read, together with the delta's own touched-prefix count — the

@@ -105,19 +105,12 @@ class SurgicalRewriteSpec extends SparkSpec {
     // nondeterministic input_file_name projection sits ABOVE the
     // filter (filter-then-project) — projecting first would block
     // Catalyst from pushing the predicate and turn row-group skipping
-    // into a full scan
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[FileSourceScanExec] = p.collect {
-      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-      case s: QueryStageExec => scansOf(s.plan)
-      case f: FileSourceScanExec => Seq(f)
-    }.flatten
-    val disc = df.filter(col("doc_id").isin(small: _*))
-      .select(input_file_name().as("f"))
-    val pushed = scansOf(disc.queryExecution.executedPlan)
-      .flatMap(_.metadata.get("PushedFilters"))
+    // into a full scan. Asserted on the PRODUCTION frame (hitFilesFrame),
+    // not a hand-built copy of its shape.
+    val disc = SurgicalRewrite.hitFilesFrame(df, small, "doc_id")
+    val pushed = collectPlan(disc.queryExecution.executedPlan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.flatMap(_.metadata.get("PushedFilters"))
     assert(pushed.exists(_.contains("In(")),
       s"small discovery lost filter pushdown: $pushed")
 

@@ -26,11 +26,8 @@ class VectorIndexSpec extends SparkSpec {
     df.select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
       .as[(Long, Long, Int, Double)].collect().toSet
 
-  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
-    case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-    case s: QueryStageExec => scansOf(s.plan)
-    case f: FileSourceScanExec => Seq(f)
-  }.flatten
+  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] =
+    collectPlan(p) { case f: FileSourceScanExec => f }
 
   test("query == ivfQuantizedAnn with the stored codebook; scan prunes to probed cells") {
     val corpus = Tables.embeddings(spark, sf)
@@ -190,12 +187,10 @@ class VectorIndexSpec extends SparkSpec {
     // of a collected-then-parallelized relation — may appear.
     val got = VectorIndexApp.query(spark, wide, idx, col("vec_id") >= 0,
       topK = 3, nprobe = 1, rerankK = 5)
-    def localsOf(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case a: AdaptiveSparkPlanExec => localsOf(a.executedPlan)
-      case s: QueryStageExec => localsOf(s.plan)
-      case l: org.apache.spark.sql.execution.LocalTableScanExec => Seq(l)
-    }.flatten
-    assert(localsOf(got.queryExecution.executedPlan).isEmpty,
+    val locals = collectPlan(got.queryExecution.executedPlan) {
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+    }
+    assert(locals.isEmpty,
       "probe rows were collected to the driver and re-parallelized")
     assert(got.count() > 0)
 
@@ -272,15 +267,15 @@ class VectorIndexSpec extends SparkSpec {
 
     // batch mode must not broadcast anything probe-sized: the only
     // broadcast left is the single-row centroid array inside the cell
-    // assignment — every probe-carrying join runs shuffled
-    def bcasts(p: SparkPlan): Seq[SparkPlan] = p.collect {
-      case a: AdaptiveSparkPlanExec => bcasts(a.executedPlan)
-      case s: QueryStageExec => bcasts(s.plan)
-      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
-        Seq(b)
-    }.flatten
-    val servingB = bcasts(serving.queryExecution.executedPlan).size
-    val batchB = bcasts(batch.queryExecution.executedPlan).size
+    // assignment — every probe-carrying join (scoring, survivors,
+    // probe vectors, the rerank's corpus join) runs shuffled
+    def bcasts(df: org.apache.spark.sql.DataFrame): Int =
+      collectPlan(df.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }.size
+    val (servingB, batchB) = (bcasts(serving), bcasts(batch))
+    assert(batchB == 1,
+      s"batch mode must broadcast ONLY the centroid array, got $batchB exchanges")
     assert(batchB < servingB,
       s"batch mode still broadcasts ($batchB vs $servingB exchanges)")
     // and the audit's mechanical invariants hold for the batch plan too
