@@ -240,6 +240,24 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** V8 — v7's search through the BATCH-probe plan: identical output,
+    * but every probe-carrying join runs shuffled
+    * (`broadcastProbes = false`) — the form for joining a table-sized
+    * probe set against the index, where a broadcast build would not
+    * fit the driver. Shares v7's oracle (same semantics by design). */
+  private val v8AnnIvfBatch: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cb = SimilarityOps.kmeansCodebook(e, KCells, KmeansIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SimilarityOps.ivfSearchCodes(
+        SimilarityOps.ivfCodes(e, cb),
+        SimilarityOps.ivfProbes(e, cb, col("vec_id") < NProbes, V7ProbeCells),
+        e, col("vec_id") < NProbes, TopK, rerankK = 2 * TopK,
+        broadcastProbes = false)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** V3 — embedding near-dup pairs within LSH buckets. */
   private val v3EmbedNeardup: Q = (s, d) =>
     SimilarityOps.embeddingNearDup(Tables.embeddings(s, d), planes, CosineThreshold)
@@ -258,7 +276,8 @@ object SimilarityQueries {
     "v4_ann_ivf" -> v4AnnIvf,
     "v5_ann_topk_agg" -> v5AnnTopkAgg,
     "v6_ann_quantized" -> v6AnnQuantized,
-    "v7_ann_ivf_quantized" -> v7AnnIvfQuantized)
+    "v7_ann_ivf_quantized" -> v7AnnIvfQuantized,
+    "v8_ann_ivf_batch" -> v8AnnIvfBatch)
 
   // ---------------------------------------------------------------- oracles
 
@@ -698,5 +717,9 @@ object SimilarityQueries {
     "v4_ann_ivf" -> v4Sql,
     "v5_ann_topk_agg" -> v1Sql, // same contract as v1 by construction
     "v6_ann_quantized" -> v6Sql,
-    "v7_ann_ivf_quantized" -> v7Sql)
+    "v7_ann_ivf_quantized" -> v7Sql,
+    // v8 is v7 through the shuffled batch-probe plan — same semantics,
+    // same oracle; the DIFFERENCE under test is the physical plan,
+    // gated by PlanAuditSpec and VectorIndexSpec's broadcast count
+    "v8_ann_ivf_batch" -> v7Sql)
 }
