@@ -130,11 +130,16 @@ private[apps] object SurgicalRewrite {
     val tmp = new Path(tmpDir)
     val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (files.isEmpty) {
-      // still remove any stale tmp: a replayed takedown whose targets
-      // are already gone discovers nothing, and leaving a crashed
-      // run's marker behind would re-enable the O(index) heal walk on
-      // every subsequent takedown forever
-      fs.delete(tmp, true)
+      // a replayed takedown whose targets are already gone discovers
+      // nothing — but a stale crash marker must still be retired, and
+      // ONLY after healing under it: deleting the marker first would
+      // disarm every caller's marker-gated heal while dark .bak rows
+      // still exist. rewrite owns the marker lifecycle end-to-end
+      // rather than trusting every caller to have healed already.
+      if (fs.exists(tmp)) {
+        heal(fs, tmp.getParent)
+        fs.delete(tmp, true)
+      }
       return
     }
     val hit = files.sorted

@@ -21,9 +21,15 @@ trait SparkSpec extends AnyFunSuite {
     val below = p match {
       case a: AdaptiveSparkPlanExec => collectPlan(a.executedPlan)(pf)
       case s: QueryStageExec => collectPlan(s.plan)(pf)
+      // ReusedExchange is a LEAF wrapping the shared subtree — without
+      // descending, a broadcast/scan count silently misses everything
+      // AQE deduplicated
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        collectPlan(r.child)(pf)
       case other => other.children.flatMap(c => collectPlan(c)(pf))
     }
-    here ++ below
+    val subs = p.subqueries.flatMap(sq => collectPlan(sq)(pf))
+    here ++ below ++ subs
   }
 
   /** Job count for `group` once the async status store stops moving:

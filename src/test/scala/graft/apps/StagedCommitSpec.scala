@@ -65,6 +65,28 @@ class StagedCommitSpec extends SparkSpec {
     assert(healSec < 60, f"1k-file heal took $healSec%.1f s")
   }
 
+  test("duplicate destinations are rejected at manifest freeze, with every staged file intact") {
+    // two mappings whose staged files land on the SAME destination —
+    // the violated-single-writer shape. The gate must fire BEFORE the
+    // manifest exists: once frozen, a restart's heal replay would
+    // "resolve" the collision by overwriting the first writer's file.
+    val base = Files.createTempDirectory("sc-dup").toString
+    val stg = new Path(s"$base/_staging")
+    val dest = s"$base/out"
+    mkFile(new Path(stg, "idx/a/f0"), "first")
+    mkFile(new Path(stg, "idx2/a/f0"), "second")
+    intercept[IllegalArgumentException] {
+      StagedCommit.publish(fs, stg,
+        Seq("idx" -> dest, "idx2" -> dest), lastFragment = "/meta/")
+    }
+    assert(!fs.exists(new Path(stg, "COMMIT")),
+      "the colliding manifest must never be frozen")
+    assert(fs.exists(new Path(stg, "idx/a/f0")) &&
+      fs.exists(new Path(stg, "idx2/a/f0")),
+      "both staged files must survive for inspection")
+    assert(!fs.exists(new Path(s"$dest/a/f0")), "nothing may have moved")
+  }
+
   test("heal resolves a src-and-dst collision from the frozen manifest, not a permanent failure") {
     val base = Files.createTempDirectory("sc-coll").toString
     val stg = new Path(s"$base/_staging")

@@ -73,6 +73,30 @@ class SurgicalRewriteSpec extends SparkSpec {
       .forall(p => !p.getFileName.toString.startsWith(".bak-")))
   }
 
+  test("an empty re-discovery heals under the stale marker, then retires it") {
+    val dir = dataDir()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fabricate the post-crash state a replayed takedown can meet when
+    // its targets are already gone: one file dark in its .bak and the
+    // crashed run's _retract marker still present
+    val f = Files.walk(Paths.get(dir)).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    val orig = new Path(f.toString)
+    val bak = new Path(orig.getParent, s".bak-${orig.getName}")
+    require(fs.rename(orig, bak))
+    fs.mkdirs(new Path(s"$dir/_retract/__fid=0"))
+    assert(ids(dir).size < 400, "fixture: rows should be dark")
+
+    // empty hit list: rewrite must restore the dark rows BEFORE
+    // retiring the marker — deleting the marker first would disarm the
+    // callers' marker-gated heal while the .bak rows still exist
+    SurgicalRewrite.rewrite(spark, Seq.empty, s"$dir/_retract",
+      identity, Seq(col("doc_id")))
+    assert(ids(dir).size == 400, "dark rows must be healed back")
+    assert(!Files.exists(Paths.get(s"$dir/_retract")),
+      "the stale marker must be retired (it re-enables the heal walk)")
+  }
+
   test("heal deletes a leftover .bak whose original landed (post-install crash)") {
     val dir = dataDir()
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
