@@ -19,29 +19,41 @@ object Bench {
     // and reports the MEDIAN: single-shot timings swung 3× round-to-round
     // on provably unchanged plans (GC/JIT/page-cache transients), which
     // made real regressions indistinguishable from noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var err: Option[String] = None
-      val times = (1 to Runs).flatMap { _ =>
-        if (err.isDefined) None // a failed query fails fast, not 3×
-        else {
-          val t0 = System.nanoTime()
-          // noop sink materializes every output column (count() would let
-          // Catalyst prune computed columns and understate the work)
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case e: Throwable =>
-            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-          }
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          // cache teardown (per-query persists must not leak) happens
-          // OUTSIDE the timed window — harness hygiene, not query cost
-          spark.catalog.clearCache()
-          if (err.isDefined) None else Some(elapsed)
-        }
+    //
+    // The runs are taken as `Runs` SEPARATE PASSES over the whole suite
+    // (q1..qN, q1..qN, …), NOT back-to-back per query: a multi-second
+    // one-time JVM/OS transient (major GC, code-cache sweep, page
+    // reclaim) straddled all three back-to-back runs of whichever query
+    // it landed on and poisoned that query's median — the "wandering
+    // 3× spike" that hit j1 in r6 and j2/j3/v7 in r7 on byte-untouched
+    // plans (isolated fresh-JVM reruns showed no regression). Across
+    // temporally-separated passes the same transient can touch at most
+    // one sample per query, and the median discards it. Per-run
+    // clearCache() already kept back-to-back runs from sharing state,
+    // so the interleave costs nothing extra.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map[String, String]()
+    for (_ <- 1 to Runs; (name, fn) <- names if !errors.contains(name)) {
+      val t0 = System.nanoTime()
+      // noop sink materializes every output column (count() would let
+      // Catalyst prune computed columns and understate the work)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable => // a failed query fails fast, not 3×
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      val sorted = times.sorted
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // cache teardown (per-query persists must not leak) happens
+      // OUTSIDE the timed window — harness hygiene, not query cost
+      spark.catalog.clearCache()
+      if (!errors.contains(name)) samples(name) = elapsed :: samples(name)
+    }
+    val results = names.map { case (name, _) =>
+      val sorted = samples(name).sorted
       val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
       (name, median, sorted.headOption.getOrElse(0.0),
-        sorted.lastOption.getOrElse(0.0), err)
+        sorted.lastOption.getOrElse(0.0), errors.get(name))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

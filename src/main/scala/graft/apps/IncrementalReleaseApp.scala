@@ -119,6 +119,11 @@ object IncrementalReleaseApp {
              outDir: String, indexDir: String): Unit = {
     require(bench.shingleN == N,
       s"benchmark shingle length ${bench.shingleN} != release's $N")
+    // the index lock covers the release too (append writes both; one
+    // writer per release+index pair): a concurrent appender fails
+    // loudly instead of interleaving staging deletes
+    StagedCommit.withWriterLock(fsFor(spark, indexDir),
+        new Path(indexDir)) {
     heal(spark, indexDir)
     if (delta.isEmpty) return // nothing to apply (and min/max would be null)
     val maxBase = spark.read.parquet(s"$indexDir/meta")
@@ -226,6 +231,31 @@ object IncrementalReleaseApp {
     cand.unpersist(); dfps.unpersist()
     StagedCommit.publish(fs, staging,
       Seq("release" -> outDir, "idx" -> indexDir), lastFragment = "/meta/")
+    // bounded compaction AFTER the batch is fully applied: any sidecar
+    // partition dir this append grew past the threshold merges to one
+    // file (in its lookup-key order, so row-group skipping survives) —
+    // without it the streaming form grows one file per dir per
+    // micro-batch forever. Crash here ⇒ healed before the next read.
+    compactIndex(spark, fs, indexDir)
+    }
+  }
+
+  /** Merge every sidecar index dir holding more than
+    * [[Compaction.DefaultMaxFiles]] files down to one. The release data
+    * itself is NOT compacted: released files are append-only by
+    * contract (the spec pins byte-identical survival), and their count
+    * is bounded by the packing layout, not the append count. */
+  private def compactIndex(spark: SparkSession, fs: FileSystem,
+                           indexDir: String): Unit = {
+    import Compaction.{Group, partitionDirs}
+    Compaction.compact(spark, fs, stagingPath(indexDir), Seq(
+      Group(partitionDirs(fs, new Path(s"$indexDir/bands")), Seq(col("sig"))),
+      Group(partitionDirs(fs, new Path(s"$indexDir/fps")), Seq(col("fp"))),
+      Group(partitionDirs(fs, new Path(s"$indexDir/shingles")),
+        Seq(col("doc_id"))),
+      Group(Seq(new Path(s"$indexDir/totals")),
+        Seq(col("split"), col("bucket"))),
+      Group(Seq(new Path(s"$indexDir/meta")), Seq(col("max_doc_id")))))
   }
 
   /** Complete (or discard) a torn append left by a crash (meta lands
@@ -291,6 +321,8 @@ object IncrementalReleaseApp {
               indexDir: String): Unit = {
     import org.apache.spark.sql.functions.{col => c}
     if (docIds.isEmpty) return
+    StagedCommit.withWriterLock(fsFor(spark, indexDir),
+        new Path(indexDir)) {
     // finish any torn append FIRST: a target row sitting in a staged-
     // but-unmoved file would otherwise dodge discovery and re-enter the
     // release when a later append heals the manifest — and repair any
@@ -322,6 +354,7 @@ object IncrementalReleaseApp {
     SurgicalRewrite.rewrite(spark, hit, s"$outDir/_retract",
       SurgicalRewrite.excluding(_, docIds, "doc_id"),
       Seq(col("bucket"), col("seq_id"), col("doc_id"), col("epoch")))
+    }
   }
 
   // ------------------------------------------------------------- streaming

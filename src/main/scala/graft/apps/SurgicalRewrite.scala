@@ -164,8 +164,15 @@ private[apps] object SurgicalRewrite {
       .write.mode("overwrite").partitionBy("__fid").parquet(tmp.toString)
     hit.zipWithIndex.foreach { case (f, i) =>
       val orig = new Path(new URI(f))
-      val repl = Option(fs.globStatus(new Path(tmp, s"__fid=$i/*.parquet")))
-        .getOrElse(Array.empty).headOption.map(_.getPath)
+      val replAll = Option(fs.globStatus(new Path(tmp, s"__fid=$i/*.parquet")))
+        .getOrElse(Array.empty)
+      // the repartition above writes EXACTLY one file per __fid; if a
+      // future change breaks that invariant, a headOption here would
+      // silently drop every survivor row beyond the first file
+      require(replAll.length <= 1,
+        s"rewrite: ${replAll.length} replacement files for __fid=$i " +
+          s"(expected at most 1 — survivor rows would be dropped)")
+      val repl = replAll.headOption.map(_.getPath)
       // aside first: the original's rows stay recoverable at every step
       val bak = new Path(orig.getParent, s".bak-${orig.getName}")
       require(fs.rename(orig, bak), s"rewrite: could not set aside $orig")

@@ -82,6 +82,18 @@ object VectorIndexApp {
   def query(spark: SparkSession, corpus: DataFrame, indexDir: String,
             isProbe: Column, topK: Int, nprobe: Int, rerankK: Int,
             broadcastProbes: Boolean = true): DataFrame = {
+    // the documented determinism contract, enforced: pull the analyzed
+    // filter condition (public Catalyst API — Column internals moved in
+    // Spark 4) and refuse a nondeterministic probe predicate loudly
+    // instead of silently truncating results
+    corpus.filter(isProbe).queryExecution.analyzed.foreach {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        require(f.condition.deterministic,
+          s"isProbe must be deterministic (got: ${f.condition.sql}) — " +
+            "the probe derivation is evaluated more than once; " +
+            "materialize a sampled frame first")
+      case _ => ()
+    }
     val cents = spark.read.parquet(s"$indexDir/centroids")
     // The probe frame is never collect()ed wholesale: the only
     // per-query driver collect is the DISTINCT CELL list — bounded by
@@ -106,29 +118,53 @@ object VectorIndexApp {
   }
 
   /** Append `delta` vectors against the frozen codebook. Idempotent
-    * under replay; refuses a watermark-straddling delta. */
+    * under replay; refuses a watermark-straddling delta. Holds the
+    * single-writer lock for the whole staging+publish+compaction span —
+    * a second concurrent appender fails loudly instead of interleaving
+    * staging deletes ([[StagedCommit.withWriterLock]]). */
   def append(spark: SparkSession, delta: DataFrame,
              indexDir: String): Unit = {
     val fs = new Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    StagedCommit.heal(fs, staging(indexDir))
-    if (delta.isEmpty) return // nothing to apply (and min/max would be null)
-    val maxBase = spark.read.parquet(s"$indexDir/meta")
-      .agg(max(col("max_vec_id"))).head.getLong(0)
-    val mm = delta.agg(min(col("vec_id")), max(col("vec_id"))).head
-    val (minDelta, maxDelta) = (mm.getLong(0), mm.getLong(1))
-    if (maxDelta <= maxBase) return // replayed, fully-applied batch
-    require(minDelta > maxBase,
-      s"delta vec_ids must exceed the indexed max ($minDelta <= $maxBase)")
-    val cents = spark.read.parquet(s"$indexDir/centroids")
-    val stg = staging(indexDir)
-    fs.delete(stg, true)
-    writeCodes(SimilarityOps.ivfCodes(delta, cents), s"$stg/idx/codes")
-    delta.agg(max(col("vec_id")).as("max_vec_id"))
-      .write.mode("overwrite").parquet(s"$stg/idx/meta")
-    StagedCommit.publish(fs, stg, Seq("idx" -> indexDir),
-      lastFragment = "/meta/")
+    StagedCommit.withWriterLock(fs, new Path(indexDir)) {
+      StagedCommit.heal(fs, staging(indexDir))
+      if (delta.isEmpty) return // nothing to apply (and min/max would be null)
+      val maxBase = spark.read.parquet(s"$indexDir/meta")
+        .agg(max(col("max_vec_id"))).head.getLong(0)
+      val mm = delta.agg(min(col("vec_id")), max(col("vec_id"))).head
+      val (minDelta, maxDelta) = (mm.getLong(0), mm.getLong(1))
+      if (maxDelta <= maxBase) return // replayed, fully-applied batch
+      require(minDelta > maxBase,
+        s"delta vec_ids must exceed the indexed max ($minDelta <= $maxBase)")
+      val cents = spark.read.parquet(s"$indexDir/centroids")
+      val stg = staging(indexDir)
+      fs.delete(stg, true)
+      writeCodes(SimilarityOps.ivfCodes(delta, cents), s"$stg/idx/codes")
+      delta.agg(max(col("vec_id")).as("max_vec_id"))
+        .write.mode("overwrite").parquet(s"$stg/idx/meta")
+      StagedCommit.publish(fs, stg, Seq("idx" -> indexDir),
+        lastFragment = "/meta/")
+      // bounded compaction AFTER the batch is fully applied: every cell
+      // dir this append grew past the threshold merges to one file, so
+      // file count stays flat under unbounded streaming appends instead
+      // of linear in micro-batch count. A crash here is healed (same
+      // staging, same manifest machinery) before the next append reads.
+      compactIndex(spark, fs, indexDir)
+    }
   }
+
+  /** Merge every codes cell dir (and the meta dir) holding more than
+    * [[Compaction.DefaultMaxFiles]] files down to one, preserving the
+    * in-file vec_id clustering that makes row-group stats skip. */
+  private def compactIndex(spark: SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           indexDir: String): Unit =
+    Compaction.compact(spark, fs, staging(indexDir), Seq(
+      Compaction.Group(
+        Compaction.partitionDirs(fs, new Path(s"$indexDir/codes")),
+        Seq(col("vec_id"))),
+      Compaction.Group(Seq(new Path(s"$indexDir/meta")),
+        Seq(col("max_vec_id")))))
 
   /** Retract vectors (takedown): rewrites ONLY the cell files holding
     * the targets, in one job, through [[SurgicalRewrite]]'s aside-swap.
@@ -142,24 +178,26 @@ object VectorIndexApp {
     if (vecIds.isEmpty) return
     val fs = new Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // finish any torn append first — a target in a staged-but-unmoved
-    // file would dodge discovery and re-enter on the next heal — and
-    // repair any torn swap from a crashed PREVIOUS retraction, whose
-    // dark rows would likewise dodge the discovery scan below. The
-    // heal walk is gated on the crashed rewrite's marker (its tmp dir
-    // is removed only after every swap completes), so the common
-    // no-crash takedown never pays an O(index) recursive listing.
-    StagedCommit.heal(fs, staging(indexDir))
-    val tmpDir = s"$indexDir/_retract"
-    if (fs.exists(new Path(tmpDir)))
-      SurgicalRewrite.heal(fs, new Path(s"$indexDir/codes"))
-    // small takedowns stay a pushed In-filter; large ones run as a
-    // broadcast semi-join (discovery) / anti-join (rewrite) so the
-    // expression tree never grows with the takedown size
-    val hit = SurgicalRewrite.hitFiles(
-      spark.read.parquet(s"$indexDir/codes"), vecIds, "vec_id")
-    SurgicalRewrite.rewrite(spark, hit, tmpDir,
-      SurgicalRewrite.excluding(_, vecIds, "vec_id"), Seq(col("vec_id")))
+    StagedCommit.withWriterLock(fs, new Path(indexDir)) {
+      // finish any torn append first — a target in a staged-but-unmoved
+      // file would dodge discovery and re-enter on the next heal — and
+      // repair any torn swap from a crashed PREVIOUS retraction, whose
+      // dark rows would likewise dodge the discovery scan below. The
+      // heal walk is gated on the crashed rewrite's marker (its tmp dir
+      // is removed only after every swap completes), so the common
+      // no-crash takedown never pays an O(index) recursive listing.
+      StagedCommit.heal(fs, staging(indexDir))
+      val tmpDir = s"$indexDir/_retract"
+      if (fs.exists(new Path(tmpDir)))
+        SurgicalRewrite.heal(fs, new Path(s"$indexDir/codes"))
+      // small takedowns stay a pushed In-filter; large ones run as a
+      // broadcast semi-join (discovery) / anti-join (rewrite) so the
+      // expression tree never grows with the takedown size
+      val hit = SurgicalRewrite.hitFiles(
+        spark.read.parquet(s"$indexDir/codes"), vecIds, "vec_id")
+      SurgicalRewrite.rewrite(spark, hit, tmpDir,
+        SurgicalRewrite.excluding(_, vecIds, "vec_id"), Seq(col("vec_id")))
+    }
   }
 
   /** The codes table layout: one exchange on the partition key (without

@@ -111,10 +111,15 @@ object Layout {
     }
     val z = if (rankScaled) {
       // rank scaling materializes 2^bits - 1 quantile boundaries per
-      // column (each row folds over them) — CLAMP to an 8-bit grid
-      // rather than require: the default bits=16 is right for linear
-      // mode, and making rankScaled=true throw under the default was
-      // an API footgun (callers had to know the cap to use the flag)
+      // column (each row folds over them), so rank mode caps the grid
+      // at 8 bits. ONLY the default width (16 — right for linear mode)
+      // clamps silently: making rankScaled=true throw under the default
+      // was an API footgun, but a caller who EXPLICITLY asks for a
+      // 9..15 or 17+ bit rank grid must hear "no" loudly rather than
+      // get a grid up to 256x coarser than requested
+      require(bits <= 8 || bits == 16,
+        s"rankScaled supports at most 8 bits (got $bits); " +
+          "only the default 16 clamps")
       val rbits = math.min(bits, 8)
       val cells = 1 << rbits
       // ONE Greenwald–Khanna pass sketches both columns
