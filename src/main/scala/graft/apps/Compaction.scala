@@ -41,27 +41,43 @@ import org.apache.spark.sql.functions._
   * full-index rewrite. */
 object Compaction {
 
-  /** Threshold at rest: a directory exceeding this after an append is
-    * merged to one file. Appends add ≤1 file per touched directory, so
-    * steady state is ≤ threshold files, threshold+1 transiently.
-    * Private mutable for the soak specs (small thresholds make short
-    * soaks exercise many compaction cycles); production default 8 keeps
-    * the amortized rewrite cost ≤ ~8× the data per window. */
+  /** Threshold at rest: a directory holding more than this many
+    * SMALL files after an append has them merged to one file. Appends
+    * add ≤1 file per touched directory, so steady state is ≤ threshold
+    * small files, threshold+1 transiently. Private mutable for the
+    * soak specs (small thresholds make short soaks exercise many
+    * compaction cycles). */
   private[apps] var DefaultMaxFiles = 8
+
+  /** Size-tier cutoff: a file at or above this GRADUATES — compaction
+    * never reads or rewrites it again. Without the tier every merge
+    * cycle would rewrite the directory's full contents (merged file
+    * included), an O(total²/maxFiles) write amplification over the
+    * stream's life; with it each byte is rewritten only until its file
+    * graduates, and a directory's at-rest file count is ≤ maxFiles
+    * small files + its graduated files — bounded by DATA size
+    * (bytes/targetBytes), never by append count. */
+  private[apps] var DefaultTargetBytes: Long = 128L * 1024 * 1024
 
   /** One schema-homogeneous set of directories with its in-file
     * ordering contract (the sort inside each merged file). */
   final case class Group(dirs: Seq[Path], order: Seq[Column])
 
   /** Directories under `root` (non-recursive) — the `key=value`
-    * partition dirs of one index; skips `_staging`/dot entries. For an
+    * partition dirs of one index; skips `_staging`/dot entries. A
+    * partition COLUMN may itself be underscore-prefixed (the sidecar
+    * indexes partition by `__sp`/`__fp`/`__dp`), so a name containing
+    * `=` is a partition dir regardless of its prefix — only
+    * non-partition underscore/dot entries are metadata. For an
     * unpartitioned index (totals/meta) pass the root itself as the
     * single dir. */
   private[apps] def partitionDirs(fs: FileSystem, root: Path): Seq[Path] = {
     if (!fs.exists(root)) return Nil
-    fs.listStatus(root).toSeq.filter(s => s.isDirectory &&
-      !s.getPath.getName.startsWith("_") &&
-      !s.getPath.getName.startsWith(".")).map(_.getPath)
+    fs.listStatus(root).toSeq.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && (n.contains("=") ||
+        (!n.startsWith("_") && !n.startsWith(".")))
+    }.map(_.getPath)
   }
 
   /** Visible data files directly inside `dir` (what a parquet reader
@@ -74,19 +90,23 @@ object Compaction {
   }
 
   /** Merge every directory in `groups` holding more than `maxFiles`
-    * visible files down to one file each, committed crash-safe through
-    * one [[StagedCommit]] manifest. Returns the number of directories
-    * compacted. `staging` must be the index's own `_staging` path so
-    * the existing heal-first discipline covers a torn compaction. */
+    * small (< `targetBytes`) visible files down to one file each,
+    * committed crash-safe through one [[StagedCommit]] manifest.
+    * Graduated files (≥ `targetBytes`) are never read or rewritten.
+    * Returns the number of directories compacted. `staging` must be
+    * the index's own `_staging` path so the existing heal-first
+    * discipline covers a torn compaction. */
   def compact(spark: SparkSession, fs: FileSystem, staging: Path,
               groups: Seq[Group],
-              maxFiles: Int = DefaultMaxFiles): Int = {
+              maxFiles: Int = DefaultMaxFiles,
+              targetBytes: Long = DefaultTargetBytes): Int = {
     require(maxFiles >= 1, s"maxFiles must be >= 1 (got $maxFiles)")
     // FREEZE the per-directory file lists first: the manifest's delete
     // set must be exactly the files the merge job read, no more
     val frozen: Seq[(Group, Seq[(Path, Seq[Path])])] = groups.map { g =>
       g -> g.dirs.flatMap { dir =>
-        val files = visibleFiles(fs, dir).map(_.getPath)
+        val files = visibleFiles(fs, dir)
+          .filter(_.getLen < targetBytes).map(_.getPath)
         if (files.length > maxFiles) Some(dir -> files) else None
       }
     }.filter(_._2.nonEmpty)
@@ -94,20 +114,44 @@ object Compaction {
     fs.delete(staging, true)
 
     // one job per schema group (a Group is schema-homogeneous by
-    // construction): each over-threshold directory's frozen files are
-    // read as their OWN scan tagged with a literal ordinal (no
-    // input_file_name matching — scheme normalization between
-    // listStatus and the scan's URI form is a silent-mismatch trap),
-    // then one exchange on the ordinal and one sorted file per ordinal.
-    // Explicit file paths (not the dir) keep partition-column inference
-    // off, so the merged file carries exactly the original physical
-    // schema — the partition value stays encoded in the directory name.
+    // construction): ONE scan over every over-threshold directory's
+    // frozen files — a group can span hundreds of partition dirs (the
+    // 256 band prefixes), and a per-dir scan unioned 256 ways is a
+    // plan whose ANALYSIS alone dominates the merge. The directory
+    // ordinal is re-attached by joining the scan's last TWO path
+    // segments ("dir/name" — one write job emits the SAME part-task
+    // file name into every partition dir it touches, so the name alone
+    // collides; the dir segment disambiguates, and plain segments are
+    // immune to the scheme-normalization mismatch between listStatus
+    // and scan URIs) against a broadcast (dir/name → ordinal) lookup
+    // frozen above; then one exchange on the ordinal and one sorted
+    // file per ordinal. Explicit file paths (not the dir) keep
+    // partition-column inference off, so the merged file carries
+    // exactly the original physical schema — the partition value stays
+    // encoded in the directory name.
     val ops = scala.collection.mutable.ArrayBuffer[StagedCommit.Op]()
     frozen.zipWithIndex.foreach { case ((g, entries), grp) =>
-      val tagged = entries.zipWithIndex.map { case ((_, files), did) =>
-        spark.read.parquet(files.map(_.toString): _*)
-          .withColumn("__did", lit(did))
-      }.reduce(_ unionByName _)
+      val byName = entries.zipWithIndex.flatMap { case ((dir, files), did) =>
+        files.map(f => (s"${dir.getName}/${f.getName}", did))
+      }
+      require(byName.map(_._1).distinct.length == byName.length,
+        "frozen dir/file names collide — cannot tag the merge scan")
+      val lookup = broadcast(
+        spark.createDataFrame(byName).toDF("__fn", "__did"))
+      val segs = split(input_file_name(), "/")
+      // LEFT join + in-job raise_error: an unmatched scan row (a
+      // listStatus-vs-scan path-form drift) must fail LOUDLY in the
+      // merge job — an inner join would silently drop its rows into
+      // the staged output and the commit would install data loss
+      val tagged = spark.read
+        .parquet(entries.flatMap(_._2).map(_.toString): _*)
+        .withColumn("__fn", concat_ws("/",
+          element_at(segs, -2), element_at(segs, -1)))
+        .join(lookup, Seq("__fn"), "left")
+        .withColumn("__did", when(col("__did").isNotNull, col("__did"))
+          .otherwise(raise_error(concat(
+            lit("compaction scan file not in the frozen list: "), col("__fn")))))
+        .drop("__fn")
       val out = new Path(staging, s"cmp$grp")
       tagged
         .repartition(entries.length, col("__did"))

@@ -245,8 +245,8 @@ object IncrementalReleaseApp {
     * itself is NOT compacted: released files are append-only by
     * contract (the spec pins byte-identical survival), and their count
     * is bounded by the packing layout, not the append count. */
-  private def compactIndex(spark: SparkSession, fs: FileSystem,
-                           indexDir: String): Unit = {
+  private[apps] def compactIndex(spark: SparkSession, fs: FileSystem,
+                                 indexDir: String): Unit = {
     import Compaction.{Group, partitionDirs}
     Compaction.compact(spark, fs, stagingPath(indexDir), Seq(
       Group(partitionDirs(fs, new Path(s"$indexDir/bands")), Seq(col("sig"))),

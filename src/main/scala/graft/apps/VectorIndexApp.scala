@@ -156,9 +156,9 @@ object VectorIndexApp {
   /** Merge every codes cell dir (and the meta dir) holding more than
     * [[Compaction.DefaultMaxFiles]] files down to one, preserving the
     * in-file vec_id clustering that makes row-group stats skip. */
-  private def compactIndex(spark: SparkSession,
-                           fs: org.apache.hadoop.fs.FileSystem,
-                           indexDir: String): Unit =
+  private[apps] def compactIndex(spark: SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 indexDir: String): Unit =
     Compaction.compact(spark, fs, staging(indexDir), Seq(
       Compaction.Group(
         Compaction.partitionDirs(fs, new Path(s"$indexDir/codes")),

@@ -1,0 +1,208 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SimilarityOps
+
+/** The bounded-compaction contract under a long append soak — the
+  * time-axis scale property a one-shot bench cannot see: without
+  * compaction the index grows one file per touched partition dir per
+  * append FOREVER (a year of 10 s micro-batches is ~3M files per hot
+  * cell dir), so the soak drives 50 appends and asserts every
+  * directory stays at ≤ threshold files AT REST, that compaction is a
+  * pure file merge (query results identical before/after, in-file
+  * vec_id order preserved, untouched dirs byte-identical), and that a
+  * crash INSIDE the compaction commit heals on the next append with no
+  * row lost or duplicated (the Del-before-Move manifest phases mean
+  * the crash window shows rows dark, never twice). */
+class CompactionSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val (kCells, topK, nprobe, rerankK) = (4, 3, 2, 5)
+
+  /** Deterministic dim-4 vectors, ids [lo, hi). */
+  private def vecs(lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(col("id").as("vec_id"),
+      array((0 until 4).map(i =>
+        (pmod(col("id") * (7 * i + 3), lit(997)).cast("float") / lit(997f))
+          + lit(0.01f)): _*).cast("array<float>").as("embedding"))
+
+  /** Visible parquet files per partition directory of the index:
+    * `codes/cluster=N` dirs plus the unpartitioned `meta` dir — the
+    * directories an append grows and compaction must bound. */
+  private def dirFiles(idx: String): Map[String, Seq[String]] = {
+    val cellDirs = Files.list(Paths.get(s"$idx/codes")).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("cluster=")).toSeq
+    (cellDirs :+ Paths.get(s"$idx/meta")).map { d =>
+      d.toString -> Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .toSeq.sorted
+    }.toMap
+  }
+
+  private def indexedIds(idx: String): Seq[Long] =
+    spark.read.parquet(s"$idx/codes").select("vec_id").as[Long].collect().toSeq
+
+  private def queryRows(idx: String, corpus: DataFrame) =
+    VectorIndexApp.query(spark, corpus, idx, col("vec_id") < 5,
+      topK, nprobe, rerankK)
+      .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+  test("50-append soak: dirs bounded, merges pure, crash at the compaction commit heals") {
+    val Threshold = 4
+    val Delta = 10L
+    val Base = 200L
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val saved = Compaction.DefaultMaxFiles
+    Compaction.DefaultMaxFiles = Threshold
+    try {
+      val idx = Files.createTempDirectory("cmp-soak").toString
+      VectorIndexApp.build(spark, vecs(0, Base), idx, kCells, iters = 1)
+      val cents = spark.read.parquet(s"$idx/centroids")
+      var hi = Base
+      def append(n: Long): Unit = {
+        VectorIndexApp.append(spark, vecs(hi, hi + n), idx); hi += n
+      }
+
+      // ---- phase 1: 30 plain appends, every dir bounded AT REST ----
+      var appends = 0
+      (1 to 30).foreach { i =>
+        append(Delta); appends += 1
+        val over = dirFiles(idx).filter(_._2.length > Threshold)
+        assert(over.isEmpty,
+          s"after append $i these dirs exceed $Threshold files: " +
+            over.map { case (d, f) => s"$d=${f.length}" }.mkString(", "))
+      }
+      // non-vacuous: 30 appends with threshold 4 means compaction must
+      // actually have fired — without it the hot cell dirs would hold
+      // ~31 files each
+      assert(dirFiles(idx).values.map(_.length).max <= Threshold)
+
+      // ---- phase 2: compaction is a PURE merge --------------------
+      // grow past the threshold with compaction disabled, then compact
+      // directly and compare everything observable
+      Compaction.DefaultMaxFiles = 1000
+      (1 to 6).foreach { _ => append(Delta); appends += 1 }
+      Compaction.DefaultMaxFiles = Threshold
+      val before = dirFiles(idx)
+      assert(before.values.exists(_.length > Threshold),
+        "fixture failed to grow any dir past the threshold")
+      val wantRows = queryRows(idx, vecs(0, hi))
+      val wantIds = indexedIds(idx)
+      assert(wantIds.length == wantIds.distinct.length)
+
+      VectorIndexApp.compactIndex(spark, fs, idx)
+
+      val after = dirFiles(idx)
+      assert(after.values.forall(_.length <= Threshold))
+      // over-threshold dirs merged down to ONE file; untouched dirs
+      // keep their exact file set (byte-identical by name — appends
+      // never rewrite, so same name = same bytes)
+      before.foreach { case (d, fsBefore) =>
+        if (fsBefore.length > Threshold)
+          assert(after(d).length == 1, s"$d merged to ${after(d).length} files")
+        else assert(after(d) == fsBefore, s"compaction touched bounded dir $d")
+      }
+      // row multiset and query results identical — a pure file merge
+      assert(indexedIds(idx).sorted == wantIds.sorted,
+        "compaction changed the row multiset")
+      assert(queryRows(idx, vecs(0, hi)) == wantRows,
+        "compaction changed query results")
+      // the merged file preserves the in-file vec_id order that makes
+      // parquet row-group min/max stats skip for pushed vec_id filters
+      val mergedDir = before.collect {
+        case (d, f) if f.length > Threshold && d.contains("cluster=") => d
+      }.head
+      val mergedIds = spark.read
+        .parquet(s"$mergedDir/${after(mergedDir).head}")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(mergedIds == mergedIds.sorted,
+        "merged file lost the vec_id clustering")
+
+      // ---- phase 2b: size-tier graduation -------------------------
+      // a file at/above the target size is NEVER rewritten again —
+      // without the tier every cycle rewrites the dir's full contents
+      // (merged file included): O(total²/maxFiles) write amplification
+      val mergedName = after(mergedDir).head
+      val mergedSize = Files.size(Paths.get(s"$mergedDir/$mergedName"))
+      val savedTarget = Compaction.DefaultTargetBytes
+      Compaction.DefaultTargetBytes = mergedSize // the merged file graduates
+      try {
+        Compaction.DefaultMaxFiles = 1000
+        (1 to 6).foreach { _ => append(Delta); appends += 1 }
+        Compaction.DefaultMaxFiles = Threshold
+        val preIds = indexedIds(idx)
+        VectorIndexApp.compactIndex(spark, fs, idx)
+        // the graduated file survives BY NAME (same bytes — appends and
+        // compaction never rewrite in place), the small files merged
+        val nowFiles = dirFiles(idx)(mergedDir)
+        assert(nowFiles.contains(mergedName),
+          "compaction rewrote a graduated file")
+        assert(Files.size(Paths.get(s"$mergedDir/$mergedName")) == mergedSize)
+        assert(nowFiles.length <= Threshold + 1, // ≤ threshold small + graduated
+          s"graduating dir holds ${nowFiles.length} files")
+        assert(indexedIds(idx).sorted == preIds.sorted,
+          "graduated compaction changed the row multiset")
+      } finally Compaction.DefaultTargetBytes = savedTarget
+      // back at the default tier (everything small) the next compaction
+      // folds the graduated file back in — soak invariants unchanged
+
+      // ---- phase 3: crash INSIDE the compaction commit ------------
+      Compaction.DefaultMaxFiles = 1000
+      (1 to 6).foreach { _ => append(Delta); appends += 1 }
+      Compaction.DefaultMaxFiles = Threshold
+      val preCrash = indexedIds(idx)
+      // crash after the 2nd committed op — inside the Del phase, the
+      // window where replaced files are gone but merges not installed
+      try {
+        StagedCommit.crashAfterMoves = 2
+        intercept[IllegalStateException] {
+          VectorIndexApp.compactIndex(spark, fs, idx)
+        }
+      } finally StagedCommit.crashAfterMoves = Int.MaxValue
+      assert(Files.exists(Paths.get(s"$idx/_staging/COMMIT")),
+        "torn compaction must leave its frozen manifest")
+      // the crash window shows rows DARK (frozen in the staged merged
+      // file), NEVER duplicated — the Del-before-Move phase ordering
+      val darkIds = indexedIds(idx)
+      assert(darkIds.length == darkIds.distinct.length,
+        "crash window duplicated rows")
+      assert(darkIds.toSet.subsetOf(preCrash.toSet),
+        "crash window invented rows")
+
+      // the NEXT append heals the torn compaction before reading, then
+      // applies and re-compacts — the inherited crash contract
+      append(Delta); appends += 1
+      assert(!Files.exists(Paths.get(s"$idx/_staging")))
+      assert(indexedIds(idx).sorted == (preCrash ++ (hi - Delta until hi)).sorted,
+        "heal + append lost or duplicated rows")
+      assert(dirFiles(idx).values.forall(_.length <= Threshold))
+
+      // ---- phase 4: top up to 50 appends, final content gate ------
+      (appends until 50).foreach { _ => append(Delta) }
+      assert(hi == Base + 50 * Delta, s"soak ran ${(hi - Base) / Delta} appends")
+      val files = dirFiles(idx)
+      assert(files.values.forall(_.length <= Threshold),
+        s"end of soak: ${files.filter(_._2.length > Threshold)}")
+      info(s"50 appends: ${files.size} dirs, " +
+        s"max ${files.values.map(_.length).max} files/dir (threshold $Threshold)")
+      // the soaked-and-compacted index answers exactly like the
+      // in-memory operator over the full corpus with the frozen codebook
+      val want = SimilarityOps.ivfQuantizedAnn(vecs(0, hi), cents,
+        col("vec_id") < 5, topK, nprobe, rerankK)
+        .select(col("q_id"), col("vec_id"), col("rank"), col("cos_sim"))
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(queryRows(idx, vecs(0, hi)) == want,
+        "soaked index diverged from the in-memory operator")
+    } finally Compaction.DefaultMaxFiles = saved
+  }
+}

@@ -109,8 +109,108 @@ class StagedCommitSpec extends SparkSpec {
     val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     assert(got == "staged", "the staged (manifest-frozen) content must win")
+    // the displaced out-of-band file is EVIDENCE of a violated
+    // single-writer assumption — parked as a dot-tombstone, not deleted
+    val tomb = new Path(s"$dest/a/.ovr-f0")
+    assert(fs.exists(tomb), "heal-overwrite must leave the displaced file")
+    val tin = fs.open(tomb)
+    val tgot = try scala.io.Source.fromInputStream(tin, "UTF-8").mkString
+      finally tin.close()
+    assert(tgot == "out-of-band", "the tombstone must hold the displaced bytes")
     assert(!fs.exists(stg))
     // and a second heal over the now-clean tree is a no-op
     StagedCommit.heal(fs, stg)
+  }
+
+  test("deletions run strictly before installs: the crash window shows rows dark, never twice") {
+    // the compaction shape: replace two small files with one staged
+    // merged file, through one manifest. At EVERY crash point the
+    // directory must never hold both an old file and the merged file —
+    // that is the window where a reader would see rows twice.
+    def stage(tag: String): (Path, Path, Seq[StagedCommit.Op]) = {
+      val base = Files.createTempDirectory(s"sc-del-$tag").toString
+      val dir = new Path(s"$base/out/d0")
+      mkFile(new Path(dir, "small-a"), "rows-a")
+      mkFile(new Path(dir, "small-b"), "rows-b")
+      val stg = new Path(s"$base/_staging")
+      mkFile(new Path(stg, "merged"), "rows-a+rows-b")
+      (stg, dir, Seq(
+        StagedCommit.Del(new Path(dir, "small-a")),
+        StagedCommit.Del(new Path(dir, "small-b")),
+        StagedCommit.Move(new Path(stg, "merged"), new Path(dir, "merged"))))
+    }
+    // crash after 0, 1 and 2 ops: phases mean dels happen first, so the
+    // merged file may exist ONLY once both old files are gone
+    (0 to 2).foreach { k =>
+      val (stg, dir, ops) = stage(s"k$k")
+      try {
+        StagedCommit.crashAfterMoves = k
+        intercept[IllegalStateException] { StagedCommit.publishOps(fs, stg, ops) }
+      } finally StagedCommit.crashAfterMoves = Int.MaxValue
+      val names = listNames(dir)
+      assert(!names.contains("merged") ||
+        (!names.contains("small-a") && !names.contains("small-b")),
+        s"crash after $k ops: merged visible alongside $names — duplicate rows")
+      // heal finishes the frozen manifest: exactly the merged file remains
+      StagedCommit.heal(fs, stg)
+      assert(listNames(dir) == Set("merged"), s"after heal: ${listNames(dir)}")
+      assert(!fs.exists(stg))
+    }
+  }
+
+  test("a manifest that both deletes and installs the same path is rejected at freeze") {
+    val base = Files.createTempDirectory("sc-clash").toString
+    val stg = new Path(s"$base/_staging")
+    val dst = new Path(s"$base/out/f0")
+    mkFile(new Path(stg, "merged"), "m")
+    mkFile(dst, "old")
+    intercept[IllegalArgumentException] {
+      StagedCommit.publishOps(fs, stg, Seq(
+        StagedCommit.Del(dst),
+        StagedCommit.Move(new Path(stg, "merged"), dst)))
+    }
+    assert(!fs.exists(new Path(stg, "COMMIT")),
+      "the clashing manifest must never be frozen")
+    assert(fs.exists(dst) && fs.exists(new Path(stg, "merged")),
+      "nothing may have moved or been deleted")
+  }
+
+  test("writer lock: a live holder blocks a second writer; a stale lease is taken over; release on every exit") {
+    val root = new Path(Files.createTempDirectory("sc-lock").toString)
+    val lock = new Path(root, "_writer.lock")
+
+    // a second writer arriving while the first is live fails LOUDLY
+    StagedCommit.withWriterLock(fs, root) {
+      assert(fs.exists(lock))
+      val e = intercept[IllegalStateException] {
+        StagedCommit.withWriterLock(fs, root) {
+          fail("second writer must never enter")
+        }
+      }
+      assert(e.getMessage.contains("single-writer"))
+    }
+    assert(!fs.exists(lock), "lock must be released on success")
+
+    // released on a throwing body too
+    intercept[RuntimeException] {
+      StagedCommit.withWriterLock(fs, root) { throw new RuntimeException("boom") }
+    }
+    assert(!fs.exists(lock), "lock must be released on failure")
+
+    // a lock whose heartbeat is OLDER than the lease belongs to a
+    // crashed writer: taken over, body runs
+    mkFile(lock, s"${System.currentTimeMillis() - 10 * 60 * 1000}\n")
+    var ran = false
+    StagedCommit.withWriterLock(fs, root, leaseMs = 60000) { ran = true }
+    assert(ran, "stale lease must be broken")
+    assert(!fs.exists(lock))
+
+    // an UNREADABLE lock (caught mid-refresh) reads as fresh — never
+    // broken, the second writer still fails
+    mkFile(lock, "")
+    intercept[IllegalStateException] {
+      StagedCommit.withWriterLock(fs, root) { fail("must not enter") }
+    }
+    fs.delete(lock, false)
   }
 }

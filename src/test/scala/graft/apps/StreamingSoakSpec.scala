@@ -1,0 +1,190 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming RUNTIME behavior over a long run — the axis the batch
+  * specs cannot see: per-batch latency must stay flat and state must
+  * stay bounded as batch COUNT grows. Two soaks:
+  *
+  *  1. the capstone 4-way watermarked join ([[DwdOrderDetailApp]]
+  *     .assemble) over 60 micro-batches of steadily-advancing event
+  *     time — join state (both sides buffered within the ±10 s bounds)
+  *     must plateau at a few batches' worth once the watermark starts
+  *     evicting, never track total rows ingested; per-batch duration
+  *     must not trend up;
+  *  2. the streaming index ingest ([[VectorIndexApp.stream]]) over 50
+  *     micro-batches — with bounded compaction the per-batch wall must
+  *     not grow with the accumulated index (the pre-compaction design
+  *     grew one file per cell dir per batch, so batch N paid an
+  *     O(N)-file listing).
+  *
+  * Row counts and state sizes are MACHINE-INDEPENDENT and gated hard;
+  * wall-clock trends are secondary evidence with loose bounds. */
+class StreamingSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
+
+  test("4-way join soak: 60 batches, state plateaus after watermark, latency flat") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // the four sides as memory streams carrying epoch-second event time,
+    // watermarked exactly like Streams.jsonLines does for the app
+    val detail = MemoryStream[(Long, Long, Long, Double, Long)]
+    val infoS = MemoryStream[(Long, Long, Long, Long)]
+    val activity = MemoryStream[(Long, Long, Long)]
+    val coupon = MemoryStream[(Long, Long, Long)]
+    def wm(df: DataFrame, tsCol: String, rtName: String): DataFrame =
+      df.withColumn("rt", timestamp_seconds(col(tsCol)))
+        .withWatermark("rt", "2 seconds")
+        .withColumnRenamed("rt", rtName)
+    val joined = DwdOrderDetailApp.assemble(
+      wm(detail.toDF().toDF("order_detail_id", "order_id", "sku_id",
+        "amount", "d_ts"), "d_ts", "dts"),
+      wm(infoS.toDF().toDF("o_id", "user_id", "province_id", "o_ts"),
+        "o_ts", "ots"),
+      wm(activity.toDF().toDF("a_order_detail_id", "activity_id", "a_ts"),
+        "a_ts", "ats"),
+      wm(coupon.toDF().toDF("c_order_detail_id", "coupon_id", "c_ts"),
+        "c_ts", "cts"))
+
+    val Batches = 60
+    val DetailRows = 120L // per batch; info 1:2, activity/coupon 1:2
+    var emitted = 0L
+    val q = joined.writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("soak-dwd-ckpt").toString)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        emitted += batch.count(); ()
+      }
+      .start()
+
+    // per-batch records: (batchDuration ms, total state rows)
+    val walls = scala.collection.mutable.ArrayBuffer[Double]()
+    val states = scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = scala.collection.mutable.Set[Long]()
+    def drain(): Unit = q.recentProgress.foreach { p =>
+      if (p.numInputRows > 0 && seen.add(p.batchId)) {
+        walls += p.batchDuration / 1000.0
+        states += p.stateOperators.map(_.numRowsTotal).sum
+      }
+    }
+    try {
+      val base = 1700000000L
+      (0 until Batches).foreach { k =>
+        // event time advances 10 s per batch: the ±10 s join windows +
+        // 2 s delay mean the watermark evicts rows ~2 batches back
+        val t = base + k * 10L
+        val ids = (0L until DetailRows).map(_ + k * DetailRows)
+        detail.addData(ids.map(i => (i, i / 2, i % 7, 1.5, t + i % 3)))
+        infoS.addData(ids.filter(_ % 2 == 0).map(i =>
+          (i / 2, i % 100, i % 30, t + i % 3)))
+        activity.addData(ids.filter(_ % 2 == 0).map(i => (i, i % 5, t + i % 3)))
+        coupon.addData(ids.filter(_ % 4 == 0).map(i => (i, i % 9, t + i % 3)))
+        q.processAllAvailable()
+        drain() // recentProgress is a ring buffer — collect as we go
+      }
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    } finally q.stop()
+
+    assert(walls.length >= Batches, s"recorded only ${walls.length} batches")
+    assert(emitted > 0, "join emitted nothing — fixture broken")
+    val totalIngested = Batches * DetailRows * (1 + 1 + 1 + 0.5) // approx, all sides
+    info(f"60-batch 4-way join: state max ${states.max}, final ${states.last}; " +
+      f"batch wall median ${median(walls.toSeq)}%.2f s, last ${walls.last}%.2f s")
+
+    // HARD, machine-independent: join state plateaus at a few batches'
+    // worth of rows — the watermark evicts. A broken eviction tracks
+    // total ingest (~21k rows by batch 60); the plateau is ~3 batches
+    // of all four sides (~1.2k). 8 batches' worth is a generous cap.
+    val perBatchRows = (DetailRows * 2.5).toLong
+    assert(states.max <= 8 * perBatchRows,
+      s"join state ${states.max} exceeds 8 batches' worth " +
+        s"(${8 * perBatchRows}) — watermark eviction broken")
+    assert(states.last <= states.max,
+      "state still at its maximum on the final batch")
+    assert(states.max < totalIngested / 2,
+      s"state ${states.max} tracks total ingest ($totalIngested)")
+    // state on the LAST batches equals the plateau, not a trend: the
+    // max over the final third may not exceed the max over the middle
+    // third (both fully post-warmup, identical batch shapes)
+    val third = Batches / 3
+    val midMax = states.slice(third, 2 * third).max
+    val lateMax = states.drop(2 * third).max
+    assert(lateMax <= midMax,
+      s"state grew across the soak: mid-third max $midMax, final-third max $lateMax")
+
+    // SECONDARY, loose (shared-box walls): the final third's median
+    // batch duration may not exceed 3x the middle third's
+    val midWall = median(walls.slice(third, 2 * third).toSeq)
+    val lateWall = median(walls.drop(2 * third).toSeq)
+    assert(lateWall <= midWall * 3 + 1.0,
+      f"per-batch wall trended up: mid median $midWall%.2f s, late $lateWall%.2f s")
+  }
+
+  test("streaming index ingest soak: 50 batches, per-batch wall flat, dirs bounded") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def vec(id: Long): Array[Float] =
+      Array.tabulate(4)(i => ((id * (7 * i + 3)) % 997).toFloat / 997f + 0.01f)
+
+    val idx = Files.createTempDirectory("soak-vidx").toString
+    VectorIndexApp.build(spark,
+      spark.range(0, 200).select(col("id").as("vec_id"),
+        array((0 until 4).map(i =>
+          (pmod(col("id") * (7 * i + 3), lit(997)).cast("float") / lit(997f))
+            + lit(0.01f)): _*).cast("array<float>").as("embedding")),
+      idx, kCells = 4, iters = 1)
+
+    val Batches = 50
+    val Delta = 10L
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = VectorIndexApp.stream(mem.toDF().toDF("vec_id", "embedding"),
+      idx, Files.createTempDirectory("soak-vidx-ckpt").toString)
+    val walls = scala.collection.mutable.ArrayBuffer[Double]()
+    try {
+      (0 until Batches).foreach { k =>
+        val lo = 200L + k * Delta
+        mem.addData((lo until lo + Delta).map(i => (i, vec(i))))
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        walls += (System.nanoTime() - t0) / 1e9
+      }
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+    } finally q.stop()
+
+    // all 50 batches landed
+    assert(spark.read.parquet(s"$idx/codes").count() == 200 + Batches * Delta)
+    // every partition dir bounded by the compaction threshold — the
+    // pre-compaction design would be at ~51 files per hot cell dir
+    val cellDirs = Files.list(Paths.get(s"$idx/codes")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("cluster=")).toSeq
+    val counts = (cellDirs :+ Paths.get(s"$idx/meta")).map(d =>
+      d.toString -> Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .count(n => !n.startsWith("_") && !n.startsWith(".")))
+    assert(counts.forall(_._2 <= Compaction.DefaultMaxFiles),
+      s"dirs exceed threshold after the soak: ${counts.filter(_._2 > Compaction.DefaultMaxFiles)}")
+
+    // per-batch wall FLAT: the final ten batches' median may not exceed
+    // 3x the batches-10..20 median (both post-warmup; the index is 5x
+    // larger by the end — an O(index) ingest path fails this)
+    val early = median(walls.slice(10, 20).toSeq)
+    val late = median(walls.takeRight(10).toSeq)
+    info(f"50-batch ingest: early median $early%.2f s, late median $late%.2f s, " +
+      f"max dir files ${counts.map(_._2).max}")
+    assert(late <= early * 3 + 1.0,
+      f"per-batch ingest wall trended up: $early%.2f s -> $late%.2f s")
+  }
+}

@@ -290,6 +290,34 @@ class VectorIndexSpec extends SparkSpec {
     assert(vs.isEmpty, vs.mkString("\n"))
   }
 
+  test("a concurrent append against a held writer lock fails loudly, index untouched") {
+    val corpus = Tables.embeddings(spark, sf)
+    val cut = corpus.stat.approxQuantile("vec_id", Array(0.7), 0.0).head.toLong
+    val idx = Files.createTempDirectory("vidx-lock").toString
+    VectorIndexApp.build(spark, corpus.filter(col("vec_id") <= cut),
+      idx, kCells, iters)
+    def files(): Map[String, Long] =
+      Files.walk(Paths.get(idx)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => p.toString -> Files.size(p)).toMap
+    val before = files()
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // writer 1 holds the index lock; writer 2's append must fail
+    // LOUDLY before staging anything — the enforced single-writer
+    // contract (two live appenders used to interleave staging deletes)
+    StagedCommit.withWriterLock(fs, new org.apache.hadoop.fs.Path(idx)) {
+      val e = intercept[IllegalStateException] {
+        VectorIndexApp.append(spark, corpus.filter(col("vec_id") > cut), idx)
+      }
+      assert(e.getMessage.contains("single-writer"))
+    }
+    assert(files() == before, "the refused append must not have written anything")
+    // with the lock released the same append proceeds
+    VectorIndexApp.append(spark, corpus.filter(col("vec_id") > cut), idx)
+    assert(spark.read.parquet(s"$idx/codes").count() == corpus.count())
+  }
+
   test("a crashed retraction heals on the next retract (marker-gated walk)") {
     val corpus = Tables.embeddings(spark, sf)
     val idx = Files.createTempDirectory("vidx-crash").toString
