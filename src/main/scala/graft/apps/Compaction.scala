@@ -35,6 +35,20 @@ import org.apache.spark.sql.functions._
   *    is untouched, so every query result is byte-identical before and
   *    after (spec-asserted).
   *
+  * CONCURRENT READERS: the writer lock excludes other WRITERS only. A
+  * query that plans its scan while a compaction commit is in flight
+  * can reference a just-deleted small file (task fails loudly with
+  * FileNotFoundException — retry the query) or list between the Del
+  * and Move phases and see the compacting directories' rows dark for
+  * that one read. This is the same window [[SurgicalRewrite]]'s
+  * aside-swap has always had, inherent to in-place file replacement
+  * on a raw directory layout (a snapshot/manifest layer à la Iceberg
+  * is what removes it, at the cost of a whole metadata tier). Serve
+  * queries from a replica or schedule compaction-bearing appends in
+  * maintenance windows when read-your-exact-files matters; do NOT
+  * paper over it with `spark.sql.files.ignoreMissingFiles`, which
+  * converts the loud failure into silent row loss.
+  *
   * The reference has no incremental-index surface; the shape follows
   * the log-structured compaction family (LSM/Iceberg `rewrite_files`):
   * amortized O(maxFiles) rewrites per directory per window, never a
@@ -101,8 +115,15 @@ object Compaction {
               maxFiles: Int = DefaultMaxFiles,
               targetBytes: Long = DefaultTargetBytes): Int = {
     require(maxFiles >= 1, s"maxFiles must be >= 1 (got $maxFiles)")
-    // FREEZE the per-directory file lists first: the manifest's delete
-    // set must be exactly the files the merge job read, no more
+    // heal FIRST, never delete: if a TORN compaction (or append) left
+    // a frozen manifest here, its staged merged files are the only
+    // copy of rows whose originals the Del phase already removed — a
+    // blind delete would be permanent data loss, and freezing before
+    // the heal would freeze the torn directory state. The app append
+    // paths heal before calling this, so the common case is a no-op.
+    StagedCommit.heal(fs, staging)
+    // FREEZE the per-directory file lists: the manifest's delete set
+    // must be exactly the files the merge job read, no more
     val frozen: Seq[(Group, Seq[(Path, Seq[Path])])] = groups.map { g =>
       g -> g.dirs.flatMap { dir =>
         val files = visibleFiles(fs, dir)
@@ -111,7 +132,6 @@ object Compaction {
       }
     }.filter(_._2.nonEmpty)
     if (frozen.isEmpty) return 0
-    fs.delete(staging, true)
 
     // one job per schema group (a Group is schema-homogeneous by
     // construction): ONE scan over every over-threshold directory's

@@ -229,6 +229,14 @@ object IncrementalReleaseApp {
     writeIndex(delta, dsets, dbands, packed, s"$staging/idx", mode = "overwrite")
     dsets.unpersist(); dbands.unpersist(); bucketCounts.unpersist()
     cand.unpersist(); dfps.unpersist()
+    // the partition dirs this append touched, read off the STAGED
+    // layout before publish moves it: only these can have grown, so
+    // compaction's trigger check below is O(touched), not a listing of
+    // every sidecar dir (~580 listStatus round-trips per micro-batch
+    // on an object store otherwise)
+    val touched = Seq("bands", "fps", "shingles").map(s =>
+      s -> Compaction.partitionDirs(fs, new Path(s"$staging/idx/$s"))
+        .map(_.getName)).toMap
     StagedCommit.publish(fs, staging,
       Seq("release" -> outDir, "idx" -> indexDir), lastFragment = "/meta/")
     // bounded compaction AFTER the batch is fully applied: any sidecar
@@ -236,23 +244,33 @@ object IncrementalReleaseApp {
     // file (in its lookup-key order, so row-group skipping survives) —
     // without it the streaming form grows one file per dir per
     // micro-batch forever. Crash here ⇒ healed before the next read.
-    compactIndex(spark, fs, indexDir)
+    compactIndex(spark, fs, indexDir, Some(touched))
     }
   }
 
   /** Merge every sidecar index dir holding more than
-    * [[Compaction.DefaultMaxFiles]] files down to one. The release data
-    * itself is NOT compacted: released files are append-only by
-    * contract (the spec pins byte-identical survival), and their count
-    * is bounded by the packing layout, not the append count. */
+    * [[Compaction.DefaultMaxFiles]] small files down to one. `touched`
+    * scopes the trigger check to the dirs one append grew (every
+    * growth is a touch, so an untouched dir is already at its
+    * last-touch bound); `None` checks everything — the manual/repair
+    * form. The release data itself is NOT compacted: released files
+    * are append-only by contract (the spec pins byte-identical
+    * survival), and their count is bounded by the packing layout, not
+    * the append count. */
   private[apps] def compactIndex(spark: SparkSession, fs: FileSystem,
-                                 indexDir: String): Unit = {
+                                 indexDir: String,
+                                 touched: Option[Map[String, Seq[String]]] = None)
+      : Unit = {
     import Compaction.{Group, partitionDirs}
+    def dirsOf(sub: String): Seq[Path] = touched match {
+      case Some(m) => m.getOrElse(sub, Nil)
+        .map(n => new Path(s"$indexDir/$sub/$n"))
+      case None => partitionDirs(fs, new Path(s"$indexDir/$sub"))
+    }
     Compaction.compact(spark, fs, stagingPath(indexDir), Seq(
-      Group(partitionDirs(fs, new Path(s"$indexDir/bands")), Seq(col("sig"))),
-      Group(partitionDirs(fs, new Path(s"$indexDir/fps")), Seq(col("fp"))),
-      Group(partitionDirs(fs, new Path(s"$indexDir/shingles")),
-        Seq(col("doc_id"))),
+      Group(dirsOf("bands"), Seq(col("sig"))),
+      Group(dirsOf("fps"), Seq(col("fp"))),
+      Group(dirsOf("shingles"), Seq(col("doc_id"))),
       Group(Seq(new Path(s"$indexDir/totals")),
         Seq(col("split"), col("bucket"))),
       Group(Seq(new Path(s"$indexDir/meta")), Seq(col("max_doc_id")))))

@@ -141,7 +141,13 @@ object StagedCommit {
         catch { case e: java.util.concurrent.ExecutionException =>
           throw e.getCause }
       }
-    } finally pool.shutdownNow()
+    } finally {
+      // await in-flight ops after the interrupt: a caller (or a
+      // crash-injection spec) observing the filesystem right after a
+      // failure must see a QUIESCED state, not ops still landing
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+    }
   }
 
   private def stagedMoves(fs: FileSystem, staging: Path,
@@ -189,6 +195,14 @@ object StagedCommit {
     case Array("D", p)    => Del(new Path(p))
     case Array("M", s, d) => Move(new Path(s), new Path(d))
     case Array("W", s, d) => Wmark(new Path(s), new Path(d))
+    // legacy (pre-op-typed) manifest: untagged "src\tdst" move lines —
+    // a torn commit frozen by the previous format must stay healable
+    // after an upgrade ("D" can never be a legacy src: paths in the
+    // manifest are absolute). Replayed as plain moves: every op still
+    // completes; only the wmark-last ordering WITHIN that one legacy
+    // heal is degraded, matching the old serial-replay guarantee.
+    case Array(s, d) if s.nonEmpty && d.nonEmpty =>
+      Move(new Path(s), new Path(d))
     case _ => throw new IllegalStateException(s"corrupt manifest line: $line")
   }
 
@@ -330,6 +344,14 @@ object StagedCommit {
       () => try stamp(overwrite = true) catch { case _: Exception => () },
       HeartbeatMs, HeartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
-    finally { beat.shutdownNow(); fs.delete(lock, false) }
+    finally {
+      // await the in-flight beat BEFORE deleting: shutdownNow alone
+      // could interleave with a stamp() already past the create, which
+      // would re-materialize the lock after the delete and block every
+      // writer for a full lease with nobody alive
+      beat.shutdownNow()
+      beat.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+      fs.delete(lock, false)
+    }
   }
 }

@@ -85,8 +85,12 @@ object VectorIndexApp {
     // the documented determinism contract, enforced: pull the analyzed
     // filter condition (public Catalyst API — Column internals moved in
     // Spark 4) and refuse a nondeterministic probe predicate loudly
-    // instead of silently truncating results
-    corpus.filter(isProbe).queryExecution.analyzed.foreach {
+    // instead of silently truncating results. Only the ROOT Filter —
+    // the one this filter() call just added — is isProbe; deeper
+    // filters belong to the caller's corpus derivation, which the
+    // contract does not constrain (a persisted sampled corpus is the
+    // documented way to sample).
+    corpus.filter(isProbe).queryExecution.analyzed match {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         require(f.condition.deterministic,
           s"isProbe must be deterministic (got: ${f.condition.sql}) — " +
@@ -142,6 +146,11 @@ object VectorIndexApp {
       writeCodes(SimilarityOps.ivfCodes(delta, cents), s"$stg/idx/codes")
       delta.agg(max(col("vec_id")).as("max_vec_id"))
         .write.mode("overwrite").parquet(s"$stg/idx/meta")
+      // the cell dirs this append touched, read off the STAGED layout
+      // before publish moves it — scopes compaction's trigger check to
+      // O(touched) listings instead of every cell dir per micro-batch
+      val touched = Compaction
+        .partitionDirs(fs, new Path(s"$stg/idx/codes")).map(_.getName)
       StagedCommit.publish(fs, stg, Seq("idx" -> indexDir),
         lastFragment = "/meta/")
       // bounded compaction AFTER the batch is fully applied: every cell
@@ -149,19 +158,27 @@ object VectorIndexApp {
       // file count stays flat under unbounded streaming appends instead
       // of linear in micro-batch count. A crash here is healed (same
       // staging, same manifest machinery) before the next append reads.
-      compactIndex(spark, fs, indexDir)
+      compactIndex(spark, fs, indexDir, Some(touched))
     }
   }
 
   /** Merge every codes cell dir (and the meta dir) holding more than
-    * [[Compaction.DefaultMaxFiles]] files down to one, preserving the
-    * in-file vec_id clustering that makes row-group stats skip. */
+    * [[Compaction.DefaultMaxFiles]] small files down to one, preserving
+    * the in-file vec_id clustering that makes row-group stats skip.
+    * `touched` scopes the trigger check to the cell dirs one append
+    * grew (every growth is a touch, so an untouched dir is already at
+    * its last-touch bound); `None` checks everything. */
   private[apps] def compactIndex(spark: SparkSession,
                                  fs: org.apache.hadoop.fs.FileSystem,
-                                 indexDir: String): Unit =
+                                 indexDir: String,
+                                 touched: Option[Seq[String]] = None): Unit =
     Compaction.compact(spark, fs, staging(indexDir), Seq(
       Compaction.Group(
-        Compaction.partitionDirs(fs, new Path(s"$indexDir/codes")),
+        touched match {
+          case Some(names) => names.map(n => new Path(s"$indexDir/codes/$n"))
+          case None =>
+            Compaction.partitionDirs(fs, new Path(s"$indexDir/codes"))
+        },
         Seq(col("vec_id"))),
       Compaction.Group(Seq(new Path(s"$indexDir/meta")),
         Seq(col("max_vec_id")))))

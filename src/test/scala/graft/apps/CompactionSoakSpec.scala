@@ -187,9 +187,31 @@ class CompactionSoakSpec extends SparkSpec {
         "heal + append lost or duplicated rows")
       assert(dirFiles(idx).values.forall(_.length <= Threshold))
 
-      // ---- phase 4: top up to 50 appends, final content gate ------
-      (appends until 50).foreach { _ => append(Delta) }
-      assert(hi == Base + 50 * Delta, s"soak ran ${(hi - Base) / Delta} appends")
+      // ---- phase 3b: a DIRECT compact over a torn manifest heals it,
+      // never destroys it — the staged merged files are the only copy
+      // of rows whose originals the Del phase already removed, so a
+      // blind staging delete here would be permanent data loss
+      Compaction.DefaultMaxFiles = 1000
+      (1 to 6).foreach { _ => append(Delta); appends += 1 }
+      Compaction.DefaultMaxFiles = Threshold
+      val preCrash2 = indexedIds(idx)
+      try {
+        StagedCommit.crashAfterMoves = 2
+        intercept[IllegalStateException] {
+          VectorIndexApp.compactIndex(spark, fs, idx)
+        }
+      } finally StagedCommit.crashAfterMoves = Int.MaxValue
+      assert(Files.exists(Paths.get(s"$idx/_staging/COMMIT")))
+      VectorIndexApp.compactIndex(spark, fs, idx) // heal-first, then merge
+      assert(!Files.exists(Paths.get(s"$idx/_staging")))
+      assert(indexedIds(idx).sorted == preCrash2.sorted,
+        "direct compact over a torn manifest lost rows")
+      assert(dirFiles(idx).values.forall(_.length <= Threshold))
+
+      // ---- phase 4: top up past 50 appends, final content gate ----
+      (appends until 50).foreach { _ => append(Delta); appends += 1 }
+      assert(appends >= 50 && hi == Base + appends * Delta,
+        s"soak ran $appends appends, hi=$hi")
       val files = dirFiles(idx)
       assert(files.values.forall(_.length <= Threshold),
         s"end of soak: ${files.filter(_._2.length > Threshold)}")

@@ -175,6 +175,25 @@ class StagedCommitSpec extends SparkSpec {
       "nothing may have moved or been deleted")
   }
 
+  test("a legacy (untagged src/dst) manifest from the pre-op-typed format still heals") {
+    // a torn commit frozen by the PREVIOUS binary's two-field format
+    // must stay healable after the upgrade — heal runs before every
+    // append, so a wedged manifest would fail the stream forever
+    val base = Files.createTempDirectory("sc-legacy").toString
+    val stg = new Path(s"$base/_staging")
+    val dest = s"$base/out"
+    mkFile(new Path(stg, "data/f0"), "rows")
+    mkFile(new Path(stg, "meta/part-0"), "wm")
+    val legacy =
+      s"${fs.makeQualified(new Path(stg, "data/f0"))}\t$dest/data/f0\n" +
+        s"${fs.makeQualified(new Path(stg, "meta/part-0"))}\t$dest/meta/part-0\n"
+    mkFile(new Path(stg, "COMMIT"), legacy)
+
+    StagedCommit.heal(fs, stg)
+    assert(listNames(new Path(dest)) == Set("data/f0", "meta/part-0"))
+    assert(!fs.exists(stg))
+  }
+
   test("writer lock: a live holder blocks a second writer; a stale lease is taken over; release on every exit") {
     val root = new Path(Files.createTempDirectory("sc-lock").toString)
     val lock = new Path(root, "_writer.lock")
