@@ -27,6 +27,14 @@ object GraftSession {
       // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as Long ns and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the generated-class cache defaults to 100 entries; an 80-query
+      // suite compiles several fragments per query, so any run that
+      // interleaves queries (Bench's pass structure, the full spec
+      // suite) would recompile every fragment on every revisit — a
+      // uniform ~0.2–0.5 s tax per small query. 2000 entries keeps a
+      // whole suite's codegen warm (the 1 GB reserved code cache in
+      // build.sbt is the JIT-side half of the same fix)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
   }
