@@ -27,6 +27,12 @@ object GraftSession {
       // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as Long ns and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the driver's testdata writes tz-naive timestamp[us] columns;
+      // Spark 4 infers those as TIMESTAMP_NTZ by default, which
+      // unix_millis & co. reject and which diverges from the DuckDB
+      // oracle's naive-read-in-UTC semantics. Read them as the session
+      // (UTC) instant type instead — bit-identical wall-clock values.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // the generated-class cache defaults to 100 entries; an 80-query
       // suite compiles several fragments per query, so any run that
       // interleaves queries (Bench's pass structure, the full spec

@@ -601,4 +601,54 @@ object SimilarityOps {
       .filter(col("cos_sim") >= threshold)
       .select(col("a"), col("b"), col("cos_sim")).distinct()
   }
+
+  /** Substring-level exact dedup (span dedup, per Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): every `w`-token sliding window ("span") is
+    * hashed, a span occurring in ≥ 2 DISTINCT documents is duplicated,
+    * and each document reports its duplicated-span load —
+    * `(id, total_spans, dup_spans, dup_distinct)`. This is the
+    * document-level d1–d7 family's missing granularity: boilerplate
+    * (headers, license blocks, templated paragraphs) repeats across
+    * otherwise-unique documents and only a span-level measure sees it.
+    *
+    * Scale shape: the span frame never materializes strings past the
+    * map side — spans are hashed to a long immediately, so the persisted
+    * frame and both shuffles carry 16-byte `(id, hash)` rows, O(total
+    * tokens) of them. Aggregations are map-side partial; the
+    * duplicated-hash join is an equi-join on the long key (no broadcast
+    * assumption — the duplicated-span set is corpus-sized in the worst
+    * case). Nothing is quadratic: a span shared by k documents costs k
+    * rows, not k² pairs. The hash is [[StableHash.stableMod]] (31-bit,
+    * DuckDB-reproducible for the oracle); a 100 TB corpus has ~2^40+
+    * distinct spans, where the same pipeline runs on
+    * [[StableHash.stable60]] (collisions only overcount duplication,
+    * and only at the 2^-60 birthday rate). */
+  def spanDedupStats(docs: DataFrame, id: Column, text: Column,
+                     w: Int): DataFrame = {
+    require(w >= 2, s"span window must be >= 2 tokens, got $w")
+    val spans = docs.select(id.as("__id"),
+        explode(TextFunctions.shinglesFromTokens(
+          TextFunctions.tokens(TextFunctions.normalized(text)), w)).as("__span"))
+      .select(col("__id"), StableHash.stableMod(col("__span")).as("__h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // duplicated = present in >= 2 distinct docs (within-doc repetition
+    // is t5_repetition's domain and deliberately NOT counted here)
+    val dup = spans.groupBy("__h")
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= 2).select("__h")
+    val totals = spans.groupBy("__id").agg(count(lit(1)).as("total_spans"))
+    val dups = spans.join(dup, Seq("__h"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("dup_spans"),
+        countDistinct(col("__h")).as("dup_distinct"))
+    // left joins restore docs shorter than w tokens (zero spans)
+    docs.select(id.as("__id"))
+      .join(totals, Seq("__id"), "left")
+      .join(dups, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("total_spans"), lit(0L)).as("total_spans"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_distinct"), lit(0L)).as("dup_distinct"))
+  }
 }

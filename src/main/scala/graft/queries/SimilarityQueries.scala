@@ -258,6 +258,17 @@ object SimilarityQueries {
       .orderBy("q_id", "rnk")
   }
 
+  /** D8 — substring-level exact dedup: per-document duplicated-span
+    * load over 8-token sliding windows (Lee et al., arXiv:2107.06499).
+    * Catches cross-document boilerplate the whole-document d1–d7
+    * measures miss. */
+  private val SpanW = 8
+  private val d8SpanDedup: Q = (s, d) =>
+    SimilarityOps.spanDedupStats(Tables.documents(s, d),
+        col("doc_id"), col("text"), SpanW)
+      .withColumnRenamed("__id", "doc_id")
+      .orderBy("doc_id")
+
   /** V3 — embedding near-dup pairs within LSH buckets. */
   private val v3EmbedNeardup: Q = (s, d) =>
     SimilarityOps.embeddingNearDup(Tables.embeddings(s, d), planes, CosineThreshold)
@@ -270,6 +281,7 @@ object SimilarityQueries {
     "d6_dedup_clusters" -> d6DedupClusters,
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d7_simhash_hamming" -> d7SimhashHamming,
+    "d8_span_dedup" -> d8SpanDedup,
     "v1_ann_cosine_topk" -> v1AnnCosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embed_neardup" -> v3EmbedNeardup,
@@ -705,12 +717,40 @@ object SimilarityQueries {
        |WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d8: 8-token spans hashed with the shared stableMod family; df ≥ 2
+    * over distinct docs; left joins restore span-less documents. */
+  private val d8Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
+       |  FROM documents),
+       |spans AS (
+       |  SELECT doc_id,
+       |    ${stableModSql(s"array_to_string(t[i:i+${SpanW - 1}], ' ')")} AS h
+       |  FROM (SELECT doc_id, t,
+       |          unnest(generate_series(1, len(t) - ${SpanW - 1})) AS i
+       |        FROM toks)),
+       |dup AS (
+       |  SELECT h FROM (
+       |    SELECT h, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY h)
+       |  WHERE df >= 2),
+       |tot AS (SELECT doc_id, COUNT(*) AS total_spans FROM spans GROUP BY doc_id),
+       |dups AS (
+       |  SELECT doc_id, COUNT(*) AS dup_spans, COUNT(DISTINCT h) AS dup_distinct
+       |  FROM spans JOIN dup USING (h) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(total_spans, 0::BIGINT) AS total_spans,
+       |  coalesce(dup_spans, 0::BIGINT) AS dup_spans,
+       |  coalesce(dup_distinct, 0::BIGINT) AS dup_distinct
+       |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN dups USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d3_minhash_neardup" -> d3Sql,
     "d4_simhash" -> d4Sql,
     "d7_simhash_hamming" -> d7Sql,
     "d5_ngram_jaccard" -> d5Sql,
     "d6_dedup_clusters" -> d6Sql,
+    "d8_span_dedup" -> d8Sql,
     "v1_ann_cosine_topk" -> v1Sql,
     "v2_ann_lsh" -> v2Sql,
     "v3_embed_neardup" -> v3Sql,
