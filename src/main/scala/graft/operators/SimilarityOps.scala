@@ -602,6 +602,18 @@ object SimilarityOps {
       .select(col("a"), col("b"), col("cos_sim")).distinct()
   }
 
+  /** Corpus cluster assignment over a trained codebook — the profiling /
+    * mixture-curation face of the IVF machinery: every vector mapped to
+    * its nearest centroid (same deterministic argmax as the IVF cell
+    * assignment, so profiles agree with the index layout byte-for-byte).
+    * Zero shuffle: the codebook rides a single-row broadcast and the
+    * argmax is a map-side array fold; downstream aggregation is the
+    * caller's (typically groupBy(cluster) — map-side partial, k rows
+    * out). */
+  def clusterAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignCells(corpus, centroids, nprobe = 1)
+      .select(col("vec_id"), col("cluster"))
+
   /** Substring-level exact dedup (span dedup, per Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499): every `w`-token sliding window ("span") is

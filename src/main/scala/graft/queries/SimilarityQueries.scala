@@ -275,6 +275,22 @@ object SimilarityQueries {
       .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
 
+  /** V9 — corpus cluster profile: every embedding assigned to its
+    * nearest trained centroid (the IVF cell assignment reused as a
+    * clustering operator — mixture curation / topic bucketing), profiled
+    * per cluster. Output columns are all order-insensitive (counts,
+    * min/max) so the profile is exactly reproducible. */
+  private val v9ClusterProfile: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cb = SimilarityOps.kmeansCodebook(e, KCells, KmeansIters)
+    SimilarityOps.clusterAssign(e, cb)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, Q] = Map(
     "d3_minhash_neardup" -> d3MinhashNeardup,
     "d4_simhash" -> d4Simhash,
@@ -282,6 +298,7 @@ object SimilarityQueries {
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d7_simhash_hamming" -> d7SimhashHamming,
     "d8_span_dedup" -> d8SpanDedup,
+    "v9_cluster_profile" -> v9ClusterProfile,
     "v1_ann_cosine_topk" -> v1AnnCosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embed_neardup" -> v3EmbedNeardup,
@@ -744,6 +761,19 @@ object SimilarityQueries {
        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN dups USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** v9: v4's deterministic unrolled k-means + nearest-cell assignment,
+    * profiled with order-insensitive aggregates only. */
+  private val v9Sql =
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cvec
+       |  FROM embeddings WHERE vec_id < $KCells),
+       |$v4IterCtes,
+       |${v4AssignCte("assigned", "embeddings", s"c$KmeansIters", keep = 1)}
+       |SELECT cluster, COUNT(*) AS n_vecs,
+       |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+       |FROM assigned GROUP BY cluster ORDER BY cluster""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "d3_minhash_neardup" -> d3Sql,
     "d4_simhash" -> d4Sql,
@@ -751,6 +781,7 @@ object SimilarityQueries {
     "d5_ngram_jaccard" -> d5Sql,
     "d6_dedup_clusters" -> d6Sql,
     "d8_span_dedup" -> d8Sql,
+    "v9_cluster_profile" -> v9Sql,
     "v1_ann_cosine_topk" -> v1Sql,
     "v2_ann_lsh" -> v2Sql,
     "v3_embed_neardup" -> v3Sql,
