@@ -625,13 +625,16 @@ object SimilarityOps {
     * otherwise-unique documents and only a span-level measure sees it.
     *
     * Scale shape: the span frame never materializes strings past the
-    * map side — spans are hashed to a long immediately, so the persisted
-    * frame and both shuffles carry 16-byte `(id, hash)` rows, O(total
-    * tokens) of them. Aggregations are map-side partial; the
-    * duplicated-hash join is an equi-join on the long key (no broadcast
-    * assumption — the duplicated-span set is corpus-sized in the worst
-    * case). Nothing is quadratic: a span shared by k documents costs k
-    * rows, not k² pairs. The hash is [[StableHash.stableMod]] (31-bit,
+    * map side — spans are hashed to a long immediately, and the ONLY
+    * full-stream aggregation collapses them to unique
+    * `(hash, doc, occurrences)` rows (map-side partial, so within-doc
+    * repeats combine before the exchange). Everything downstream runs
+    * on that compact frame: per-row uniqueness makes plain counts
+    * distinct counts, so no countDistinct expand appears anywhere in
+    * the plan. The duplicated-hash join is an equi-join on the long key
+    * (no broadcast assumption — the duplicated-span set is corpus-sized
+    * in the worst case). Nothing is quadratic: a span shared by k
+    * documents costs k rows, not k² pairs. The hash is [[StableHash.stableMod]] (31-bit,
     * DuckDB-reproducible for the oracle); a 100 TB corpus has ~2^40+
     * distinct spans, where the same pipeline runs on
     * [[StableHash.stable60]] (collisions only overcount duplication,
@@ -643,17 +646,24 @@ object SimilarityOps {
         explode(TextFunctions.shinglesFromTokens(
           TextFunctions.tokens(TextFunctions.normalized(text)), w)).as("__span"))
       .select(col("__id"), StableHash.stableMod(col("__span")).as("__h"))
+    // ONE aggregation of the full span stream — everything downstream
+    // derives from this compact (hash, doc, occurrences) frame: its row
+    // count is bounded by distinct (span, doc) pairs, within-doc
+    // repeats already collapsed, and per-(h, id) rows are UNIQUE so
+    // plain counts over it ARE distinct counts (no countDistinct
+    // expand anywhere in the plan).
+    val perHash = spans.groupBy("__h", "__id").agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // duplicated = present in >= 2 distinct docs (within-doc repetition
     // is t5_repetition's domain and deliberately NOT counted here)
-    val dup = spans.groupBy("__h")
-      .agg(countDistinct(col("__id")).as("__df"))
+    val dup = perHash.groupBy("__h")
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2).select("__h")
-    val totals = spans.groupBy("__id").agg(count(lit(1)).as("total_spans"))
-    val dups = spans.join(dup, Seq("__h"))
+    val totals = perHash.groupBy("__id").agg(sum(col("__c")).as("total_spans"))
+    val dups = perHash.join(dup, Seq("__h"))
       .groupBy("__id")
-      .agg(count(lit(1)).as("dup_spans"),
-        countDistinct(col("__h")).as("dup_distinct"))
+      .agg(sum(col("__c")).as("dup_spans"),
+        count(lit(1)).as("dup_distinct"))
     // left joins restore docs shorter than w tokens (zero spans)
     docs.select(id.as("__id"))
       .join(totals, Seq("__id"), "left")
