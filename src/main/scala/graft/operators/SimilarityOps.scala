@@ -614,6 +614,47 @@ object SimilarityOps {
     assignCells(corpus, centroids, nprobe = 1)
       .select(col("vec_id"), col("cluster"))
 
+  /** Semantic dedup (SemDeDup, Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): prune near-duplicate MEANING, not near-duplicate
+    * bytes — embeddings are clustered over a trained codebook and
+    * pairwise cosine runs ONLY within a cluster; a vector is a semantic
+    * duplicate iff a SMALLER-id vector in its cluster matches at
+    * ≥ `threshold` (the deterministic keep-lowest-representative rule —
+    * pairwise greedy, matching the paper's ε-dedup, not a transitive
+    * closure; chains longer than a pair are [[graft.queries.SimilarityQueries]]
+    * d6's clustering domain).
+    *
+    * Scale shape: the quadratic term is CONFINED to a cluster — with
+    * k ≈ √N centroids (the paper runs 50k on LAION-scale data) the
+    * expected within-cluster pair total is N²/k, and k is the knob that
+    * keeps it linear-ish; a skew-flooded cluster shows up as one
+    * oversized join partition, the same observable the d3 bucket cap
+    * guards, and is fixed by raising k. Cell assignment is zero-shuffle
+    * (single-row codebook broadcast, map-side argmax — [[clusterAssign]]);
+    * the within-cluster self-join exchanges on the cluster id (never a
+    * broadcast: clusters are corpus-sized in aggregate) and carries only
+    * (cluster, vec_id, embedding, norm); the dup-id set folds back with
+    * one narrow join on vec_id. Returns `(vec_id, cluster, is_dup)` for
+    * every corpus vector — callers keep `is_dup = 0`. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+                    threshold: Double): DataFrame = {
+    val assigned = assignCells(corpus, centroids, nprobe = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = assigned.select(col("cluster"), col("vec_id").as("a"),
+      col("embedding").as("va"), col("__nv").as("__na"))
+    val r = assigned.select(col("cluster"), col("vec_id").as("b"),
+      col("embedding").as("vb"), col("__nv").as("__nb"))
+    val dupIds = l.join(r, Seq("cluster")).filter(col("a") < col("b"))
+      .filter(cosineFromParts(VectorFunctions.dot(col("va"), col("vb")),
+        col("__na"), col("__nb")) >= threshold)
+      .select(col("b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dupIds.withColumn("__d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("__d"), lit(0)).cast("int").as("is_dup"))
+  }
+
   /** Substring-level exact dedup (span dedup, per Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499): every `w`-token sliding window ("span") is

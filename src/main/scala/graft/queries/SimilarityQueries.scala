@@ -269,6 +269,19 @@ object SimilarityQueries {
       .withColumnRenamed("__id", "doc_id")
       .orderBy("doc_id")
 
+  /** D9 — semantic dedup (SemDeDup, arXiv:2303.09540): within-cluster
+    * cosine pruning over the trained IVF codebook; a vector is a
+    * semantic dup iff a smaller-id clustermate matches at ≥ the
+    * threshold (deterministic keep-lowest representative). The byte-
+    * level d1–d8 family cannot see paraphrases; this is the embedding-
+    * space member of the dedup suite. */
+  private val d9SemanticDedup: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cb = SimilarityOps.kmeansCodebook(e, KCells, KmeansIters)
+    SimilarityOps.semanticDedup(e, cb, CosineThreshold)
+      .orderBy("vec_id")
+  }
+
   /** V3 — embedding near-dup pairs within LSH buckets. */
   private val v3EmbedNeardup: Q = (s, d) =>
     SimilarityOps.embeddingNearDup(Tables.embeddings(s, d), planes, CosineThreshold)
@@ -298,6 +311,7 @@ object SimilarityQueries {
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d7_simhash_hamming" -> d7SimhashHamming,
     "d8_span_dedup" -> d8SpanDedup,
+    "d9_semantic_dedup" -> d9SemanticDedup,
     "v9_cluster_profile" -> v9ClusterProfile,
     "v1_ann_cosine_topk" -> v1AnnCosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
@@ -761,6 +775,27 @@ object SimilarityQueries {
        |FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN dups USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** d9: v4's deterministic unrolled k-means + nearest-cell assignment,
+    * then the within-cluster smaller-id cosine match — the same
+    * sequential-fold float math as the Spark chain, so the dup set is
+    * bit-identical. */
+  private val d9Sql =
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cvec
+       |  FROM embeddings WHERE vec_id < $KCells),
+       |$v4IterCtes,
+       |${v4AssignCte("assigned", "embeddings", s"c$KmeansIters", keep = 1)},
+       |dup AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= $CosineThreshold)
+       |SELECT a.vec_id, a.cluster,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+       |FROM assigned a LEFT JOIN dup d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
   /** v9: v4's deterministic unrolled k-means + nearest-cell assignment,
     * profiled with order-insensitive aggregates only. */
   private val v9Sql =
@@ -781,6 +816,7 @@ object SimilarityQueries {
     "d5_ngram_jaccard" -> d5Sql,
     "d6_dedup_clusters" -> d6Sql,
     "d8_span_dedup" -> d8Sql,
+    "d9_semantic_dedup" -> d9Sql,
     "v9_cluster_profile" -> v9Sql,
     "v1_ann_cosine_topk" -> v1Sql,
     "v2_ann_lsh" -> v2Sql,

@@ -515,12 +515,78 @@ object TextQueries {
       .orderBy("bucket", "seq_id")
   }
 
+  /** U11 — temperature-rebalanced source sampling (the multilingual /
+    * multi-domain α-sampling rule, α = 1/2: rate_s ∝ n_s^α / n_s, so
+    * oversampled sources are damped toward the α-power distribution —
+    * Conneau & Lample's XLM recipe, standard for corpus mixing). U8's
+    * rates are per-source CONSTANTS; here they derive from the corpus's
+    * OWN statistics, which is what production mixing does. The budget
+    * unit is TOKENS, not documents (mixing targets a token budget):
+    * n_s = Σ token counts over the source. Integer-exact end to end so
+    * the oracle hash-matches: w_s = ⌊√n_s⌋ (exact — n < 2^52 makes IEEE
+    * sqrt+floor deterministic and engine-identical), target
+    * t_s = (N·w_s) div Σw, keep-rate in ppm, keep iff the document's
+    * stable 60-bit hash bucket falls under the rate. Scale shape: one
+    * k-source aggregate (map-side partial over the scan) → one-row
+    * totals broadcast → map-side filter; no data shuffle at any size
+    * (the sort is the oracle contract). All intermediates bound by
+    * N·10^6 < 2^63 up to ~9·10^12 tokens per source. */
+  private val u11TemperatureSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val w = docs.groupBy("source")
+      .agg(sum(wordCount(col("text"))).as("n"))
+      .withColumn("w", floor(sqrt(col("n"))))
+    val tot = w.agg(sum(col("w")).as("denom"), sum(col("n")).as("total"))
+    val rates = w.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("((total * w) div denom) * 1000000 div n")))
+      .select(col("source"), col("rate_ppm"))
+    docs.join(broadcast(rates), "source")
+      .filter(StableHash.bucket60(col("doc_id").cast("string"), 1000000)
+        < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("rate_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** U12 — deterministic seeded global shuffle rank WITHOUT a global
+    * sort: the training-data ordering primitive (epoch shuffles must be
+    * reproducible and resumable — position k of the permutation must be
+    * answerable without re-sorting 100 TB). Rank in the permutation
+    * ordered by h = stable60(seed ‖ doc_id): the hash is uniform on
+    * [0, 2^60), so bucket = h div 2^(60-log₂B) is a BALANCED range
+    * partition with no sampling pass (repartitionByRange would sample);
+    * per-bucket counts collapse to ONE broadcast row, each row's offset
+    * is a map-side fold over that array, and the rank window is
+    * partition-local to its bucket. B = 32 here; at cluster scale B
+    * rises to the parallelism target (2^14 buckets ⇒ a 2^14-entry
+    * offset array — still one broadcast row). Total global order, zero
+    * single-partition exchanges. */
+  private val u12GlobalShuffle: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), StableHash.stable60(
+        concat(lit("shuf1:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", expr("h div 36028797018963968")) // 2^55 → 32 buckets
+    val counts = docs.groupBy("bucket").agg(count(lit(1)).as("c"))
+      .agg(collect_list(struct(col("bucket"), col("c"))).as("bc")) // one row
+    docs.crossJoin(broadcast(counts))
+      .withColumn("off", aggregate(
+        filter(col("bc"), e => e.getField("bucket") < col("bucket")),
+        lit(0L), (acc, e) => acc + e.getField("c")))
+      .withColumn("pos", col("off") + row_number().over(
+        Window.partitionBy("bucket").orderBy("h", "doc_id")))
+      .select(col("doc_id"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t8_tfidf" -> t8Tfidf,
     "t9_rarity" -> t9Rarity,
     "u8_stratified_sample" -> u8StratifiedSample,
     "u9_weighted_mix" -> u9WeightedMix,
     "u10_pack_sequences" -> u10PackSequences,
+    "u11_temperature_sample" -> u11TemperatureSample,
+    "u12_global_shuffle" -> u12GlobalShuffle,
     "c4_bloom_decontaminate" -> c4BloomDecontaminate,
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_decontaminate" -> c2Decontaminate,
@@ -631,6 +697,29 @@ object TextQueries {
          |    1 + ${stable60Sql("source")} % 3 AS rep
          |  FROM documents)
          |ORDER BY doc_id, epoch""".stripMargin,
+    "u11_temperature_sample" ->
+      s"""WITH cnt AS (
+         |  SELECT source, CAST(SUM($wcSql) AS BIGINT) AS n
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w FROM cnt),
+         |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS denom,
+         |               CAST(SUM(n) AS BIGINT) AS total FROM w),
+         |rates AS (
+         |  SELECT source,
+         |    CAST(LEAST(1000000, ((total * w) // denom) * 1000000 // n)
+         |      AS BIGINT) AS rate_ppm
+         |  FROM w CROSS JOIN tot)
+         |SELECT doc_id, source, rate_ppm
+         |FROM documents JOIN rates USING (source)
+         |WHERE ${stable60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
+         |ORDER BY doc_id""".stripMargin,
+    "u12_global_shuffle" ->
+      s"""SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos
+         |FROM (SELECT doc_id,
+         |        ${stable60Sql("'shuf1:' || CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
     "u10_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id,
