@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{StableHash, TextFunctions}
@@ -515,6 +515,28 @@ object TextQueries {
       .orderBy("bucket", "seq_id")
   }
 
+  /** C5 — cross-split leakage audit: near-duplicate pairs that STRADDLE
+    * a train/validation/test boundary — the standard pre-training gate
+    * (a val/test document with a train near-dup inflates eval; c2/c4
+    * audit against an EXTERNAL benchmark, this audits the corpus's own
+    * split). Composes the shared MinHash-LSH verified-pair pipeline
+    * (d3's block→verify, never all-pairs) with u4's deterministic
+    * hash-split rule; the split tags are pure map-side functions of the
+    * pair list, so c5 costs d3 + nothing. */
+  private val c5SplitLeakage: Q = (s, d) => {
+    def split(c: Column): Column = {
+      val h = StableHash.bucket60(c.cast("string"), 100)
+      when(h < 80, "train").when(h < 90, "validation").otherwise("test")
+    }
+    SimilarityQueries.minhashPairs(s, d)
+      .withColumn("split_a", split(col("doc_a")))
+      .withColumn("split_b", split(col("doc_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("split_a"), col("doc_b"), col("split_b"),
+        col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** U11 — temperature-rebalanced source sampling (the multilingual /
     * multi-domain α-sampling rule, α = 1/2: rate_s ∝ n_s^α / n_s, so
     * oversampled sources are damped toward the α-power distribution —
@@ -587,6 +609,7 @@ object TextQueries {
     "u10_pack_sequences" -> u10PackSequences,
     "u11_temperature_sample" -> u11TemperatureSample,
     "u12_global_shuffle" -> u12GlobalShuffle,
+    "c5_split_leakage" -> c5SplitLeakage,
     "c4_bloom_decontaminate" -> c4BloomDecontaminate,
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_decontaminate" -> c2Decontaminate,
@@ -697,6 +720,21 @@ object TextQueries {
          |    1 + ${stable60Sql("source")} % 3 AS rep
          |  FROM documents)
          |ORDER BY doc_id, epoch""".stripMargin,
+    "c5_split_leakage" -> {
+      def splitSql(c: String) =
+        s"""CASE WHEN ${stable60Sql(s"CAST($c AS VARCHAR)")} % 100 < 80 THEN 'train'
+           |     WHEN ${stable60Sql(s"CAST($c AS VARCHAR)")} % 100 < 90 THEN 'validation'
+           |     ELSE 'test' END""".stripMargin
+      s"""WITH pairs AS (${SimilarityQueries.d3PairsCore}),
+         |tagged AS (
+         |  SELECT doc_a, doc_b, jaccard,
+         |    ${splitSql("doc_a")} AS split_a,
+         |    ${splitSql("doc_b")} AS split_b
+         |  FROM pairs)
+         |SELECT doc_a, split_a, doc_b, split_b, jaccard
+         |FROM tagged WHERE split_a <> split_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "u11_temperature_sample" ->
       s"""WITH cnt AS (
          |  SELECT source, CAST(SUM($wcSql) AS BIGINT) AS n

@@ -64,6 +64,27 @@ class MixShuffleSpec extends SparkSpec {
     }
   }
 
+  test("c5 split leakage: exactly d3's pairs that straddle the u4 split rule") {
+    val pairs = SimilarityQueries.queries("d3_minhash_neardup")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    def split(id: Long): String = {
+      val h = StableHash.stable60Local(id.toString) % 100
+      if (h < 80) "train" else if (h < 90) "validation" else "test"
+    }
+    val leaks = TextQueries.queries("c5_split_leakage")(spark, sf).collect()
+    leaks.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(pairs.contains((a, b)), s"leak pair ($a,$b) not a d3 near-dup")
+      assert(r.getAs[String]("split_a") == split(a))
+      assert(r.getAs[String]("split_b") == split(b))
+      assert(split(a) != split(b))
+    }
+    // completeness: every d3 pair that straddles the split is reported
+    val expected = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(leaks.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet == expected)
+  }
+
   test("u12 global shuffle: pos is a permutation ordered by the seeded hash") {
     val out = TextQueries.queries("u12_global_shuffle")(spark, sf).collect()
     val n = out.length
