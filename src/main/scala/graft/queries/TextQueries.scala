@@ -515,6 +515,25 @@ object TextQueries {
       .orderBy("bucket", "seq_id")
   }
 
+  /** D10 — keep-BEST-copy exact dedup: d1 keeps the lowest id per
+    * duplicate group; production curation keeps the highest-QUALITY
+    * copy (duplicates share normalized content but differ in raw bytes —
+    * casing, whitespace, punctuation noise — so their t2 quality scores
+    * differ, and the cleanest rendition should survive). One scan, one
+    * map-side-partial aggregate on the fingerprint (the argmax rides a
+    * single struct-max — no window, no second shuffle): (quality,
+    * −doc_id) struct ordering makes ties deterministic (lowest id). */
+  private val d10BestDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        qualityScore(col("text")).as("q"))
+      .groupBy("fp")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_docs"))
+      .select((-col("m.nid")).as("doc_id"), col("fp"),
+        col("m.q").as("quality_score"), col("n_docs"))
+      .orderBy("doc_id")
+
   /** C5 — cross-split leakage audit: near-duplicate pairs that STRADDLE
     * a train/validation/test boundary — the standard pre-training gate
     * (a val/test document with a train near-dup inflates eval; c2/c4
@@ -610,6 +629,7 @@ object TextQueries {
     "u11_temperature_sample" -> u11TemperatureSample,
     "u12_global_shuffle" -> u12GlobalShuffle,
     "c5_split_leakage" -> c5SplitLeakage,
+    "d10_best_dedup" -> d10BestDedup,
     "c4_bloom_decontaminate" -> c4BloomDecontaminate,
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_decontaminate" -> c2Decontaminate,
@@ -976,6 +996,18 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""SELECT doc_id, md5($normSql) AS fp FROM documents ORDER BY doc_id""",
+    "d10_best_dedup" ->
+      s"""SELECT -(m.nid) AS doc_id, fp, m.q AS quality_score, n_docs FROM (
+         |  SELECT fp, max(struct_pack(q := q, nid := -doc_id)) AS m,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM (SELECT doc_id, md5($normSql) AS fp,
+         |          least($wcSql / 100.0, 1.0) * 0.5
+         |           + least($stopSql * 10.0 / $wcSql, 1.0) * 0.3
+         |           + (CASE WHEN $punctSql * 5 <= length(text) THEN 0.2
+         |              ELSE 0.0 END) AS q
+         |        FROM documents)
+         |  GROUP BY fp)
+         |ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
       s"""SELECT md5($normSql) AS fp, MIN(doc_id) AS canonical_id,
          | COUNT(*) AS n_docs

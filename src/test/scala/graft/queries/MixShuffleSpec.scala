@@ -85,6 +85,28 @@ class MixShuffleSpec extends SparkSpec {
       .toSet == expected)
   }
 
+  test("d10 keeps the highest-quality copy within each duplicate group") {
+    // sf0.1 is the one SF with real duplicate groups (8 of them) —
+    // smaller SFs degenerate d10 to the identity
+    val sfBig = "/root/testdata/sf0.1"
+    val fp = TextQueries.queries("t4_fingerprint")(spark, sfBig).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    val q = TextQueries.queries("t2_quality_score")(spark, sfBig).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    val out = TextQueries.queries("d10_best_dedup")(spark, sfBig).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == fp.size)
+    val groups = fp.groupBy(_._2).view.mapValues(_.keys.toSeq).toMap
+    assert(groups.values.exists(_.size > 1), "sf0.1 must contain dup groups")
+    assert(out.length == groups.size)
+    out.foreach { r =>
+      val kept = r.getAs[Long]("doc_id")
+      val members = groups(r.getAs[String]("fp"))
+      assert(r.getAs[Long]("n_docs") == members.size)
+      val best = members.maxBy(id => (q(id), -id))
+      assert(kept == best, s"group ${r.getAs[String]("fp")} kept $kept, expected $best")
+    }
+  }
+
   test("u12 global shuffle: pos is a permutation ordered by the seeded hash") {
     val out = TextQueries.queries("u12_global_shuffle")(spark, sf).collect()
     val n = out.length
