@@ -304,6 +304,66 @@ object CoreQueries {
     * driver's hash check catches it. The per-(day,user) pre-aggregate
     * feeds BOTH the exact count and the sketch (one scan); precision and
     * union-mergeability remain spec-gated in `SketchSpec`. */
+  /** A15 — windowed ordered funnel (view → click → purchase within 3
+    * days of the FIRST view): per user, the deepest stage reached by a
+    * time-ordered subsequence whose later stages fall inside the window
+    * anchored at the first view — the windowFunnel-class operator every
+    * event-analytics engine ships (single-anchor variant: the funnel
+    * starts at the user's first view, deterministically). ONE shuffle:
+    * events collapse per user to a (ts, event_id)-sorted (code, ms)
+    * array and a map-side lambda fold runs the windowed 3-state machine
+    * — no self-joins, no per-stage passes. The per-user array is
+    * bounded by per-user event count (the same skew observable u7's
+    * caps manage); the fold is a codegen'd higher-order function. Sort
+    * ties are impossible (event_id is unique), so the fold order is
+    * engine-exact and the DuckDB oracle reproduces it bit-for-bit. */
+  private val a15Funnel: Q = (s, d) => {
+    val windowMs = 3L * 86400000L
+    val evs = array_sort(collect_list(struct(col("ts"), col("event_id"),
+      when(col("event_type") === "view", 1)
+        .when(col("event_type") === "click", 2).otherwise(3).as("c"),
+      unix_millis(col("ts")).as("t"))))
+    val codes = transform(evs,
+      e => struct(e.getField("c").as("c"), e.getField("t").as("t")))
+    def st(n: Int, t: Column) = struct(lit(n).as("c"), t.as("t"))
+    val stage = aggregate(col("__codes"), st(0, lit(0L)),
+      (acc, x) => when(acc.getField("c") === 0 && x.getField("c") === 1,
+          st(1, x.getField("t")))
+        .when(acc.getField("c") === 1 && x.getField("c") === 2 &&
+          x.getField("t") - acc.getField("t") <= windowMs,
+          st(2, acc.getField("t")))
+        .when(acc.getField("c") === 2 && x.getField("c") === 3 &&
+          x.getField("t") - acc.getField("t") <= windowMs,
+          st(3, acc.getField("t")))
+        .otherwise(acc)).getField("c")
+    Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id").agg(codes.as("__codes"))
+      .select(col("user_id"), stage.as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** A16 — cohort retention matrix: users bucketed by FIRST-active day
+    * (the cohort), counted on each later active day as (cohort, offset)
+    * cells — the standard retention triangle. Two-phase distinct first
+    * (the a3 pattern: (user, day) collapses map-side before anything
+    * joins), then the cohort join on user_id and one final aggregate —
+    * every shuffle is on user_id or the tiny cell grid; row counts after
+    * phase 1 are active-days, not events. */
+  private val a16CohortRetention: Q = (s, d) => {
+    val byDay = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("__pv")) // distinct (user, day), map-side partial
+    val cohort = byDay.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    byDay.join(cohort, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_date"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
   private val a14ApproxUv: Q = (s, d) => {
     val perUser = Tables.events(s, d)
       .groupBy(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
@@ -644,6 +704,8 @@ object CoreQueries {
     "a1_window_agg" -> a1WindowAgg,
     "a3_daily_uv" -> a3DailyUv,
     "a14_approx_uv" -> a14ApproxUv,
+    "a15_funnel" -> a15Funnel,
+    "a16_cohort_retention" -> a16CohortRetention,
     "a4_new_users" -> a4NewUsers,
     "a5_dedup_first" -> a5DedupFirst,
     "a6_dedup_last" -> a6DedupLast,
@@ -796,6 +858,39 @@ object CoreQueries {
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS cur_date,
         | COUNT(DISTINCT user_id) AS uv, COUNT(*) AS pv, TRUE AS within_5pct
         |FROM events GROUP BY 1 ORDER BY cur_date""".stripMargin,
+    "a15_funnel" ->
+      """WITH codes AS (
+        |  SELECT user_id,
+        |    list(struct_pack(
+        |        c := CASE event_type WHEN 'view' THEN 1
+        |             WHEN 'click' THEN 2 ELSE 3 END,
+        |        t := epoch_ms(ts)) ORDER BY ts, event_id) AS l
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id),
+        |st AS (
+        |  SELECT user_id,
+        |    (list_reduce(list_prepend(struct_pack(c := 0, t := 0::BIGINT), l),
+        |      (acc, x) -> CASE
+        |        WHEN acc.c = 0 AND x.c = 1
+        |          THEN struct_pack(c := 1, t := x.t)
+        |        WHEN acc.c = 1 AND x.c = 2 AND x.t - acc.t <= 259200000
+        |          THEN struct_pack(c := 2, t := acc.t)
+        |        WHEN acc.c = 2 AND x.c = 3 AND x.t - acc.t <= 259200000
+        |          THEN struct_pack(c := 3, t := acc.t)
+        |        ELSE acc END)).c AS stage
+        |  FROM codes)
+        |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+    "a16_cohort_retention" ->
+      """WITH byday AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |cohort AS (SELECT user_id, MIN(day) AS cohort FROM byday GROUP BY user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+        |  CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM byday JOIN cohort USING (user_id)
+        |GROUP BY cohort, day_offset
+        |ORDER BY cohort_date, day_offset""".stripMargin,
     "a4_new_users" ->
       """SELECT strftime(date_trunc('day', first_ts), '%Y-%m-%d') AS cur_date,
         | COUNT(*) AS new_users
