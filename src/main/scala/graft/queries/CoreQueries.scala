@@ -288,22 +288,6 @@ object CoreQueries {
       .orderBy("cur_date")
   }
 
-  /** A14 — per-day UV via MERGEABLE HLL sketches (Apache DataSketches,
-    * lgK=12 ⇒ ~2% relative error, ~4 KB/sketch): the at-scale form of
-    * A3's exact two-phase distinct. The exact form shuffles every
-    * (day, user) pair; the sketch form partial-aggregates to a bounded
-    * ~4 KB buffer per (partition, day) and merges — shuffle volume
-    * drops from O(distinct users) to O(partitions × days), and sketches
-    * union across days/backfills without recount.
-    *
-    * The sketch ESTIMATE itself is engine-specific (DataSketches HLL
-    * state cannot be reproduced in DuckDB), so the oracle-visible output
-    * is the INVARIANT, not the estimate: exact `pv`/`uv` plus
-    * `within_5pct` = |approx−exact|·100 ≤ 5·exact, which DuckDB predicts
-    * as constant `true`. A wrong sketch path flips the boolean and the
-    * driver's hash check catches it. The per-(day,user) pre-aggregate
-    * feeds BOTH the exact count and the sketch (one scan); precision and
-    * union-mergeability remain spec-gated in `SketchSpec`. */
   /** A15 — windowed ordered funnel (view → click → purchase within 3
     * days of the FIRST view): per user, the deepest stage reached by a
     * time-ordered subsequence whose later stages fall inside the window
@@ -364,6 +348,22 @@ object CoreQueries {
       .orderBy("cohort_date", "day_offset")
   }
 
+  /** A14 — per-day UV via MERGEABLE HLL sketches (Apache DataSketches,
+    * lgK=12 ⇒ ~2% relative error, ~4 KB/sketch): the at-scale form of
+    * A3's exact two-phase distinct. The exact form shuffles every
+    * (day, user) pair; the sketch form partial-aggregates to a bounded
+    * ~4 KB buffer per (partition, day) and merges — shuffle volume
+    * drops from O(distinct users) to O(partitions × days), and sketches
+    * union across days/backfills without recount.
+    *
+    * The sketch ESTIMATE itself is engine-specific (DataSketches HLL
+    * state cannot be reproduced in DuckDB), so the oracle-visible output
+    * is the INVARIANT, not the estimate: exact `pv`/`uv` plus
+    * `within_5pct` = |approx−exact|·100 ≤ 5·exact, which DuckDB predicts
+    * as constant `true`. A wrong sketch path flips the boolean and the
+    * driver's hash check catches it. The per-(day,user) pre-aggregate
+    * feeds BOTH the exact count and the sketch (one scan); precision and
+    * union-mergeability remain spec-gated in `SketchSpec`. */
   private val a14ApproxUv: Q = (s, d) => {
     val perUser = Tables.events(s, d)
       .groupBy(date_trunc("DAY", col("ts")).as("day"), col("user_id"))

@@ -231,16 +231,23 @@ object TextQueries {
           .join(bench, "s") // no broadcast hint: the at-scale shuffled join
       })
 
+  /** The deterministic split rule u4 defines and c5 audits:
+    * stable60(doc_id) % 100 → 80/10/10 train/validation/test. ONE
+    * definition per side (this for Spark, `splitSql` for the oracles)
+    * so the leakage audit can never desynchronize from the split it
+    * claims to audit. */
+  private def splitOf(id: Column): Column = {
+    val h = StableHash.bucket60(id.cast("string"), 100)
+    when(h < 80, "train").when(h < 90, "validation").otherwise("test")
+  }
+
   /** U4 — deterministic hash split (train/validation/test): the split of
-    * a document is a pure function of its id (stable60 % 100 → 80/10/10),
-    * so it is reproducible across runs, engines, and re-shards — the
-    * property a dataset split must have. Map-side only + one count agg. */
+    * a document is a pure function of its id ([[splitOf]]), so it is
+    * reproducible across runs, engines, and re-shards — the property a
+    * dataset split must have. Map-side only + one count agg. */
   private val u4HashSplit: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("__h", StableHash.bucket60(col("doc_id").cast("string"), 100))
-      .withColumn("split",
-        when(col("__h") < 80, "train")
-          .when(col("__h") < 90, "validation").otherwise("test"))
+      .withColumn("split", splitOf(col("doc_id")))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum(wordCount(col("text"))).as("n_words"))
@@ -543,13 +550,9 @@ object TextQueries {
     * hash-split rule; the split tags are pure map-side functions of the
     * pair list, so c5 costs d3 + nothing. */
   private val c5SplitLeakage: Q = (s, d) => {
-    def split(c: Column): Column = {
-      val h = StableHash.bucket60(c.cast("string"), 100)
-      when(h < 80, "train").when(h < 90, "validation").otherwise("test")
-    }
     SimilarityQueries.minhashPairs(s, d)
-      .withColumn("split_a", split(col("doc_a")))
-      .withColumn("split_b", split(col("doc_b")))
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
       .filter(col("split_a") =!= col("split_b"))
       .select(col("doc_a"), col("split_a"), col("doc_b"), col("split_b"),
         col("jaccard"))
@@ -566,12 +569,17 @@ object TextQueries {
     * n_s = Σ token counts over the source. Integer-exact end to end so
     * the oracle hash-matches: w_s = ⌊√n_s⌋ (exact — n < 2^52 makes IEEE
     * sqrt+floor deterministic and engine-identical), target
-    * t_s = (N·w_s) div Σw, keep-rate in ppm, keep iff the document's
-    * stable 60-bit hash bucket falls under the rate. Scale shape: one
-    * k-source aggregate (map-side partial over the scan) → one-row
-    * totals broadcast → map-side filter; no data shuffle at any size
-    * (the sort is the oracle contract). All intermediates bound by
-    * N·10^6 < 2^63 up to ~9·10^12 tokens per source. */
+    * t_s = ⌊N·w_s / Σw⌋ computed by Euclidean decomposition
+    * (q·w + ⌊r·w/Σw⌋ with N = q·Σw + r) so the product N·w_s is never
+    * materialized — t_s ≤ N and every intermediate stays < 2^63 while
+    * Σw·max(w) < 2^63 and n_s < 9·10^12 tokens (the naive N·w form
+    * overflows at corpus scale; DuckDB would raise, Spark would wrap
+    * negative and silently drop the source). Keep-rate in ppm; keep iff
+    * the document's stable 60-bit hash bucket falls under the rate.
+    * Plan shape: TWO scans of documents — a (source, wc) stats pass
+    * collapsed map-side to k rows, then the apply pass with the k-row
+    * rates broadcast and a pure map-side filter; no data shuffle at
+    * any size (the sort is the oracle contract). */
   private val u11TemperatureSample: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val w = docs.groupBy("source")
@@ -579,8 +587,11 @@ object TextQueries {
       .withColumn("w", floor(sqrt(col("n"))))
     val tot = w.agg(sum(col("w")).as("denom"), sum(col("n")).as("total"))
     val rates = w.crossJoin(broadcast(tot))
+      .withColumn("t",
+        expr("(total div denom) * w + ((total % denom) * w) div denom"))
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("((total * w) div denom) * 1000000 div n")))
+        when(col("t") >= col("n"), lit(1000000L))
+          .otherwise(expr("(t * 1000000) div n")))
       .select(col("source"), col("rate_ppm"))
     docs.join(broadcast(rates), "source")
       .filter(StableHash.bucket60(col("doc_id").cast("string"), 1000000)
@@ -679,6 +690,21 @@ object TextQueries {
   private val stable60Sql: String => String =
     c => s"('0x' || substr(md5($c), 1, 15))::BIGINT"
 
+  /** The oracle half of [[splitOf]] — the ONE SQL definition of the
+    * 80/10/10 split rule, shared by the u4 and c5 oracles. */
+  private def splitSql(c: String): String =
+    s"""CASE WHEN ${stable60Sql(s"CAST($c AS VARCHAR)")} % 100 < 80 THEN 'train'
+       |     WHEN ${stable60Sql(s"CAST($c AS VARCHAR)")} % 100 < 90 THEN 'validation'
+       |     ELSE 'test' END""".stripMargin
+
+  /** The oracle half of TextFunctions.qualityScore — the ONE SQL
+    * definition of the t2 quality heuristic, shared by the t2, c1 and
+    * d10 oracles (a tweak in one place cannot desynchronize them). */
+  private def qSql: String =
+    s"""least($wcSql / 100.0, 1.0) * 0.5
+       | + least($stopSql * 10.0 / $wcSql, 1.0) * 0.3
+       | + (CASE WHEN $punctSql * 5 <= length(text) THEN 0.2 ELSE 0.0 END)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "c4_bloom_decontaminate" ->
       s"""WITH toks AS (
@@ -741,10 +767,6 @@ object TextQueries {
          |  FROM documents)
          |ORDER BY doc_id, epoch""".stripMargin,
     "c5_split_leakage" -> {
-      def splitSql(c: String) =
-        s"""CASE WHEN ${stable60Sql(s"CAST($c AS VARCHAR)")} % 100 < 80 THEN 'train'
-           |     WHEN ${stable60Sql(s"CAST($c AS VARCHAR)")} % 100 < 90 THEN 'validation'
-           |     ELSE 'test' END""".stripMargin
       s"""WITH pairs AS (${SimilarityQueries.d3PairsCore}),
          |tagged AS (
          |  SELECT doc_a, doc_b, jaccard,
@@ -764,9 +786,11 @@ object TextQueries {
          |               CAST(SUM(n) AS BIGINT) AS total FROM w),
          |rates AS (
          |  SELECT source,
-         |    CAST(LEAST(1000000, ((total * w) // denom) * 1000000 // n)
-         |      AS BIGINT) AS rate_ppm
-         |  FROM w CROSS JOIN tot)
+         |    CAST(CASE WHEN t >= n THEN 1000000
+         |         ELSE (t * 1000000) // n END AS BIGINT) AS rate_ppm
+         |  FROM (SELECT source, n,
+         |          (total // denom) * w + ((total % denom) * w) // denom AS t
+         |        FROM w CROSS JOIN tot))
          |SELECT doc_id, source, rate_ppm
          |FROM documents JOIN rates USING (source)
          |WHERE ${stable60Sql("CAST(doc_id AS VARCHAR)")} % 1000000 < rate_ppm
@@ -799,10 +823,7 @@ object TextQueries {
          |  ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
          |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
          |  $cjkSql * 3 AS s_zh,
-         |  least($wcSql / 100.0, 1.0) * 0.5
-         |   + least($stopSql * 10.0 / $wcSql, 1.0) * 0.3
-         |   + (CASE WHEN $punctSql * 5 <= length(text) THEN 0.2 ELSE 0.0 END)
-         |   AS quality_score,
+         |  $qSql AS quality_score,
          |  $wcSql AS wc,
          |  md5($normSql) AS fp
          | FROM documents),
@@ -916,12 +937,9 @@ object TextQueries {
          |HAVING COUNT(*) >= 3
          |ORDER BY doc_id, bench_id""".stripMargin,
     "u4_hash_split" ->
-      s"""SELECT CASE WHEN h < 80 THEN 'train'
-         |            WHEN h < 90 THEN 'validation' ELSE 'test' END AS split,
-         | COUNT(*) AS n_docs, CAST(SUM(wc) AS BIGINT) AS n_words
-         |FROM (SELECT
-         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS h,
-         |  $wcSql AS wc FROM documents)
+      s"""SELECT ${splitSql("doc_id")} AS split,
+         | COUNT(*) AS n_docs, CAST(SUM($wcSql) AS BIGINT) AS n_words
+         |FROM documents
          |GROUP BY split ORDER BY split""".stripMargin,
     "u5_heavy_tokens" ->
       s"""WITH c AS (
@@ -984,10 +1002,7 @@ object TextQueries {
          | CAST(length($normSql) AS DOUBLE) / $wcSql AS avg_word_len,
          | $stopSql AS stopword_ct,
          | $punctSql AS punct_ct,
-         | least($wcSql / 100.0, 1.0) * 0.5
-         |  + least($stopSql * 10.0 / $wcSql, 1.0) * 0.3
-         |  + (CASE WHEN $punctSql * 5 <= length(text) THEN 0.2 ELSE 0.0 END)
-         |  AS quality_score
+         | $qSql AS quality_score
          |FROM documents ORDER BY doc_id""".stripMargin,
     "t3_token_stats" ->
       s"""SELECT doc_id, $wcSql AS n_words,
@@ -1001,10 +1016,7 @@ object TextQueries {
          |  SELECT fp, max(struct_pack(q := q, nid := -doc_id)) AS m,
          |    CAST(COUNT(*) AS BIGINT) AS n_docs
          |  FROM (SELECT doc_id, md5($normSql) AS fp,
-         |          least($wcSql / 100.0, 1.0) * 0.5
-         |           + least($stopSql * 10.0 / $wcSql, 1.0) * 0.3
-         |           + (CASE WHEN $punctSql * 5 <= length(text) THEN 0.2
-         |              ELSE 0.0 END) AS q
+         |          $qSql AS q
          |        FROM documents)
          |  GROUP BY fp)
          |ORDER BY doc_id""".stripMargin,
