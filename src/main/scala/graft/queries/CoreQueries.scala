@@ -348,6 +348,46 @@ object CoreQueries {
       .orderBy("cohort_date", "day_offset")
   }
 
+  /** A17 — audience segment overlap via MERGEABLE sketch algebra:
+    * |A∩B| for every pair of behavior segments (users who did
+    * event-type A AND event-type B) — the audience-overlap question
+    * every analytics engine answers, and the one HLL alone cannot:
+    * sketches union but never intersect, so the overlap comes from
+    * inclusion–exclusion (|A∩B| = |A|+|B|−|A∪B|) over UNION sketches —
+    * all mergeable, all bounded-size, reusable across any segment
+    * algebra without rescanning users. One (user, type) distinct pass
+    * feeds BOTH the exact counts and the per-segment sketches; the
+    * pair grid is a broadcast self-join of the k-row segment frame; the
+    * exact intersection joins the distinct frame with itself on
+    * user_id. As with a14, the sketch estimate is engine-specific, so
+    * the oracle-visible output is exact counts + the ±10% accuracy
+    * INVARIANT (inclusion–exclusion compounds the ~2% lgK=12 error
+    * three-fold; DuckDB predicts `true` — in exact-mode ranges the
+    * sketches ARE exact and a broken sketch path flips the bit). */
+  private val a17SegmentOverlap: Q = (s, d) => {
+    val byType = Tables.events(s, d)
+      .groupBy(col("event_type").as("seg"), col("user_id"))
+      .agg(count(lit(1)).as("__pv"))
+    val segs = byType.groupBy("seg")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n"))
+    val pairs = segs.select(col("seg").as("seg_a"), col("sk").as("sk_a"),
+        col("n").as("n_a"))
+      .join(broadcast(segs.select(col("seg").as("seg_b"), col("sk").as("sk_b"),
+        col("n").as("n_b"))), col("seg_a") < col("seg_b"))
+    val exact = byType.select(col("seg").as("seg_a"), col("user_id"))
+      .join(byType.select(col("seg").as("seg_b"), col("user_id")), "user_id")
+      .filter(col("seg_a") < col("seg_b"))
+      .groupBy("seg_a", "seg_b").agg(count(lit(1)).as("overlap"))
+    val est = col("n_a") + col("n_b") -
+      hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).cast("long")
+    pairs.join(exact, Seq("seg_a", "seg_b"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .select(col("seg_a"), col("seg_b"), col("overlap"),
+        (abs(est - col("overlap")) * 100 <= col("n_a") * 10).as("within_10pct"))
+      .orderBy("seg_a", "seg_b")
+  }
+
   /** A14 — per-day UV via MERGEABLE HLL sketches (Apache DataSketches,
     * lgK=12 ⇒ ~2% relative error, ~4 KB/sketch): the at-scale form of
     * A3's exact two-phase distinct. The exact form shuffles every
@@ -706,6 +746,7 @@ object CoreQueries {
     "a14_approx_uv" -> a14ApproxUv,
     "a15_funnel" -> a15Funnel,
     "a16_cohort_retention" -> a16CohortRetention,
+    "a17_segment_overlap" -> a17SegmentOverlap,
     "a4_new_users" -> a4NewUsers,
     "a5_dedup_first" -> a5DedupFirst,
     "a6_dedup_last" -> a6DedupLast,
@@ -881,6 +922,20 @@ object CoreQueries {
         |  FROM codes)
         |SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
         |FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+    "a17_segment_overlap" ->
+      """WITH bt AS (
+        |  SELECT DISTINCT event_type AS seg, user_id FROM events),
+        |segs AS (SELECT seg, COUNT(*) AS n FROM bt GROUP BY seg),
+        |ex AS (
+        |  SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |    CAST(COUNT(*) AS BIGINT) AS overlap
+        |  FROM bt a JOIN bt b ON a.user_id = b.user_id AND a.seg < b.seg
+        |  GROUP BY a.seg, b.seg)
+        |SELECT sa.seg AS seg_a, sb.seg AS seg_b,
+        |  COALESCE(overlap, 0::BIGINT) AS overlap, TRUE AS within_10pct
+        |FROM segs sa JOIN segs sb ON sa.seg < sb.seg
+        |LEFT JOIN ex ON ex.seg_a = sa.seg AND ex.seg_b = sb.seg
+        |ORDER BY seg_a, seg_b""".stripMargin,
     "a16_cohort_retention" ->
       """WITH byday AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

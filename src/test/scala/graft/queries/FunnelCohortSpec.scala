@@ -43,6 +43,26 @@ class FunnelCohortSpec extends SparkSpec {
     assert(out.values.sum == evs.map(_.getAs[Long]("user_id")).distinct.length)
   }
 
+  test("a17 overlap grid is complete, bounded, and sketch-consistent") {
+    val out = CoreQueries.queries("a17_segment_overlap")(spark, sf).collect()
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Long]("user_id")).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    // every unordered pair exactly once
+    assert(out.length == types.size * (types.size - 1) / 2)
+    out.foreach { r =>
+      val (a, b) = (r.getAs[String]("seg_a"), r.getAs[String]("seg_b"))
+      assert(a < b)
+      val expect = (byType(a) intersect byType(b)).size.toLong
+      assert(r.getAs[Long]("overlap") == expect, s"($a,$b) overlap")
+      // at this cardinality the HLL is in exact mode — the
+      // inclusion-exclusion estimate must sit inside the invariant
+      assert(r.getAs[Boolean]("within_10pct"), s"($a,$b) sketch drifted")
+    }
+  }
+
   test("a16 cohort cells conserve active user-days and full cohorts at offset 0") {
     val out = CoreQueries.queries("a16_cohort_retention")(spark, sf).collect()
     val activeUserDays = Tables.events(spark, sf)
