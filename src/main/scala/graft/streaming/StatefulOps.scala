@@ -211,4 +211,45 @@ object StatefulOps {
           last
         }
     }
+
+  /** A15 streaming windowed funnel: the per-key stage state machine run
+    * incrementally — state is TWO numbers per key (stage reached,
+    * anchor ms of the first stage-1 event), so a year-long stream holds
+    * the same state a single batch would. Emits `(key, stage, tsMs)`
+    * whenever a key ADVANCES a stage (append semantics: downstream
+    * counts max stage per key, or diffs consecutive advances for
+    * conversion latency). Within a micro-batch rows are sorted by
+    * `orderOf` ((event-time µs, unique id) — the group iterator has no
+    * order guarantee after the shuffle); ACROSS batches event-time must
+    * be non-decreasing per key (watermarked delivery), the same
+    * contract `firstPerPeriod` documents. Window arithmetic is in ms
+    * (µs div 1000), bit-matching the batch a15 fold. */
+  def funnelStage[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+                                          codeOf: V => Int,
+                                          orderOf: V => (Long, Long),
+                                          windowMs: Long): Dataset[(K, Int, Long)] = {
+    implicit val outEnc: Encoder[(K, Int, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaInt, Encoders.scalaLong)
+    implicit val stEnc: Encoder[(Int, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (k: K, it: Iterator[V], state: GroupState[(Int, Long)]) =>
+        var (stage, anchor) = state.getOption.getOrElse((0, 0L))
+        val out = Seq.newBuilder[(K, Int, Long)]
+        it.toSeq.sortBy(orderOf).foreach { v =>
+          val c = codeOf(v)
+          val tMs = orderOf(v)._1 / 1000L
+          if (stage == 0 && c == 1) {
+            stage = 1; anchor = tMs; out += ((k, 1, tMs))
+          } else if (stage == 1 && c == 2 && tMs - anchor <= windowMs) {
+            stage = 2; out += ((k, 2, tMs))
+          } else if (stage == 2 && c == 3 && tMs - anchor <= windowMs) {
+            stage = 3; out += ((k, 3, tMs))
+          }
+        }
+        state.update((stage, anchor))
+        out.result().iterator
+    }
+  }
 }

@@ -11,6 +11,7 @@ import graft.operators.DedupOps
   * streamed output must equal its batch twin on the same fixture (the
   * driver's DuckDB oracle cannot see streams, so this spec is the gate). */
 case class Ev(user: Long, seq: Long, day: String, v: Double)
+case class Fe(user: Long, us: Long, eid: Long, code: Int)
 
 class StatefulOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -130,5 +131,52 @@ class StatefulOpsSpec extends SparkSpec {
     assert(finalPerKey == batch)
     // and per-batch emission count: one per touched key per batch
     assert(got.size == 6) // b1: u1,u2; b2: u1,u2; b3: u2,u1
+  }
+
+  test("funnelStage stream == the batch a15 state machine on real events") {
+    // the REAL sf0.001 events, streamed in three chronological chunks
+    // (global ts order ⇒ per-key event-time is non-decreasing across
+    // batches — the operator's documented delivery contract)
+    val rows = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => Fe(r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type") match {
+          case "view" => 1; case "click" => 2; case _ => 3
+        }))
+      .sortBy(e => (e.us, e.eid))
+    val windowMs = 3L * 86400000L
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Fe]
+    val q = StatefulOps.funnelStage[Long, Fe](mem.toDS(), _.user,
+        _.code, e => (e.us, e.eid), windowMs)
+      .toDF("user", "stage", "t_ms")
+      .writeStream.format("memory").queryName("fnl")
+      .outputMode(OutputMode.Append()).start()
+    try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("fnl").as[(Long, Int, Long)].collect()
+    // per user: stages advance 1,2,..,max with no repeats
+    val gotStage = got.groupBy(_._1).map { case (u, es) =>
+      val stages = es.map(_._2).sorted.toSeq
+      assert(stages == (1 to stages.max), s"user $u emitted $stages")
+      u -> stages.max
+    }
+    // driver-side reference == the batch a15 fold
+    val ref = rows.groupBy(_.user).map { case (u, es) =>
+      var c = 0; var t0 = 0L
+      es.sortBy(e => (e.us, e.eid)).foreach { e =>
+        val tMs = e.us / 1000L
+        if (c == 0 && e.code == 1) { c = 1; t0 = tMs }
+        else if (c == 1 && e.code == 2 && tMs - t0 <= windowMs) c = 2
+        else if (c == 2 && e.code == 3 && tMs - t0 <= windowMs) c = 3
+      }
+      u -> c
+    }
+    assert(gotStage == ref.filter(_._2 >= 1))
+    assert(ref.count(_._2 == 0) == ref.size - gotStage.size)
   }
 }
