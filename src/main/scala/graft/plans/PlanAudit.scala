@@ -71,10 +71,10 @@ object PlanAudit {
       case _: CartesianProductExec =>
         Seq("CartesianProduct: cross join without a broadcast side")
       case f: FileSourceScanExec
-          if f.dataFilters.nonEmpty &&
+          if pushableDataFilters(f).nonEmpty &&
             f.metadata.get("PushedFilters").forall(_ == "[]") =>
         Seq(s"unpushed filters on scan of ${scanName(f)}: " +
-          f.dataFilters.mkString(", ").take(160))
+          pushableDataFilters(f).mkString(", ").take(160))
       case e: ShuffleExchangeExec
           if e.outputPartitioning == SinglePartition && !boundedInput(e.child) =>
         Seq("Exchange SinglePartition over unbounded input " +
@@ -84,6 +84,23 @@ object PlanAudit {
           s"(child: ${b.child.getClass.getSimpleName})")
     }.flatten
     walk(root)
+  }
+
+  /** Rule 2 counts only filters that COULD have pushed. The optimizer's
+    * own `InferFiltersFromGenerate` wraps every explode in
+    * `size(e) > 0 AND isnotnull(e)` where `e` is a COMPUTED expression
+    * (split/transform chains) — parquet can never evaluate those, so
+    * their presence is not a LOST pushdown and flagging them would
+    * force every token-explode query onto an exemption list. Predicates
+    * over plain attributes (the genuinely pushable class) still count. */
+  private def pushableDataFilters(f: FileSourceScanExec) = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Attribute, GreaterThan, IsNotNull, Literal, Size}
+    f.dataFilters.filterNot {
+      case GreaterThan(Size(e, _), Literal(0, _)) => !e.isInstanceOf[Attribute]
+      case IsNotNull(e) => !e.isInstanceOf[Attribute]
+      case _ => false
+    }
   }
 
   private def scanName(f: FileSourceScanExec): String =

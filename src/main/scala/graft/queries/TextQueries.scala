@@ -470,6 +470,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T11 — bigram coherence: a fluency proxy scoring each document by
+    * the average corpus-conditional frequency of its bigrams —
+    * avg over bigram occurrences of (C₂(w₁w₂)·10^6 div C₁(w₁)), the
+    * integer-exact MLE stand-in for an n-gram LM's mean transition
+    * probability (T9's unigram rarity scores VOCABULARY; this scores
+    * SEQUENCE plausibility — word-salad with common words fools t9 but
+    * not t11). Two corpus count frames (unigrams, bigrams — both
+    * map-side-partial aggregates over the one token scan) join back to
+    * the bigram occurrences; exact integer arithmetic end to end
+    * (safe while any single bigram count stays under ~9·10^12 — a
+    * degenerate single-token corpus beyond that would need the t9-style
+    * 10^3 scale). */
+  private val t11BigramCoherence: Q = (s, d) => {
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      tokens(normalized(col("text"))).as("t"))
+    val bi = toks.select(col("doc_id"),
+        explode(shinglesFromTokens(col("t"), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val scored = bi.join(big, "bg").join(uni, "w1")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum((c2 * 1000000) div c1) div count(1)").as("coherence"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("coherence"), lit(0L)).as("coherence"))
+      .orderBy("doc_id")
+  }
+
   /** U8 — stratified (per-source) hash sampling: each provenance source
     * gets its own deterministic keep-rate; a document survives iff its
     * content-hash bucket falls under the source's rate. This is the
@@ -634,6 +667,7 @@ object TextQueries {
   val queries: Map[String, Q] = Map(
     "t8_tfidf" -> t8Tfidf,
     "t9_rarity" -> t9Rarity,
+    "t11_bigram_coherence" -> t11BigramCoherence,
     "u8_stratified_sample" -> u8StratifiedSample,
     "u9_weighted_mix" -> u9WeightedMix,
     "u10_pack_sequences" -> u10PackSequences,
@@ -752,6 +786,27 @@ object TextQueries {
          |  CAST(SUM((n * 1000) // c) // COUNT(*) AS BIGINT) AS rarity
          |FROM toks JOIN cnt USING (token) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t11_bigram_coherence" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
+         |  FROM documents),
+         |bi AS (
+         |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg, t[i] AS w1
+         |  FROM (SELECT doc_id, t,
+         |          unnest(generate_series(1, len(t) - 1)) AS i FROM toks)),
+         |uni AS (
+         |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+         |big AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c2 FROM bi GROUP BY bg),
+         |scored AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM((c2 * 1000000) // c1) // COUNT(*) AS BIGINT) AS coherence
+         |  FROM bi JOIN big USING (bg) JOIN uni USING (w1)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(n_bigrams, 0::BIGINT) AS n_bigrams,
+         |  COALESCE(coherence, 0::BIGINT) AS coherence
+         |FROM documents d LEFT JOIN scored USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "u8_stratified_sample" ->
       s"""SELECT doc_id, source, rate_pct FROM (
          |  SELECT doc_id, source,

@@ -76,6 +76,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(vs.exists(_.contains("unpushed filters")), vs.mkString("; "))
   }
 
+  test("an optimizer-inferred explode guard is NOT flagged (unpushable by nature)") {
+    // InferFiltersFromGenerate wraps the explode in size(...)>0 AND
+    // isnotnull(...) over the COMPUTED split — parquet can never
+    // evaluate that, so it is not a lost pushdown (rule 2 counts only
+    // attribute-level predicates)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+    assert(PlanAudit.violations(df).isEmpty,
+      PlanAudit.violations(df).mkString("; "))
+  }
+
   test("negative: an unbounded single-partition exchange is flagged") {
     // a global (partitionBy-less) window funnels EVERY row through one
     // partition — the shape the engine bans (u10 windows within buckets
