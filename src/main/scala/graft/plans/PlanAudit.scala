@@ -88,17 +88,28 @@ object PlanAudit {
 
   /** Rule 2 counts only filters that COULD have pushed. The optimizer's
     * own `InferFiltersFromGenerate` wraps every explode in
-    * `size(e) > 0 AND isnotnull(e)` where `e` is a COMPUTED expression
-    * (split/transform chains) — parquet can never evaluate those, so
-    * their presence is not a LOST pushdown and flagging them would
-    * force every token-explode query onto an exemption list. Predicates
-    * over plain attributes (the genuinely pushable class) still count. */
+    * `size(e) > 0 AND isnotnull(e)` — over a computed expression
+    * (split/transform chains) OR a plain array-typed column — and
+    * parquet's filter converter handles neither (complex-typed columns
+    * are never pushable), so their presence is not a LOST pushdown and
+    * flagging them would force every explode query onto an exemption
+    * list. Predicates over ATOMIC-typed attributes (the class parquet
+    * can actually evaluate) still count. */
   private def pushableDataFilters(f: FileSourceScanExec) = {
     import org.apache.spark.sql.catalyst.expressions.{
-      Attribute, GreaterThan, IsNotNull, Literal, Size}
+      Attribute, Expression, GreaterThan, IsNotNull, Literal, Size}
+    def atomicAttr(e: Expression): Boolean = e match {
+      case a: Attribute => a.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType => false
+        case _ => true
+      }
+      case _ => false
+    }
     f.dataFilters.filterNot {
-      case GreaterThan(Size(e, _), Literal(0, _)) => !e.isInstanceOf[Attribute]
-      case IsNotNull(e) => !e.isInstanceOf[Attribute]
+      case GreaterThan(Size(_, _), Literal(0, _)) => true // size ⇒ complex type
+      case IsNotNull(e) => !atomicAttr(e)
       case _ => false
     }
   }

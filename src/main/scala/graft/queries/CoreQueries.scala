@@ -384,7 +384,12 @@ object CoreQueries {
     pairs.join(exact, Seq("seg_a", "seg_b"), "left")
       .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
       .select(col("seg_a"), col("seg_b"), col("overlap"),
-        (abs(est - col("overlap")) * 100 <= col("n_a") * 10).as("within_10pct"))
+        // tolerance scales with the LARGER segment: the HLL error is
+        // relative to |A∪B| (>= max(n_a, n_b)), so a band keyed to
+        // whichever name sorts first would flip false at scale on
+        // size-asymmetric pairs with perfectly healthy sketches
+        (abs(est - col("overlap")) * 100
+          <= greatest(col("n_a"), col("n_b")) * 10).as("within_10pct"))
       .orderBy("seg_a", "seg_b")
   }
 

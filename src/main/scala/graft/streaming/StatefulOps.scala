@@ -239,7 +239,9 @@ object StatefulOps {
         val out = Seq.newBuilder[(K, Int, Long)]
         it.toSeq.sortBy(orderOf).foreach { v =>
           val c = codeOf(v)
-          val tMs = orderOf(v)._1 / 1000L
+          // floorDiv, not /: unix_millis floor-divides, and truncation
+          // would disagree with the batch fold on pre-epoch timestamps
+          val tMs = Math.floorDiv(orderOf(v)._1, 1000L)
           if (stage == 0 && c == 1) {
             stage = 1; anchor = tMs; out += ((k, 1, tMs))
           } else if (stage == 1 && c == 2 && tMs - anchor <= windowMs) {
@@ -248,7 +250,11 @@ object StatefulOps {
             stage = 3; out += ((k, 3, tMs))
           }
         }
-        state.update((stage, anchor))
+        // never persist the (0, 0L) no-op: keys that haven't entered
+        // the funnel must not accumulate state-store rows (NoTimeout ⇒
+        // a stage-0 write would live forever; state stays O(funnel
+        // participants), not O(keys ever seen))
+        if (stage > 0) state.update((stage, anchor))
         out.result().iterator
     }
   }

@@ -86,6 +86,14 @@ class PlanAuditSpec extends SparkSpec {
       .groupBy("w").count()
     assert(PlanAudit.violations(df).isEmpty,
       PlanAudit.violations(df).mkString("; "))
+    // ... and the same guard over a PLAIN array-typed parquet column:
+    // isnotnull(arrayAttr) is also unpushable (parquet rejects
+    // complex-typed predicates), so it must not flag either
+    val arr = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(explode(col("embedding")).as("x"))
+      .agg(sum(col("x")))
+    assert(PlanAudit.violations(arr).isEmpty,
+      PlanAudit.violations(arr).mkString("; "))
   }
 
   test("negative: an unbounded single-partition exchange is flagged") {

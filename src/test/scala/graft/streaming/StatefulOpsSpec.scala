@@ -169,7 +169,7 @@ class StatefulOpsSpec extends SparkSpec {
     val ref = rows.groupBy(_.user).map { case (u, es) =>
       var c = 0; var t0 = 0L
       es.sortBy(e => (e.us, e.eid)).foreach { e =>
-        val tMs = e.us / 1000L
+        val tMs = Math.floorDiv(e.us, 1000L)
         if (c == 0 && e.code == 1) { c = 1; t0 = tMs }
         else if (c == 1 && e.code == 2 && tMs - t0 <= windowMs) c = 2
         else if (c == 2 && e.code == 3 && tMs - t0 <= windowMs) c = 3
