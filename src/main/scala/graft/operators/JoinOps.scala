@@ -107,4 +107,45 @@ object JoinOps {
       (acc, p) => acc.withColumn(p, col("__vf").getField(p))
     }.drop("__vf")
   }
+
+  /** Banded (bucketized) range join: every point joined to every
+    * interval containing it — point-in-interval with NO equi-key, the
+    * join class [[asofJoin]] (latest-before) and the J4 interval join
+    * (equi-key + range residual) don't cover. A naive non-equi join
+    * here is a nested-loop cartesian — a non-starter at scale. BANDING
+    * turns it into an equi-join: points key to `value div bandWidth`,
+    * each interval EXPLODES into the bands it overlaps, the join runs
+    * shuffled on the band key, and a residual containment filter makes
+    * it exact. A (point, interval) pair can match only in the point's
+    * own band, so no dedup pass exists anywhere.
+    *
+    * Cost model: the interval side inflates by ⌈len/bandWidth⌉ rows —
+    * pick `bandWidth` near the TYPICAL interval length so inflation is
+    * O(1) per interval while each point's band holds only intervals
+    * that COULD contain it. Skewed bands (a hot day) are ordinary
+    * equi-join skew: AQE splits them. Both sides shuffle once; nothing
+    * is broadcast (interval tables at scale — promo calendars, IP
+    * ranges, sensor validity windows — can be corpus-sized).
+    *
+    * Domain: values must be non-negative (`div` truncates toward zero,
+    * which is floor only for non-negative operands); intervals are
+    * half-open `[lo, hi)` and empty ones (`hi <= lo`) are dropped
+    * before the band explode (they contain nothing, and `sequence`
+    * would otherwise generate a DESCENDING band list for them).
+    * Callers resolve column-name collisions between the two frames
+    * before joining. */
+  def rangeJoinBanded(points: DataFrame, point: Column,
+                      intervals: DataFrame, lo: Column, hi: Column,
+                      bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    val p = points.withColumn("__p", point)
+      .withColumn("__band", expr(s"__p div $bandWidth"))
+    val iv = intervals.withColumn("__lo", lo).withColumn("__hi", hi)
+      .filter(col("__hi") > col("__lo"))
+      .withColumn("__band", explode(sequence(
+        expr(s"__lo div $bandWidth"), expr(s"(__hi - 1) div $bandWidth"))))
+    p.join(iv, Seq("__band"))
+      .filter(col("__p") >= col("__lo") && col("__p") < col("__hi"))
+      .drop("__band", "__p", "__lo", "__hi")
+  }
 }

@@ -609,6 +609,32 @@ object CoreQueries {
     * hot keys sprayed over 8 salts and the rule table replicated — the
     * non-broadcast skew-join shape ([[SkewOps.saltedJoin]]). Result ==
     * the plain join, proven by sharing j5's oracle. */
+  /** J10 — keyless point-in-interval join via BANDING
+    * ([[JoinOps.rangeJoinBanded]]): lineitems matched to every 3-day
+    * order-date window containing their ship date — NO equi-key exists
+    * (j4's interval join has one; j8's as-of wants latest-before, not
+    * all-containing), so the naive form is a nested-loop cartesian.
+    * Banding rewrites it as a shuffled equi-join on day buckets with a
+    * containment residual; the interval side inflates 3× (len/band),
+    * each pair matches in exactly one band (no dedup pass). Output is
+    * the per-window item profile. */
+  private val j10RangeJoin: Q = (s, d) => {
+    val epoch = to_date(lit("1970-01-01"))
+    val wins = Tables.orders(s, d)
+      .select(datediff(col("o_orderdate"), epoch).cast("long").as("win_lo"))
+      .distinct()
+      .withColumn("win_hi", col("win_lo") + 3L)
+    val pts = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
+    JoinOps.rangeJoinBanded(pts, col("ship_day"),
+        wins, col("win_lo"), col("win_hi"), bandWidth = 1L)
+      .groupBy("win_lo")
+      .agg(count(lit(1)).as("n_items"),
+        min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+      .orderBy("win_lo")
+  }
+
   private val j9SaltedJoin: Q = (s, d) => {
     val rules = Seq(
       ("click", "dwd_traffic_click"), ("view", "dwd_traffic_page"),
@@ -768,7 +794,8 @@ object CoreQueries {
     "x2_log_explode" -> x2LogExplode,
     "j7_double_lookup" -> j7DoubleLookup,
     "j8_asof_join" -> j8AsofJoin,
-    "j9_salted_join" -> j9SaltedJoin)
+    "j9_salted_join" -> j9SaltedJoin,
+    "j10_range_join" -> j10RangeJoin)
 
   val oracles: Map[String, String] = Map(
     "s1_scan_project" ->
@@ -1117,5 +1144,20 @@ object CoreQueries {
         | ('purchase','dwd_trade_order'), ('signup','dwd_user_register'),
         | ('error','dwd_err_log')) rules(event_type, topic)
         |USING (event_type)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "j10_range_join" -> // banding must equal the naive BETWEEN join
+      """WITH wins AS (
+        |  SELECT DISTINCT CAST(date_diff('day', DATE '1970-01-01',
+        |    o_orderdate::DATE) AS BIGINT) AS win_lo
+        |  FROM orders),
+        |pts AS (
+        |  SELECT l_orderkey,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      l_shipdate::DATE) AS BIGINT) AS ship_day
+        |  FROM lineitem)
+        |SELECT win_lo, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        |FROM wins JOIN pts
+        |  ON ship_day >= win_lo AND ship_day < win_lo + 3
+        |GROUP BY win_lo ORDER BY win_lo""".stripMargin)
 }

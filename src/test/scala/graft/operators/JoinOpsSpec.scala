@@ -30,4 +30,28 @@ class JoinOpsSpec extends SparkSpec {
       .select("a").as[Option[String]].head()
     assert(got == Some("v"))
   }
+
+  test("rangeJoinBanded == naive containment join at every band width") {
+    // boundaries on purpose: point == lo (kept), point == hi (dropped),
+    // intervals spanning multiple bands, nested/overlapping intervals,
+    // an empty interval (dropped), points matching nothing
+    val points = Seq(0L, 5L, 10L, 17L, 99L, 100L, 250L)
+      .map(p => (p, s"p$p")).toDF("v", "pid")
+    val intervals = Seq(
+      (0L, 10L, "a"), (5L, 6L, "b"), (10L, 200L, "c"),
+      (15L, 15L, "empty"), (90L, 101L, "d"), (240L, 260L, "e"))
+      .toDF("lo", "hi", "iid")
+    val naive = points.join(intervals,
+        col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid").as[(String, String)].collect().toSet
+    assert(naive.nonEmpty && !naive.exists(_._2 == "empty"))
+    for (w <- Seq(1L, 5L, 7L, 100L, 1000L)) {
+      val banded = JoinOps.rangeJoinBanded(points, col("v"),
+          intervals, col("lo"), col("hi"), w)
+        .select("pid", "iid").as[(String, String)].collect()
+      // exact multiset equality: no duplicates, no misses, at any width
+      assert(banded.length == banded.toSet.size, s"width $w produced dups")
+      assert(banded.toSet == naive, s"width $w diverged from naive join")
+    }
+  }
 }
