@@ -328,6 +328,56 @@ object CoreQueries {
       .orderBy("stage")
   }
 
+  /** A18 — funnel conversion-latency deciles: for every converted
+    * (stage-3) user, how long the first-view → purchase path took —
+    * the "time to convert" distribution that turns a15's WHO into a
+    * WHEN. The same one-shuffle sorted-code fold as a15, with the
+    * accumulator widened to carry the conversion timestamp; latencies
+    * quantize to HOURS (the fold's ms values would be all-distinct, and
+    * the t6 histogram-quantile method needs a compressible value
+    * domain — at the 3-day window that is ≤ 72 distinct values at any
+    * corpus size), then t6's histogram deciles run over that bounded
+    * frame. */
+  private val a18FunnelLatency: Q = (s, d) => {
+    val windowMs = 3L * 86400000L
+    val evs = array_sort(collect_list(struct(col("ts"), col("event_id"),
+      when(col("event_type") === "view", 1)
+        .when(col("event_type") === "click", 2).otherwise(3).as("c"),
+      unix_millis(col("ts")).as("t"))))
+    val codes = transform(evs,
+      e => struct(e.getField("c").as("c"), e.getField("t").as("t")))
+    def st(c: Column, t: Column, t3: Column) =
+      struct(c.as("c"), t.as("t"), t3.as("t3"))
+    val fold = aggregate(col("__codes"),
+      st(lit(0), lit(0L), lit(-1L)),
+      (acc, x) => when(acc.getField("c") === 0 && x.getField("c") === 1,
+          st(lit(1), x.getField("t"), lit(-1L)))
+        .when(acc.getField("c") === 1 && x.getField("c") === 2 &&
+          x.getField("t") - acc.getField("t") <= windowMs,
+          st(lit(2), acc.getField("t"), lit(-1L)))
+        .when(acc.getField("c") === 2 && x.getField("c") === 3 &&
+          x.getField("t") - acc.getField("t") <= windowMs,
+          st(lit(3), acc.getField("t"), x.getField("t")))
+        .otherwise(acc))
+    val lat = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id").agg(codes.as("__codes"))
+      .select(fold.as("f"))
+      .filter(col("f.c") === 3)
+      .select((col("f.t3") - col("f.t")).as("lat_ms"))
+      .select(expr("lat_ms div 3600000").as("lat_hr"))
+    val hist = lat.groupBy("lat_hr").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("lat_hr")))
+    val total = hist.agg(sum(col("c")).as("n"))
+    s.range(1, 10).toDF("decile").crossJoin(broadcast(total))
+      .withColumn("pos", expr("(decile * n + 9) div 10"))
+      .join(cum, col("cum") >= col("pos"))
+      .groupBy("decile")
+      .agg(min(col("lat_hr")).as("lat_hr_decile"))
+      .orderBy("decile")
+  }
+
   /** A16 — cohort retention matrix: users bucketed by FIRST-active day
     * (the cohort), counted on each later active day as (cohort, offset)
     * cells — the standard retention triangle. Two-phase distinct first
@@ -778,6 +828,7 @@ object CoreQueries {
     "a15_funnel" -> a15Funnel,
     "a16_cohort_retention" -> a16CohortRetention,
     "a17_segment_overlap" -> a17SegmentOverlap,
+    "a18_funnel_latency" -> a18FunnelLatency,
     "a4_new_users" -> a4NewUsers,
     "a5_dedup_first" -> a5DedupFirst,
     "a6_dedup_last" -> a6DedupLast,
@@ -968,6 +1019,41 @@ object CoreQueries {
         |FROM segs sa JOIN segs sb ON sa.seg < sb.seg
         |LEFT JOIN ex ON ex.seg_a = sa.seg AND ex.seg_b = sb.seg
         |ORDER BY seg_a, seg_b""".stripMargin,
+    "a18_funnel_latency" ->
+      """WITH codes AS (
+        |  SELECT user_id,
+        |    list(struct_pack(
+        |        c := CASE event_type WHEN 'view' THEN 1
+        |             WHEN 'click' THEN 2 ELSE 3 END,
+        |        t := epoch_ms(ts)) ORDER BY ts, event_id) AS l
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id),
+        |st AS (
+        |  SELECT user_id,
+        |    list_reduce(
+        |      list_prepend(struct_pack(c := 0, t := 0::BIGINT,
+        |                               t3 := -1::BIGINT),
+        |        list_transform(l, e -> struct_pack(c := e.c, t := e.t,
+        |                                           t3 := -1::BIGINT))),
+        |      (acc, x) -> CASE
+        |        WHEN acc.c = 0 AND x.c = 1
+        |          THEN struct_pack(c := 1, t := x.t, t3 := -1::BIGINT)
+        |        WHEN acc.c = 1 AND x.c = 2 AND x.t - acc.t <= 259200000
+        |          THEN struct_pack(c := 2, t := acc.t, t3 := -1::BIGINT)
+        |        WHEN acc.c = 2 AND x.c = 3 AND x.t - acc.t <= 259200000
+        |          THEN struct_pack(c := 3, t := acc.t, t3 := x.t)
+        |        ELSE acc END) AS f
+        |  FROM codes),
+        |lat AS (
+        |  SELECT (f.t3 - f.t) // 3600000 AS lat_hr FROM st WHERE f.c = 3),
+        |hist AS (SELECT lat_hr, COUNT(*) AS c FROM lat GROUP BY lat_hr),
+        |cum AS (SELECT lat_hr, SUM(c) OVER (ORDER BY lat_hr) AS cum FROM hist),
+        |tot AS (SELECT SUM(c) AS n FROM hist),
+        |d AS (SELECT unnest(generate_series(1, 9)) AS decile)
+        |SELECT decile, MIN(lat_hr) AS lat_hr_decile
+        |FROM d CROSS JOIN tot CROSS JOIN cum
+        |WHERE cum >= (decile * n + 9) // 10
+        |GROUP BY decile ORDER BY decile""".stripMargin,
     "a16_cohort_retention" ->
       """WITH byday AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
