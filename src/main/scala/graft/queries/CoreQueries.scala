@@ -301,28 +301,35 @@ object CoreQueries {
     * caps manage); the fold is a codegen'd higher-order function. Sort
     * ties are impossible (event_id is unique), so the fold order is
     * engine-exact and the DuckDB oracle reproduces it bit-for-bit. */
-  private val a15Funnel: Q = (s, d) => {
-    val windowMs = 3L * 86400000L
+  /** The a15/a18 shared funnel ingestion: each user's view/click/
+    * purchase events as a (ts, event_id)-sorted (code, ms) array —
+    * ONE definition so the two folds can never disagree on ordering,
+    * coding, or window arithmetic. */
+  private val FunnelWindowMs = 3L * 86400000L
+  private def funnelCodes: Column = {
     val evs = array_sort(collect_list(struct(col("ts"), col("event_id"),
       when(col("event_type") === "view", 1)
         .when(col("event_type") === "click", 2).otherwise(3).as("c"),
       unix_millis(col("ts")).as("t"))))
-    val codes = transform(evs,
+    transform(evs,
       e => struct(e.getField("c").as("c"), e.getField("t").as("t")))
+  }
+
+  private val a15Funnel: Q = (s, d) => {
     def st(n: Int, t: Column) = struct(lit(n).as("c"), t.as("t"))
     val stage = aggregate(col("__codes"), st(0, lit(0L)),
       (acc, x) => when(acc.getField("c") === 0 && x.getField("c") === 1,
           st(1, x.getField("t")))
         .when(acc.getField("c") === 1 && x.getField("c") === 2 &&
-          x.getField("t") - acc.getField("t") <= windowMs,
+          x.getField("t") - acc.getField("t") <= FunnelWindowMs,
           st(2, acc.getField("t")))
         .when(acc.getField("c") === 2 && x.getField("c") === 3 &&
-          x.getField("t") - acc.getField("t") <= windowMs,
+          x.getField("t") - acc.getField("t") <= FunnelWindowMs,
           st(3, acc.getField("t")))
         .otherwise(acc)).getField("c")
     Tables.events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
-      .groupBy("user_id").agg(codes.as("__codes"))
+      .groupBy("user_id").agg(funnelCodes.as("__codes"))
       .select(col("user_id"), stage.as("stage"))
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
       .orderBy("stage")
@@ -335,17 +342,10 @@ object CoreQueries {
     * accumulator widened to carry the conversion timestamp; latencies
     * quantize to HOURS (the fold's ms values would be all-distinct, and
     * the t6 histogram-quantile method needs a compressible value
-    * domain — at the 3-day window that is ≤ 72 distinct values at any
-    * corpus size), then t6's histogram deciles run over that bounded
-    * frame. */
+    * domain — at the 3-day inclusive window that is 73 values, 0..72,
+    * at any corpus size), then the shared histogram deciles run over
+    * that bounded frame. */
   private val a18FunnelLatency: Q = (s, d) => {
-    val windowMs = 3L * 86400000L
-    val evs = array_sort(collect_list(struct(col("ts"), col("event_id"),
-      when(col("event_type") === "view", 1)
-        .when(col("event_type") === "click", 2).otherwise(3).as("c"),
-      unix_millis(col("ts")).as("t"))))
-    val codes = transform(evs,
-      e => struct(e.getField("c").as("c"), e.getField("t").as("t")))
     def st(c: Column, t: Column, t3: Column) =
       struct(c.as("c"), t.as("t"), t3.as("t3"))
     val fold = aggregate(col("__codes"),
@@ -353,29 +353,20 @@ object CoreQueries {
       (acc, x) => when(acc.getField("c") === 0 && x.getField("c") === 1,
           st(lit(1), x.getField("t"), lit(-1L)))
         .when(acc.getField("c") === 1 && x.getField("c") === 2 &&
-          x.getField("t") - acc.getField("t") <= windowMs,
+          x.getField("t") - acc.getField("t") <= FunnelWindowMs,
           st(lit(2), acc.getField("t"), lit(-1L)))
         .when(acc.getField("c") === 2 && x.getField("c") === 3 &&
-          x.getField("t") - acc.getField("t") <= windowMs,
+          x.getField("t") - acc.getField("t") <= FunnelWindowMs,
           st(lit(3), acc.getField("t"), x.getField("t")))
         .otherwise(acc))
     val lat = Tables.events(s, d)
       .filter(col("event_type").isin("view", "click", "purchase"))
-      .groupBy("user_id").agg(codes.as("__codes"))
+      .groupBy("user_id").agg(funnelCodes.as("__codes"))
       .select(fold.as("f"))
       .filter(col("f.c") === 3)
       .select((col("f.t3") - col("f.t")).as("lat_ms"))
       .select(expr("lat_ms div 3600000").as("lat_hr"))
-    val hist = lat.groupBy("lat_hr").agg(count(lit(1)).as("c"))
-    val cum = hist.withColumn("cum",
-      sum("c").over(org.apache.spark.sql.expressions.Window.orderBy("lat_hr")))
-    val total = hist.agg(sum(col("c")).as("n"))
-    s.range(1, 10).toDF("decile").crossJoin(broadcast(total))
-      .withColumn("pos", expr("(decile * n + 9) div 10"))
-      .join(cum, col("cum") >= col("pos"))
-      .groupBy("decile")
-      .agg(min(col("lat_hr")).as("lat_hr_decile"))
-      .orderBy("decile")
+    TextQueries.histogramDeciles(lat, "lat_hr", "lat_hr_decile")
   }
 
   /** A16 — cohort retention matrix: users bucketed by FIRST-active day
@@ -659,6 +650,18 @@ object CoreQueries {
     * hot keys sprayed over 8 salts and the rule table replicated — the
     * non-broadcast skew-join shape ([[SkewOps.saltedJoin]]). Result ==
     * the plain join, proven by sharing j5's oracle. */
+  private val j9SaltedJoin: Q = (s, d) => {
+    val rules = Seq(
+      ("click", "dwd_traffic_click"), ("view", "dwd_traffic_page"),
+      ("purchase", "dwd_trade_order"), ("signup", "dwd_user_register"),
+      ("error", "dwd_err_log"))
+    val rulesDf = s.createDataFrame(rules).toDF("rule_type", "topic")
+    SkewOps.saltedJoin(Tables.events(s, d), rulesDf,
+        col("event_type"), col("rule_type"), saltBuckets = 8)
+      .select("event_id", "topic")
+      .orderBy("event_id")
+  }
+
   /** J10 — keyless point-in-interval join via BANDING
     * ([[JoinOps.rangeJoinBanded]]): lineitems matched to every 3-day
     * order-date window containing their ship date — NO equi-key exists
@@ -675,7 +678,7 @@ object CoreQueries {
       .distinct()
       .withColumn("win_hi", col("win_lo") + 3L)
     val pts = Tables.lineitem(s, d)
-      .select(col("l_orderkey"), col("l_linenumber"),
+      .select(col("l_orderkey"),
         datediff(col("l_shipdate"), epoch).cast("long").as("ship_day"))
     JoinOps.rangeJoinBanded(pts, col("ship_day"),
         wins, col("win_lo"), col("win_hi"), bandWidth = 1L)
@@ -683,18 +686,6 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_items"),
         min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
       .orderBy("win_lo")
-  }
-
-  private val j9SaltedJoin: Q = (s, d) => {
-    val rules = Seq(
-      ("click", "dwd_traffic_click"), ("view", "dwd_traffic_page"),
-      ("purchase", "dwd_trade_order"), ("signup", "dwd_user_register"),
-      ("error", "dwd_err_log"))
-    val rulesDf = s.createDataFrame(rules).toDF("rule_type", "topic")
-    SkewOps.saltedJoin(Tables.events(s, d), rulesDf,
-        col("event_type"), col("rule_type"), saltBuckets = 8)
-      .select("event_id", "topic")
-      .orderBy("event_id")
   }
 
   /** J8 — AS-OF join: each click event enriched with the user's most

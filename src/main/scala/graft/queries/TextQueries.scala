@@ -293,22 +293,32 @@ object TextQueries {
     * quantile (a row_number over a global sort of all documents would
     * funnel 100 TB through one partition's sort). Decile d = the
     * smallest wc whose cumulative count reaches ceil(d·n/10). */
-  private val t6LengthQuantiles: Q = (s, d) => {
+  /** The histogram-method exact deciles, shared by t6 and a18 (t10
+    * keeps its own variant — it must carry `pos`/`n` through for the
+    * sketch rank-interval check): counts per value compress the input
+    * to |distinct value| rows, the cumulative-sum window runs on that
+    * histogram, decile d = the smallest value whose cumulative count
+    * reaches ⌈d·n/10⌉. */
+  private[queries] def histogramDeciles(values: DataFrame, value: String,
+                                        out: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = Tables.documents(s, d)
-      .groupBy(wordCount(col("text")).as("wc"))
-      .agg(count(lit(1)).as("c"))
-    // the window runs over the histogram (|distinct wc| rows), not docs
-    val cum = hist.withColumn("cum", sum("c").over(Window.orderBy("wc")))
+    val hist = values.groupBy(col(value)).agg(count(lit(1)).as("c"))
+    // the window runs over the histogram (|distinct value| rows)
+    val cum = hist.withColumn("cum", sum("c").over(Window.orderBy(value)))
     val total = hist.agg(sum(col("c")).as("n"))
-    val deciles = s.range(1, 10).toDF("decile")
-    deciles.crossJoin(broadcast(total))
+    values.sparkSession.range(1, 10).toDF("decile")
+      .crossJoin(broadcast(total))
       .withColumn("pos", expr("(decile * n + 9) div 10"))
       .join(cum, col("cum") >= col("pos"))
       .groupBy("decile")
-      .agg(min(col("wc")).as("wc_decile"))
+      .agg(min(col(value)).as(out))
       .orderBy("decile")
   }
+
+  private val t6LengthQuantiles: Q = (s, d) =>
+    histogramDeciles(
+      Tables.documents(s, d).select(wordCount(col("text")).as("wc")),
+      "wc", "wc_decile")
 
   /** T10 — approximate deciles via the GK sketch (`approx_percentile`,
     * accuracy 100 ⇒ rank error ≤ N/100): the SKETCH twin of t6 — the
