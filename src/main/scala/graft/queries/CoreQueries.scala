@@ -369,6 +369,29 @@ object CoreQueries {
     TextQueries.histogramDeciles(lat, "lat_hr", "lat_hr_decile")
   }
 
+  /** A19 — event-type transition matrix (the clickstream Markov counts
+    * behind "where do users go next" path analysis): per user, events
+    * time-ordered, each consecutive (previous → current) type pair
+    * counted. ONE shuffle on user_id feeds both the lag window and —
+    * because the 5×5 pair grid is tiny — a map-side-partial final
+    * aggregate; nothing else exchanges. Per-user window partitions are
+    * bounded by per-user event count (the same skew observable u7's
+    * caps manage), and the (ts, event_id) sort key is tie-free
+    * (event_id is unique) so lag() is engine-exact against the
+    * oracle's identical window. */
+  private val a19EventTransitions: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("prev_type"), col("event_type").as("curr_type"), col("n"))
+      .orderBy("prev_type", "curr_type")
+  }
+
   /** A16 — cohort retention matrix: users bucketed by FIRST-active day
     * (the cohort), counted on each later active day as (cohort, offset)
     * cells — the standard retention triangle. Two-phase distinct first
@@ -619,6 +642,35 @@ object CoreQueries {
       .orderBy("order_id", "line", "qty", "price")
   }
 
+  /** X3 — single-pass table profiling (the ANALYZE/data-quality surface:
+    * per-column row, null and distinct counts). The table MELTS map-side
+    * into (col_name, value-as-string) pairs — explode of a literal
+    * struct array, no shuffle — and ONE two-phase distinct aggregate
+    * keyed (col_name, v) produces every column's profile together.
+    * Deliberately NOT `count(distinct c1), count(distinct c2), …` over
+    * the unmelted table: Spark plans multi-distinct through an Expand
+    * that multiplies every input row by the number of distinct
+    * aggregates INSIDE the shuffle; the melt pays the same ×N_cols
+    * row multiplication but map-side, where the partial aggregate
+    * collapses it to the per-column value domains before the exchange.
+    * String casts are shortest-roundtrip (injective) in both engines,
+    * so per-column distinct counts are cast-invariant. At 100 TB this
+    * is the profile shape that works: one scan, one shuffle whose
+    * volume is the sum of distinct-value domains, not the data. */
+  private val x3Profile: Q = (s, d) => {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    Tables.orders(s, d)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.v").as("v"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("v"))).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"))
+      .orderBy("col_name")
+  }
+
   /** J7 — double self-lookup: the SAME dim table joined TWICE under two
     * aliases (customer's nation vs supplier's nation — the reference
     * aliases one HBase dim twice, DwdTradeRefundOrderDetail.java:83-106).
@@ -834,6 +886,8 @@ object CoreQueries {
     "q3_top_revenue" -> q3TopRevenue,
     "x1_split_route" -> x1SplitRoute,
     "x2_log_explode" -> x2LogExplode,
+    "x3_profile" -> x3Profile,
+    "a19_event_transitions" -> a19EventTransitions,
     "j7_double_lookup" -> j7DoubleLookup,
     "j8_asof_join" -> j8AsofJoin,
     "j9_salted_join" -> j9SaltedJoin,
@@ -1045,6 +1099,31 @@ object CoreQueries {
         |FROM d CROSS JOIN tot CROSS JOIN cum
         |WHERE cum >= (decile * n + 9) // 10
         |GROUP BY decile ORDER BY decile""".stripMargin,
+    "a19_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS curr_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM seq WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, curr_type""".stripMargin,
+    "x3_profile" ->
+      """WITH m AS (
+        |  SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v
+        |  FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR)
+        |    FROM orders
+        |  UNION ALL SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR)
+        |    FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
+        |SELECT col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
+        |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+        |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin,
     "a16_cohort_retention" ->
       """WITH byday AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

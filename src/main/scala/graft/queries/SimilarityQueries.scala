@@ -304,8 +304,32 @@ object SimilarityQueries {
       .orderBy("cluster")
   }
 
+  /** D11 — keep-BEST-copy NEAR-dup dedup: d10's quality-argmax survivor
+    * rule applied to d6's connected components instead of exact-dup
+    * groups — the production curation shape (near-dup clusters keep the
+    * cleanest rendition, not the lowest id; cf. d10's scaladoc for the
+    * why). Costs d6 + one doc_id join + one map-side-partial struct-max
+    * aggregate: the argmax rides `max(struct(q, −doc_id))` so ties fall
+    * to the lowest id deterministically, and no window or second
+    * shuffle touches the cluster frame. Output is one row per cluster
+    * (singletons included), so the result is corpus-sized only in the
+    * degenerate all-singleton case the aggregate collapses map-side. */
+  private val d11BestNeardup: Q = (s, d) => {
+    val labels = d6DedupClusters(s, d)
+    val q = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+    labels.join(q, "doc_id")
+      .groupBy("canonical_id")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_docs"))
+      .select(col("canonical_id"), (-col("m.nid")).as("keep_doc_id"),
+        col("m.q").as("quality_score"), col("n_docs"))
+      .orderBy("canonical_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d3_minhash_neardup" -> d3MinhashNeardup,
+    "d11_best_neardup" -> d11BestNeardup,
     "d4_simhash" -> d4Simhash,
     "d6_dedup_clusters" -> d6DedupClusters,
     "d5_ngram_jaccard" -> d5NgramJaccard,
@@ -815,6 +839,20 @@ object SimilarityQueries {
     "d7_simhash_hamming" -> d7Sql,
     "d5_ngram_jaccard" -> d5Sql,
     "d6_dedup_clusters" -> d6Sql,
+    // d11: d6's labels as a CTE + the shared t2 quality fragment; the
+    // window-argmax mirrors the Spark struct-max's (q DESC, id ASC) order
+    "d11_best_neardup" ->
+      s"""WITH labels AS ($d6Sql),
+         |q AS (SELECT doc_id, ${TextQueries.qSql} AS q FROM documents)
+         |SELECT canonical_id, doc_id AS keep_doc_id, q AS quality_score,
+         |  n_docs FROM (
+         |  SELECT canonical_id, doc_id, q,
+         |    ROW_NUMBER() OVER (PARTITION BY canonical_id
+         |      ORDER BY q DESC, doc_id ASC) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+         |      AS n_docs
+         |  FROM labels JOIN q USING (doc_id))
+         |WHERE rn = 1 ORDER BY canonical_id""".stripMargin,
     "d8_span_dedup" -> d8Sql,
     "d9_semantic_dedup" -> d9Sql,
     "v9_cluster_profile" -> v9Sql,

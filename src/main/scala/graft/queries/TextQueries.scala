@@ -742,9 +742,9 @@ object TextQueries {
        |     ELSE 'test' END""".stripMargin
 
   /** The oracle half of TextFunctions.qualityScore — the ONE SQL
-    * definition of the t2 quality heuristic, shared by the t2, c1 and
-    * d10 oracles (a tweak in one place cannot desynchronize them). */
-  private def qSql: String =
+    * definition of the t2 quality heuristic, shared by the t2, c1, d10
+    * and d11 oracles (a tweak in one place cannot desynchronize them). */
+  private[queries] def qSql: String =
     s"""least($wcSql / 100.0, 1.0) * 0.5
        | + least($stopSql * 10.0 / $wcSql, 1.0) * 0.3
        | + (CASE WHEN $punctSql * 5 <= length(text) THEN 0.2 ELSE 0.0 END)""".stripMargin
