@@ -258,4 +258,36 @@ object StatefulOps {
         out.result().iterator
     }
   }
+
+  /** A19's streaming twin — per-key consecutive transition PAIRS emitted
+    * incrementally: each arriving event pairs with its key's PREVIOUS
+    * event type; downstream counts the pairs (`groupBy(prev, curr)`)
+    * into the same matrix the batch lag-window produces. State is ONE
+    * label per key (the last event type seen) — bytes per user, not
+    * events — and, like the batch window, the pair relation spans any
+    * gap, so there is nothing to expire: state is O(active keyspace) by
+    * the problem's own definition (bound it upstream with u7-style caps
+    * if the keyspace itself is unbounded). Delivery contract matches
+    * [[funnelStage]]: within a micro-batch events sort by `orderOf`;
+    * across batches per-key event-time must be non-decreasing (a
+    * watermarked, key-partitioned source upholds this). */
+  def transitionPairs[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+      typeOf: V => String,
+      orderOf: V => (Long, Long)): Dataset[(K, String, String)] = {
+    implicit val outEnc: Encoder[(K, String, String)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.STRING, Encoders.STRING)
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (k: K, it: Iterator[V], state: GroupState[String]) =>
+        var prev = state.getOption.orNull
+        val out = Seq.newBuilder[(K, String, String)]
+        it.toSeq.sortBy(orderOf).foreach { v =>
+          val t = typeOf(v)
+          if (prev != null) out += ((k, prev, t))
+          prev = t
+        }
+        if (prev != null) state.update(prev)
+        out.result().iterator
+    }
+  }
 }

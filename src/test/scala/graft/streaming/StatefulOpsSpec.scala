@@ -12,6 +12,7 @@ import graft.operators.DedupOps
   * driver's DuckDB oracle cannot see streams, so this spec is the gate). */
 case class Ev(user: Long, seq: Long, day: String, v: Double)
 case class Fe(user: Long, us: Long, eid: Long, code: Int)
+case class Te(user: Long, us: Long, eid: Long, et: String)
 
 class StatefulOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -178,5 +179,36 @@ class StatefulOpsSpec extends SparkSpec {
     }
     assert(gotStage == ref.filter(_._2 >= 1))
     assert(ref.count(_._2 == 0) == ref.size - gotStage.size)
+  }
+
+  test("transitionPairs stream-aggregated == the batch a19 transition matrix") {
+    // REAL sf0.001 events (all five types), streamed in three
+    // chronological chunks — per-key event-time non-decreasing across
+    // batches, the operator's documented delivery contract
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => Te(r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .sortBy(e => (e.us, e.eid))
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Te]
+    val q = StatefulOps.transitionPairs[Long, Te](mem.toDS(), _.user,
+        _.et, e => (e.us, e.eid))
+      .toDF("user", "prev_type", "curr_type")
+      .writeStream.format("memory").queryName("trn")
+      .outputMode(OutputMode.Append()).start()
+    try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("trn")
+      .groupBy("prev_type", "curr_type").count()
+      .as[(String, String, Long)].collect()
+      .map { case (p, c, n) => (p, c) -> n }.toMap
+    val batch = graft.SparkEntry.queries("a19_event_transitions")(spark, sf)
+      .as[(String, String, Long)].collect()
+      .map { case (p, c, n) => (p, c) -> n }.toMap
+    assert(got == batch)
   }
 }
