@@ -513,6 +513,50 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T12 — BM25 retrieval ranking (Robertson et al.; k1 = 6/5, b = 3/4
+    * as exact rationals): top-5 documents per query term — the search/
+    * ranking capability class (t8's tf-idf scores salience per doc;
+    * this ranks docs for a QUERY). The rational k1/b fold the whole
+    * per-term score into one division of deterministic operands —
+    * with T = corpus token total and N = doc count,
+    * `score = idf_scaled · 44·T·tf / (20·T·tf + 6·T + 18·len·N)`
+    * (avgdl = T/N cleared from the denominator), idf_scaled the t8
+    * rational `N·10^6 div df` — so both engines run the identical IEEE
+    * expression tree and the result hash-matches bit-for-bit. Plan
+    * shape: token scan filtered to the query terms BEFORE the tf
+    * aggregate (the scan's explode feeds a pushable filter), df and
+    * the 1-row corpus stats broadcast, lens joined on doc_id, and the
+    * per-term top-5 rides the bounded [[graft.functions.TopK]]
+    * aggregator — ≤k rows per term per partition reach the shuffle,
+    * never a per-term global sort. */
+  private val Bm25Terms = Seq("data", "join", "scan")
+  private val t12Bm25: Q = (s, d) => {
+    val lens = Tables.documents(s, d)
+      .select(col("doc_id"), wordCount(col("text")).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("t_tokens"))
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("token"))
+      .filter(col("token").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_scaled", expr("(n_docs * 1000000) div df"))
+      .withColumn("score",
+        col("idf_scaled") * (lit(44.0) * col("t_tokens") * col("tf")) /
+          (lit(20.0) * col("t_tokens") * col("tf") + lit(6.0) * col("t_tokens")
+            + lit(18.0) * col("len") * col("n_docs")))
+    scored.groupBy("token")
+      .agg(graft.functions.TopK.topK(5)(col("score"), col("doc_id")).as("top"))
+      .select(col("token"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("token"), (col("pos") + 1).cast("int").as("rnk"),
+        col("sc._2").as("doc_id"), col("sc._1").as("score"))
+      .orderBy("token", "rnk")
+  }
+
   /** U8 — stratified (per-source) hash sampling: each provenance source
     * gets its own deterministic keep-rate; a document survives iff its
     * content-hash bucket falls under the source's rate. This is the
@@ -678,6 +722,7 @@ object TextQueries {
     "t8_tfidf" -> t8Tfidf,
     "t9_rarity" -> t9Rarity,
     "t11_bigram_coherence" -> t11BigramCoherence,
+    "t12_bm25" -> t12Bm25,
     "u8_stratified_sample" -> u8StratifiedSample,
     "u9_weighted_mix" -> u9WeightedMix,
     "u10_pack_sequences" -> u10PackSequences,
@@ -796,6 +841,27 @@ object TextQueries {
          |  CAST(SUM((n * 1000) // c) // COUNT(*) AS BIGINT) AS rarity
          |FROM toks JOIN cnt USING (token) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t12_bm25" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS token
+         |  FROM documents),
+         |lens AS (SELECT doc_id, $wcSql AS len FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                 CAST(SUM(len) AS BIGINT) AS t_tokens FROM lens),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM toks WHERE token IN ('data', 'join', 'scan')
+         |       GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY token),
+         |scored AS (
+         |  SELECT token, doc_id,
+         |    ((n_docs * 1000000 // df) * (44.0*t_tokens*tf))
+         |      / (20.0*t_tokens*tf + 6.0*t_tokens + 18.0*len*n_docs) AS score
+         |  FROM tf JOIN df USING (token) JOIN lens USING (doc_id)
+         |  CROSS JOIN stats)
+         |SELECT token, CAST(ROW_NUMBER() OVER (PARTITION BY token
+         |    ORDER BY score DESC, doc_id ASC) AS INT) AS rnk, doc_id, score
+         |FROM scored QUALIFY rnk <= 5 ORDER BY token, rnk""".stripMargin,
     "t11_bigram_coherence" ->
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
