@@ -513,6 +513,32 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** U13 — fixed-window token chunking (window 64, stride 48 → 16-token
+    * overlap): the context-window segmentation every RAG / pre-training
+    * pipeline runs before embedding or packing (u10 packs whole docs
+    * into sequences; this SPLITS docs into overlapping model-window
+    * chunks). Pure map-side — tokenize once, explode the stride grid,
+    * slice the token array per start — no shuffle except the final
+    * presentation sort; chunk identity is the md5 of the joined token
+    * slice, so downstream chunk-level dedup (the d1 family) composes
+    * directly. Scales embarrassingly: output rows = Σ ceil(len/stride),
+    * each row independent of every other. */
+  private val u13Chunk: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(normalized(col("text"))).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+    toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("n") - 1, lit(48L))).as("start"))
+      .select(col("doc_id"), expr("start div 48").as("chunk_idx"),
+        col("start").as("start_tok"),
+        slice(col("t"), (col("start") + 1).cast("int"), lit(64)).as("c"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("c")).cast("long").as("n_tokens"),
+        md5(array_join(col("c"), " ")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** T12 — BM25 retrieval ranking (Robertson et al.; k1 = 6/5, b = 3/4
     * as exact rationals): top-5 documents per query term — the search/
     * ranking capability class (t8's tf-idf scores salience per doc;
@@ -723,6 +749,7 @@ object TextQueries {
     "t9_rarity" -> t9Rarity,
     "t11_bigram_coherence" -> t11BigramCoherence,
     "t12_bm25" -> t12Bm25,
+    "u13_chunk" -> u13Chunk,
     "u8_stratified_sample" -> u8StratifiedSample,
     "u9_weighted_mix" -> u9WeightedMix,
     "u10_pack_sequences" -> u10PackSequences,
@@ -841,6 +868,21 @@ object TextQueries {
          |  CAST(SUM((n * 1000) // c) // COUNT(*) AS BIGINT) AS rarity
          |FROM toks JOIN cnt USING (token) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "u13_chunk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, t,
+         |    unnest(generate_series(0, len(t) - 1, 48)) AS start
+         |  FROM toks)
+         |SELECT doc_id, start // 48 AS chunk_idx,
+         |  CAST(start AS BIGINT) AS start_tok,
+         |  CAST(len(t[start + 1 : least(start + 64, len(t))]) AS BIGINT)
+         |    AS n_tokens,
+         |  md5(array_to_string(t[start + 1 : least(start + 64, len(t))], ' '))
+         |    AS chunk_fp
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "t12_bm25" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS token
