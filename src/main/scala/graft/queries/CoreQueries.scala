@@ -392,6 +392,62 @@ object CoreQueries {
       .orderBy("prev_type", "curr_type")
   }
 
+  /** A20 — SCD2 dimension history from a changelog: per key, the
+    * attribute's run-length-collapsed version intervals (valid_from /
+    * valid_to / is_current) — the slowly-changing-dimension type-2
+    * build every CDC warehouse (the reference's domain) runs between
+    * its ODS changelog and DIM layer. Treats `events` as the changelog
+    * of each user's event_type attribute: consecutive duplicates
+    * collapse (lag ≠ current), then each surviving change takes
+    * `valid_to` from the NEXT change (lead over the collapsed frame).
+    * Both windows share the one (user_id) shuffle and the tie-free
+    * (ts, event_id) sort; the second window re-sorts but never
+    * re-exchanges. */
+  private val a20Scd2History: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("vt", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("attr"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("vt").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  /** A21 — Pearson correlation via EXACT sum algebra: engine-native
+    * `corr()` implementations differ numerically across engines
+    * (Welford vs naive accumulation, merge order), so the five moments
+    * accumulate as exact DECIMAL sums — order-independent, shuffle-
+    * safe — and only the FINAL closed form runs in doubles. Even so,
+    * decimal→double CASTS round differently across engines by one ulp
+    * (observed at sf0.001: …3604 vs …36 in the 16th digit — DuckDB's
+    * int128/10^scale path vs the JVM's correctly-rounded BigDecimal),
+    * so the output quantizes to 10^-6 (`corr_q6`, the t9 integer-scale
+    * pattern): a micro-unit correlation is insensitive to last-bit
+    * noise while still being a real statistics answer. */
+  private val a21Corr: Q = (s, d) => {
+    val base = Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+      dec(col("l_quantity")).as("q"), dec(col("l_extendedprice")).as("p"))
+    val m = base.groupBy("flag").agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+      sum(col("q") * col("q")).as("sqq"),
+      sum(col("p") * col("p")).as("spp"),
+      sum(col("q") * col("p")).as("sqp"))
+    def dbl(c: String) = col(c).cast("double")
+    m.select(col("flag"), col("n"),
+        round(((dbl("n") * dbl("sqp") - dbl("sq") * dbl("sp")) /
+          (sqrt(dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")) *
+            sqrt(dbl("n") * dbl("spp") - dbl("sp") * dbl("sp")))) * 1000000.0)
+          .cast("long").as("corr_q6"))
+      .orderBy("flag")
+  }
+
   /** A16 — cohort retention matrix: users bucketed by FIRST-active day
     * (the cohort), counted on each later active day as (cohort, offset)
     * cells — the standard retention triangle. Two-phase distinct first
@@ -888,6 +944,8 @@ object CoreQueries {
     "x2_log_explode" -> x2LogExplode,
     "x3_profile" -> x3Profile,
     "a19_event_transitions" -> a19EventTransitions,
+    "a20_scd2_history" -> a20Scd2History,
+    "a21_corr" -> a21Corr,
     "j7_double_lookup" -> j7DoubleLookup,
     "j8_asof_join" -> j8AsofJoin,
     "j9_salted_join" -> j9SaltedJoin,
@@ -1099,6 +1157,45 @@ object CoreQueries {
         |FROM d CROSS JOIN tot CROSS JOIN cum
         |WHERE cum >= (decile * n + 9) // 10
         |GROUP BY decile ORDER BY decile""".stripMargin,
+    "a20_scd2_history" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type FROM seq
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |hist AS (
+        |  SELECT user_id, event_type AS attr, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM chg)
+        |SELECT user_id, attr,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  vt IS NULL AS is_current
+        |FROM hist ORDER BY user_id, valid_from""".stripMargin,
+    "a21_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, n,
+        |  CAST(round(((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+        |     - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+        |       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+        |       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))) * 1000000.0)
+        |    AS BIGINT) AS corr_q6
+        |FROM m ORDER BY flag""".stripMargin,
     "a19_event_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,
