@@ -448,6 +448,29 @@ object CoreQueries {
       .orderBy("flag")
   }
 
+  /** A22 — per-day OHLC bars (open/high/low/close of the event value
+    * per type): the time-series downsampling shape every metrics /
+    * trading engine ships. ONE map-side-partial aggregate: open and
+    * close ride struct-min/struct-max over (ts, event_id, value) —
+    * the unique (ts, event_id) prefix makes the argmin/argmax total,
+    * so no window, no second shuffle, and partials merge
+    * associatively at any parallelism. Values pass through untouched
+    * (no arithmetic), so doubles hash-match trivially. */
+  private val a22Ohlc: Q = (s, d) => {
+    val e = Tables.events(s, d).select(
+      date_trunc("DAY", col("ts")).as("day"), col("event_type"),
+      col("ts"), col("event_id"), col("value"))
+    e.groupBy("day", "event_type")
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        count(lit(1)).as("n"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("cur_date"),
+        col("event_type"), col("o.value").as("open"), col("high"),
+        col("low"), col("c.value").as("close"), col("n"))
+      .orderBy("cur_date", "event_type")
+  }
+
   /** A16 — cohort retention matrix: users bucketed by FIRST-active day
     * (the cohort), counted on each later active day as (cohort, offset)
     * cells — the standard retention triangle. Two-phase distinct first
@@ -946,6 +969,7 @@ object CoreQueries {
     "a19_event_transitions" -> a19EventTransitions,
     "a20_scd2_history" -> a20Scd2History,
     "a21_corr" -> a21Corr,
+    "a22_ohlc" -> a22Ohlc,
     "j7_double_lookup" -> j7DoubleLookup,
     "j8_asof_join" -> j8AsofJoin,
     "j9_salted_join" -> j9SaltedJoin,
@@ -1157,6 +1181,33 @@ object CoreQueries {
         |FROM d CROSS JOIN tot CROSS JOIN cum
         |WHERE cum >= (decile * n + 9) // 10
         |GROUP BY decile ORDER BY decile""".stripMargin,
+    "a22_ohlc" ->
+      """WITH e AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, ts, event_id,
+        |    value
+        |  FROM events),
+        |o AS (
+        |  SELECT day, event_type, value AS open,
+        |    ROW_NUMBER() OVER (PARTITION BY day, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM e),
+        |c AS (
+        |  SELECT day, event_type, value AS close,
+        |    ROW_NUMBER() OVER (PARTITION BY day, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e),
+        |agg AS (
+        |  SELECT day, event_type, MAX(value) AS high, MIN(value) AS low,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM e GROUP BY day, event_type)
+        |SELECT strftime(agg.day, '%Y-%m-%d') AS cur_date, agg.event_type,
+        |  o.open, agg.high, agg.low, c.close, agg.n
+        |FROM agg
+        |JOIN o ON o.day = agg.day AND o.event_type = agg.event_type
+        |  AND o.rn = 1
+        |JOIN c ON c.day = agg.day AND c.event_type = agg.event_type
+        |  AND c.rn = 1
+        |ORDER BY cur_date, agg.event_type""".stripMargin,
     "a20_scd2_history" ->
       """WITH seq AS (
         |  SELECT user_id, ts, event_id, event_type,

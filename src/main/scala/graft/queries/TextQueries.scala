@@ -539,6 +539,32 @@ object TextQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** U14 — fixed-COUNT stratified sample: exactly min(k, n) documents
+    * per source, chosen as the k smallest stable-hash keys — the
+    * "exactly 20 eval docs per stratum" form (u8 is the RATE form; a
+    * rate cannot promise a count). Deterministic and engine-portable:
+    * the sample is a pure function of doc_id. Rides the bounded
+    * [[graft.functions.TopK]] aggregator (map-side partial top-k, ≤k
+    * rows per source×partition reach the shuffle — never a per-group
+    * global sort); the hash folds to 2^48 so its negated double score
+    * is EXACT (2^48 < 2^53) and the (key, doc_id) order matches the
+    * oracle's integer sort bit-for-bit, mod-collisions tie-broken by
+    * id on both sides. */
+  private val u14FixedSample: Q = (s, d) => {
+    val SampleDomain = 1L << 48
+    val key = StableHash.stable60(col("doc_id").cast("string")) % SampleDomain
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), key.as("k"))
+      .groupBy("source")
+      .agg(graft.functions.TopK.topK(20)(
+        -col("k").cast("double"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rnk"),
+        col("sc._2").as("doc_id"),
+        (-col("sc._1")).cast("long").as("sample_key"))
+      .orderBy("source", "rnk")
+  }
+
   /** T12 — BM25 retrieval ranking (Robertson et al.; k1 = 6/5, b = 3/4
     * as exact rationals): top-5 documents per query term — the search/
     * ranking capability class (t8's tf-idf scores salience per doc;
@@ -750,6 +776,7 @@ object TextQueries {
     "t11_bigram_coherence" -> t11BigramCoherence,
     "t12_bm25" -> t12Bm25,
     "u13_chunk" -> u13Chunk,
+    "u14_fixed_sample" -> u14FixedSample,
     "u8_stratified_sample" -> u8StratifiedSample,
     "u9_weighted_mix" -> u9WeightedMix,
     "u10_pack_sequences" -> u10PackSequences,
@@ -868,6 +895,15 @@ object TextQueries {
          |  CAST(SUM((n * 1000) // c) // COUNT(*) AS BIGINT) AS rarity
          |FROM toks JOIN cnt USING (token) CROSS JOIN tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "u14_fixed_sample" ->
+      s"""WITH h AS (
+         |  SELECT source, doc_id,
+         |    ${stable60Sql("CAST(doc_id AS VARCHAR)")} % 281474976710656 AS k
+         |  FROM documents)
+         |SELECT source, CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY k, doc_id) AS INT) AS rnk,
+         |  doc_id, k AS sample_key
+         |FROM h QUALIFY rnk <= 20 ORDER BY source, rnk""".stripMargin,
     "u13_chunk" ->
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
