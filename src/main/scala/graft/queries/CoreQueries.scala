@@ -471,6 +471,38 @@ object CoreQueries {
       .orderBy("cur_date", "event_type")
   }
 
+  /** A23 — last-touch attribution: each purchase attributed to the
+    * user's most recent STRICTLY-preceding click within a 7-day
+    * lookback — the marketing-attribution query class. One exchange on
+    * user_id: a forward-fill window (`last(click_ts) ignoreNulls` over
+    * unbounded-preceding-to-−1 rows) carries the latest click to every
+    * event, then purchases aggregate per day into attributed/organic
+    * counts and an integer attributed-latency total (minutes — exact
+    * arithmetic, no float). The j8 as-of shape specialized to a single
+    * self-stream: no join at all, the version and fact streams being
+    * the same rows. */
+  private val a23Attribution: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val LookbackMs = 7L * 86400000L
+    val withClick = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), true).over(w))
+    withClick.filter(col("event_type") === "purchase")
+      .withColumn("lat_ms", unix_millis(col("ts")) - unix_millis(col("click_ts")))
+      .withColumn("attributed",
+        col("click_ts").isNotNull && col("lat_ms") <= LookbackMs)
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd")
+        .as("cur_date"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(when(col("attributed"), 1)).as("n_attributed"),
+        coalesce(sum(when(col("attributed"),
+          expr("lat_ms div 60000"))), lit(0L)).as("attributed_lat_min"))
+      .orderBy("cur_date")
+  }
+
   /** A16 — cohort retention matrix: users bucketed by FIRST-active day
     * (the cohort), counted on each later active day as (cohort, offset)
     * cells — the standard retention triangle. Two-phase distinct first
@@ -970,6 +1002,7 @@ object CoreQueries {
     "a20_scd2_history" -> a20Scd2History,
     "a21_corr" -> a21Corr,
     "a22_ohlc" -> a22Ohlc,
+    "a23_attribution" -> a23Attribution,
     "j7_double_lookup" -> j7DoubleLookup,
     "j8_asof_join" -> j8AsofJoin,
     "j9_salted_join" -> j9SaltedJoin,
@@ -1181,6 +1214,28 @@ object CoreQueries {
         |FROM d CROSS JOIN tot CROSS JOIN cum
         |WHERE cum >= (decile * n + 9) // 10
         |GROUP BY decile ORDER BY decile""".stripMargin,
+    "a23_attribution" ->
+      """WITH wc AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS click_ts
+        |  FROM events),
+        |p AS (
+        |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS cur_date,
+        |    epoch_ms(ts) - epoch_ms(click_ts) AS lat_ms,
+        |    click_ts IS NOT NULL
+        |      AND epoch_ms(ts) - epoch_ms(click_ts) <= 604800000
+        |      AS attributed
+        |  FROM wc WHERE event_type = 'purchase')
+        |SELECT cur_date, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(CASE WHEN attributed THEN 1 END) AS BIGINT)
+        |    AS n_attributed,
+        |  COALESCE(SUM(CASE WHEN attributed THEN lat_ms // 60000 END),
+        |    0)::BIGINT AS attributed_lat_min
+        |FROM p GROUP BY cur_date ORDER BY cur_date""".stripMargin,
     "a22_ohlc" ->
       """WITH e AS (
         |  SELECT date_trunc('day', ts) AS day, event_type, ts, event_id,

@@ -10,6 +10,7 @@ import graft.SparkSpec
 import graft.operators.WindowOps
 
 case class TsEv(ts: Timestamp, key: String, v: Double)
+case class Oe(ts: Timestamp, event_id: Long, event_type: String, value: Double)
 
 class WindowingSpec extends SparkSpec {
   import spark.implicits._
@@ -101,5 +102,43 @@ class WindowingSpec extends SparkSpec {
       ("2024-01-01 10:00:00", "2024-01-01 10:10:00", "2024-01-01", "a", 2L, 3.0),
       ("2024-01-01 10:00:00", "2024-01-01 10:10:00", "2024-01-01", "b", 1L, 4.0),
       ("2024-01-01 10:20:00", "2024-01-01 10:30:00", "2024-01-01", "a", 1L, 8.0)))
+  }
+
+  test("streaming daily OHLC == the batch a22 bars (struct-argmin/argmax in a watermarked window)") {
+    // the REAL sf0.001 events streamed chronologically in three chunks;
+    // a far-future sentinel advances the watermark past the last day so
+    // every real window flushes in append mode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      .as[(Timestamp, Long, String, Double)].collect()
+      .map { case (ts, id, et, v) => Oe(ts, id, et, v) }
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val sentinel = Oe(new Timestamp(rows.last.ts.getTime + 30L * 86400000L),
+      -1L, "zz_sentinel", 0.0)
+    val chunks = rows.grouped((rows.length + 1) / 2).map(_.toSeq).toSeq :+
+      Seq(sentinel)
+    val mem = MemoryStream[Oe]
+    val out = Windows.tumblingAgg(mem.toDF(), "ts", "1 day", "2 seconds",
+      Seq(col("event_type")), Seq(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        count(lit(1)).as("n")))
+      .select(col("cur_date"), col("event_type"), col("o.value").as("open"),
+        col("high"), col("low"), col("c.value").as("close"), col("n"))
+    val q = out.writeStream.format("memory").queryName("ohlc")
+      .outputMode(OutputMode.Append()).start()
+    try chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("ohlc")
+      .filter(col("event_type") =!= "zz_sentinel")
+      .as[(String, String, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    val batch = graft.SparkEntry.queries("a22_ohlc")(spark, sf)
+      .as[(String, String, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    assert(got == batch)
   }
 }
