@@ -416,7 +416,10 @@ object CoreQueries {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
         date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
         col("vt").isNull.as("is_current"))
-      .orderBy("user_id", "valid_from")
+      // attr in the sort: valid_from truncates to whole seconds, so two
+      // same-second changes would otherwise tie — (user, from, attr) is
+      // total (a second change at the SAME second has a distinct attr)
+      .orderBy("user_id", "valid_from", "attr")
   }
 
   /** A21 — Pearson correlation via EXACT sum algebra: engine-native
@@ -440,11 +443,16 @@ object CoreQueries {
       sum(col("p") * col("p")).as("spp"),
       sum(col("q") * col("p")).as("sqp"))
     def dbl(c: String) = col(c).cast("double")
+    // zero-variance guard: a constant column makes the denominator 0.0
+    // and NaN/Infinity CASTS DIVERGE across engines (Spark casts NaN to
+    // 0 and Infinity to Long.MaxValue; DuckDB NULLs or errors) — the
+    // degenerate case must be deterministic, so it is NULL on both sides
+    val num = dbl("n") * dbl("sqp") - dbl("sq") * dbl("sp")
+    val den = sqrt(dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")) *
+      sqrt(dbl("n") * dbl("spp") - dbl("sp") * dbl("sp"))
     m.select(col("flag"), col("n"),
-        round(((dbl("n") * dbl("sqp") - dbl("sq") * dbl("sp")) /
-          (sqrt(dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")) *
-            sqrt(dbl("n") * dbl("spp") - dbl("sp") * dbl("sp")))) * 1000000.0)
-          .cast("long").as("corr_q6"))
+        when(den =!= lit(0.0),
+          round((num / den) * 1000000.0).cast("long")).as("corr_q6"))
       .orderBy("flag")
   }
 
@@ -1280,7 +1288,7 @@ object CoreQueries {
         |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
         |  vt IS NULL AS is_current
-        |FROM hist ORDER BY user_id, valid_from""".stripMargin,
+        |FROM hist ORDER BY user_id, valid_from, attr""".stripMargin,
     "a21_corr" ->
       """WITH m AS (
         |  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1294,14 +1302,18 @@ object CoreQueries {
         |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
         |  FROM lineitem GROUP BY 1)
         |SELECT flag, n,
-        |  CAST(round(((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
-        |     - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
-        |  / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
-        |       - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-        |     * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
-        |       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))) * 1000000.0)
-        |    AS BIGINT) AS corr_q6
-        |FROM m ORDER BY flag""".stripMargin,
+        |  CASE WHEN den <> 0 THEN CAST(round((num / den) * 1000000.0)
+        |    AS BIGINT) END AS corr_q6
+        |FROM (
+        |  SELECT flag, n,
+        |    CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+        |      - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) AS num,
+        |    sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+        |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+        |      * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+        |        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) AS den
+        |  FROM m)
+        |ORDER BY flag""".stripMargin,
     "a19_event_transitions" ->
       """WITH seq AS (
         |  SELECT event_type,

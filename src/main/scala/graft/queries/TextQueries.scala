@@ -523,16 +523,18 @@ object TextQueries {
     * slice, so downstream chunk-level dedup (the d1 family) composes
     * directly. Scales embarrassingly: output rows = Σ ceil(len/stride),
     * each row independent of every other. */
+  private val ChunkStride = 48L
+  private val ChunkWin = 64
   private val u13Chunk: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), tokens(normalized(col("text"))).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
     toks
       .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0L), col("n") - 1, lit(48L))).as("start"))
-      .select(col("doc_id"), expr("start div 48").as("chunk_idx"),
+        explode(sequence(lit(0L), col("n") - 1, lit(ChunkStride))).as("start"))
+      .select(col("doc_id"), expr(s"start div $ChunkStride").as("chunk_idx"),
         col("start").as("start_tok"),
-        slice(col("t"), (col("start") + 1).cast("int"), lit(64)).as("c"))
+        slice(col("t"), (col("start") + 1).cast("int"), lit(ChunkWin)).as("c"))
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         size(col("c")).cast("long").as("n_tokens"),
         md5(array_join(col("c"), " ")).as("chunk_fp"))
@@ -910,13 +912,14 @@ object TextQueries {
          |  FROM documents),
          |st AS (
          |  SELECT doc_id, t,
-         |    unnest(generate_series(0, len(t) - 1, 48)) AS start
+         |    unnest(generate_series(0, len(t) - 1, $ChunkStride)) AS start
          |  FROM toks)
-         |SELECT doc_id, start // 48 AS chunk_idx,
+         |SELECT doc_id, start // $ChunkStride AS chunk_idx,
          |  CAST(start AS BIGINT) AS start_tok,
-         |  CAST(len(t[start + 1 : least(start + 64, len(t))]) AS BIGINT)
+         |  CAST(len(t[start + 1 : least(start + $ChunkWin, len(t))]) AS BIGINT)
          |    AS n_tokens,
-         |  md5(array_to_string(t[start + 1 : least(start + 64, len(t))], ' '))
+         |  md5(array_to_string(
+         |      t[start + 1 : least(start + $ChunkWin, len(t))], ' '))
          |    AS chunk_fp
          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "t12_bm25" ->

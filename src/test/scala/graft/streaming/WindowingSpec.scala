@@ -105,9 +105,10 @@ class WindowingSpec extends SparkSpec {
   }
 
   test("streaming daily OHLC == the batch a22 bars (struct-argmin/argmax in a watermarked window)") {
-    // the REAL sf0.001 events streamed chronologically in three chunks;
-    // a far-future sentinel advances the watermark past the last day so
-    // every real window flushes in append mode
+    // the REAL sf0.001 events streamed chronologically in two chunks
+    // (one mid-stream state-carryover boundary), then a far-future
+    // sentinel batch advances the watermark past the last day so every
+    // real window flushes in append mode
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
     val rows = graft.sources.Tables.events(spark, sf)
