@@ -67,4 +67,30 @@ object MediaOps {
   def sampleOffsets(durationMs: Long, n: Int): Seq[Long] =
     if (durationMs <= 0 || n <= 0) Seq.empty
     else (0 until n).map(i => durationMs * (2L * i + 1) / (2L * n))
+
+  /** Batched model-inference harness — the GPU/accelerator scoring shape:
+    * records grouped into ≤`maxBatch`-item batches WITHIN each partition
+    * and scored batch-at-a-time against a model handle initialized ONCE
+    * per partition. `it.grouped` is lazy, so executor memory holds one
+    * batch of inputs (plus its outputs) at a time — never the partition —
+    * and nothing is shuffled: at 100 TB the partition count is the
+    * parallelism knob and maxBatch the device-memory knob, independently.
+    * The model must return exactly one output per input (enforced — a
+    * silently-dropping model would otherwise skew downstream counts).
+    * Batch composition is partition-order-dependent by nature; anything
+    * oracle-visible must be a pure per-record function of the input
+    * (spec-asserted batch-size invariance pins exactly that). */
+  def inferBatched[I, O: Encoder, M](ds: Dataset[I], maxBatch: Int)(
+      init: () => M)(score: (M, Seq[I]) => Seq[O]): Dataset[O] = {
+    require(maxBatch > 0, s"maxBatch must be positive (got $maxBatch)")
+    ds.mapPartitions { it =>
+      val model = init() // once per partition, reused across its batches
+      it.grouped(maxBatch).flatMap { batch =>
+        val out = score(model, batch)
+        require(out.length == batch.length,
+          s"model returned ${out.length} outputs for ${batch.length} inputs")
+        out
+      }
+    }
+  }
 }

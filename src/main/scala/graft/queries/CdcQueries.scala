@@ -146,8 +146,33 @@ object CdcQueries {
         expr("duration_ms * (2 * frame_idx + 1) div 8"))
       .orderBy("doc_id", "frame_idx")
 
+  /** M3 — batched model scoring through the
+    * [[graft.multimodal.MediaOps.inferBatched]] harness: a deterministic
+    * stub "embedding head" (md5 → int64, one model handle per partition,
+    * ≤32-record device batches) scores every document. The VALUE is the
+    * plumbing — partition-once model init, bounded batch memory, output
+    * arity enforced — while the score stays a pure per-record function
+    * so the oracle can reproduce it; the batching mechanics themselves
+    * (init count, batch caps, batch-size invariance) are pinned in
+    * MediaOpsSpec, which the oracle cannot see. */
+  private val m3MediaEmbed: Q = (s, d) => {
+    import s.implicits._
+    val recs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    graft.multimodal.MediaOps.inferBatched(recs, 32)(
+      () => java.security.MessageDigest.getInstance("MD5")) { (md, batch) =>
+      batch.map { case (id, text) =>
+        md.reset()
+        val hex = md.digest(text.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (id, java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000003L)
+      }
+    }.toDF("doc_id", "embed_q").orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s3_cdc_extract" -> s3CdcExtract,
+    "m3_media_embed" -> m3MediaEmbed,
     "p2_map_project" -> p2MapProject,
     "p7_serialize" -> p7Serialize,
     "u1_salt_bucket" -> u1SaltBucket,
@@ -191,6 +216,10 @@ object CdcQueries {
     "m1_media_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         | left(hex(encode(text)), 8) AS header_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m3_media_embed" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000003 AS embed_q
         |FROM documents ORDER BY doc_id""".stripMargin,
     "m2_frame_sample" ->
       """SELECT doc_id, dur AS duration_ms, i AS frame_idx,

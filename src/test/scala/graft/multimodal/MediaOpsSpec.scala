@@ -51,4 +51,48 @@ class MediaOpsSpec extends SparkSpec {
       assert(colFormula == MediaOps.sampleOffsets(dur, 4), s"dur=$dur")
     }
   }
+
+  test("inferBatched: one init per partition, batches capped, exact coverage") {
+    MediaOpsSpec.initCount.set(0)
+    MediaOpsSpec.batchSizes.clear()
+    val ids = (1L to 100L)
+    val got = MediaOps.inferBatched(ids.toDS().repartition(4), 8)(
+      () => { MediaOpsSpec.initCount.incrementAndGet(); () }) { (_, batch) =>
+      batch.foreach(_ => ())
+      MediaOpsSpec.batchSizes.add(batch.length)
+      batch.map(_ * 10)
+    }.collect()
+    // local[*] runs tasks in one JVM, so the static counters see every task
+    assert(MediaOpsSpec.initCount.get() == 4,
+      s"expected 4 partition inits, saw ${MediaOpsSpec.initCount.get()}")
+    val sizes = java.util.Collections.list(
+      java.util.Collections.enumeration(MediaOpsSpec.batchSizes))
+    assert(!sizes.isEmpty && sizes.stream().allMatch(_ <= 8),
+      s"a batch exceeded maxBatch: $sizes")
+    assert(got.sorted.toSeq == ids.map(_ * 10)) // each record exactly once
+  }
+
+  test("inferBatched: output is batch-size invariant for per-record models") {
+    val ds = (1L to 50L).toDS().repartition(3)
+    def run(b: Int) = MediaOps.inferBatched(ds, b)(() => ()) { (_, batch) =>
+      batch.map(x => x * x + 1)
+    }.collect().sorted.toSeq
+    assert(run(1) == run(7) && run(7) == run(64))
+  }
+
+  test("inferBatched: a model that drops outputs fails loudly") {
+    val ds = (1L to 10L).toDS().coalesce(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      MediaOps.inferBatched(ds, 4)(() => ()) { (_, batch) =>
+        batch.drop(1).map(identity)
+      }.collect()
+    }
+    assert(e.getMessage.contains("outputs") ||
+      e.getCause.getMessage.contains("outputs"))
+  }
+}
+
+object MediaOpsSpec {
+  val initCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
 }
