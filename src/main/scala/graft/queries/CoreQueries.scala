@@ -511,6 +511,27 @@ object CoreQueries {
       .orderBy("cur_date")
   }
 
+  /** A24 — session entry/exit paths: sessions (w10's 30-minute gap
+    * windows) reduced to their FIRST and LAST event types, counted as
+    * an (entry, exit) grid — the landing/exit-page analysis every
+    * clickstream product ships. One `session_window` aggregate (same
+    * shuffle shape as w10) with struct-argmin/argmax picking the
+    * boundary events (a22's shape — the unique (ts, event_id) prefix
+    * makes it total), then a tiny grid aggregate. The oracle rebuilds
+    * the sessions with w10's exact lag/cumsum convention. */
+  private val a24SessionPaths: Q = (s, d) => {
+    val sess = Tables.events(s, d)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"),
+        max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"),
+        count(lit(1)).as("ne"))
+    sess.groupBy(col("f.event_type").as("entry_type"),
+        col("l.event_type").as("exit_type"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).as("n_events"))
+      .orderBy("entry_type", "exit_type")
+  }
+
   /** A16 — cohort retention matrix: users bucketed by FIRST-active day
     * (the cohort), counted on each later active day as (cohort, offset)
     * cells — the standard retention triangle. Two-phase distinct first
@@ -1011,6 +1032,7 @@ object CoreQueries {
     "a21_corr" -> a21Corr,
     "a22_ohlc" -> a22Ohlc,
     "a23_attribution" -> a23Attribution,
+    "a24_session_paths" -> a24SessionPaths,
     "j7_double_lookup" -> j7DoubleLookup,
     "j8_asof_join" -> j8AsofJoin,
     "j9_salted_join" -> j9SaltedJoin,
@@ -1222,6 +1244,35 @@ object CoreQueries {
         |FROM d CROSS JOIN tot CROSS JOIN cum
         |WHERE cum >= (decile * n + 9) // 10
         |GROUP BY decile ORDER BY decile""".stripMargin,
+    "a24_session_paths" ->
+      """WITH o AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |i AS (
+        | SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM o),
+        |fe AS (
+        | SELECT user_id, sid, event_type,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id, sid
+        |     ORDER BY ts, event_id) AS rf,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id, sid
+        |     ORDER BY ts DESC, event_id DESC) AS rl,
+        |   COUNT(*) OVER (PARTITION BY user_id, sid) AS ne
+        | FROM i),
+        |sess AS (
+        | SELECT user_id, sid,
+        |   MAX(CASE WHEN rf = 1 THEN event_type END) AS entry_type,
+        |   MAX(CASE WHEN rl = 1 THEN event_type END) AS exit_type,
+        |   MAX(ne) AS n_e
+        | FROM fe GROUP BY user_id, sid)
+        |SELECT entry_type, exit_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(n_e) AS BIGINT) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY entry_type, exit_type""".stripMargin,
     "a23_attribution" ->
       """WITH wc AS (
         |  SELECT user_id, ts, event_id, event_type,
