@@ -909,15 +909,16 @@ object CoreQueries {
     * re-reading the source; grouping-sets fold them into one scan +
     * one aggregation (`grouping()` flags disambiguate the rolled-up
     * NULLs from real values). */
-  private val a12Rollup: Q = (s, d) => {
-    // Aggregate to the FINEST grain first, then rollup the aggregate:
-    // a direct rollup puts the 3× grouping-set Expand UNDER the partial
-    // aggregation, tripling every fact row before any combine — at 100 TB
-    // that is 2/3 of the aggregation input manufactured by the plan
-    // itself. Decimal sums are exact and associative, so re-aggregating
-    // the (region, nation) partials is bit-identical to the one-level
-    // rollup (the cast to double happens once, at the end).
-    val fine = Tables.lineitem(s, d)
+  // Aggregate to the FINEST grain first, then rollup/cube the aggregate:
+  // a direct grouping-set pass puts the N× Expand UNDER the partial
+  // aggregation, multiplying every fact row before any combine — at
+  // 100 TB that is most of the aggregation input manufactured by the
+  // plan itself. Decimal sums are exact and associative, so
+  // re-aggregating the (region, nation) partials is bit-identical to
+  // the one-level form (the cast to double happens once, at the end).
+  // Shared by a12 (ROLLUP) and a25 (CUBE).
+  private def revenueFineGrain(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
@@ -925,13 +926,24 @@ object CoreQueries {
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .as("__rev"),
         count(lit(1)).as("__n"))
-    fine.rollup(col("r_name"), col("n_name"))
-      .agg(sum(col("__rev")).cast("double").as("revenue"),
+
+  private def grainAgg(grouped: org.apache.spark.sql.RelationalGroupedDataset)
+      : DataFrame =
+    grouped.agg(sum(col("__rev")).cast("double").as("revenue"),
         sum(col("__n")).as("n_lines"),
         grouping(col("r_name")).cast("int").as("g_region"),
         grouping(col("n_name")).cast("int").as("g_nation"))
       .orderBy(col("g_region"), col("g_nation"), col("r_name"), col("n_name"))
-  }
+
+  private val a12Rollup: Q = (s, d) =>
+    grainAgg(revenueFineGrain(s, d).rollup(col("r_name"), col("n_name")))
+
+  /** A25 — the CUBE completion of a12: all four grains — (region,
+    * nation), per-region, per-nation-across-regions, grand total — from
+    * the same pre-aggregated fine frame (the Expand multiplies ~30
+    * partial rows, never the fact table). */
+  private val a25Cube: Q = (s, d) =>
+    grainAgg(revenueFineGrain(s, d).cube(col("r_name"), col("n_name")))
 
   /** A13 — pivot: per-day event counts spread into one column per event
     * type (wide-format reporting). The pivot VALUES are declared, so the
@@ -1033,6 +1045,7 @@ object CoreQueries {
     "a22_ohlc" -> a22Ohlc,
     "a23_attribution" -> a23Attribution,
     "a24_session_paths" -> a24SessionPaths,
+    "a25_cube" -> a25Cube,
     "j7_double_lookup" -> j7DoubleLookup,
     "j8_asof_join" -> j8AsofJoin,
     "j9_salted_join" -> j9SaltedJoin,
@@ -1482,6 +1495,19 @@ object CoreQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
+    "a25_cube" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines,
+        | CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+        | CAST(GROUPING(n_name) AS INTEGER) AS g_nation
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)
         |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
     "a10_salted_agg" ->
       """SELECT event_type,
