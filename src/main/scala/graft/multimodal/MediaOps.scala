@@ -38,11 +38,19 @@ object MediaOps {
     * This deterministic stand-in derives pseudo-dimensions from a content
     * hash so the pipeline around it (schema, partition batching, feature
     * extraction, tests) is fully exercisable offline. */
-  private def stubDecode(r: MediaRecord, md: MessageDigest): MediaFeatures = {
+  /** The ONE engine-side definition of the md5→int64 fold the stub codec
+    * and the m3 scoring head share (and the DuckDB oracles mirror as
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`): lowercase-hex digest,
+    * first 15 hex chars as a non-negative int64. */
+  private[graft] def md5Fold60(bytes: Array[Byte],
+                               md: MessageDigest): (String, Long) = {
     md.reset()
-    val digest = md.digest(r.content)
-    val hex = digest.map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    (hex, java.lang.Long.parseLong(hex.substring(0, 15), 16))
+  }
+
+  private def stubDecode(r: MediaRecord, md: MessageDigest): MediaFeatures = {
+    val (hex, h) = md5Fold60(r.content, md)
     MediaFeatures(
       mediaId = r.mediaId,
       format = r.format,

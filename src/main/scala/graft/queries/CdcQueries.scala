@@ -162,10 +162,9 @@ object CdcQueries {
     graft.multimodal.MediaOps.inferBatched(recs, 32)(
       () => java.security.MessageDigest.getInstance("MD5")) { (md, batch) =>
       batch.map { case (id, text) =>
-        md.reset()
-        val hex = md.digest(text.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        (id, java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000003L)
+        val (_, h) = graft.multimodal.MediaOps.md5Fold60(
+          text.getBytes("UTF-8"), md)
+        (id, h % 1000003L)
       }
     }.toDF("doc_id", "embed_q").orderBy("doc_id")
   }

@@ -416,10 +416,13 @@ object CoreQueries {
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
         date_format(col("vt"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
         col("vt").isNull.as("is_current"))
-      // attr in the sort: valid_from truncates to whole seconds, so two
-      // same-second changes would otherwise tie — (user, from, attr) is
-      // total (a second change at the SAME second has a distinct attr)
-      .orderBy("user_id", "valid_from", "attr")
+      // valid_from truncates to whole seconds, so same-second changes
+      // can tie on (user, from) — and an A→B→A flip within one second
+      // even ties on attr. valid_to (nulls last, pinned explicitly:
+      // Spark defaults nulls FIRST, DuckDB LAST) completes a total
+      // order: two rows agreeing on all four would be the same version.
+      .orderBy(col("user_id"), col("valid_from"), col("attr"),
+        col("valid_to").asc_nulls_last)
   }
 
   /** A21 — Pearson correlation via EXACT sum algebra: engine-native
@@ -443,16 +446,25 @@ object CoreQueries {
       sum(col("p") * col("p")).as("spp"),
       sum(col("q") * col("p")).as("sqp"))
     def dbl(c: String) = col(c).cast("double")
-    // zero-variance guard: a constant column makes the denominator 0.0
-    // and NaN/Infinity CASTS DIVERGE across engines (Spark casts NaN to
-    // 0 and Infinity to Long.MaxValue; DuckDB NULLs or errors) — the
-    // degenerate case must be deterministic, so it is NULL on both sides
+    // Degenerate-case discipline (zero or near-zero variance): the exact
+    // decimal identity n·sqq == sq² survives the double casts only
+    // approximately, so a constant column can yield a TINY NEGATIVE or
+    // tiny-positive radicand — DuckDB ERRORS on sqrt of a negative, and
+    // ANSI-mode Spark 4 THROWS casting NaN/overflow doubles to long.
+    // Three mirrored defenses make the whole domain deterministic:
+    // radicands clamp at 0 (sqrt never sees a negative), a den > 0 guard
+    // NULLs the zero-variance groups, and the ratio clamps into the
+    // mathematically-true [-1, 1] range so rounding-noise blowups from a
+    // tiny denominator can never overflow the long cast. All three run
+    // on identical IEEE values, so both engines take the same branch.
     val num = dbl("n") * dbl("sqp") - dbl("sq") * dbl("sp")
-    val den = sqrt(dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq")) *
-      sqrt(dbl("n") * dbl("spp") - dbl("sp") * dbl("sp"))
+    val den = sqrt(greatest(dbl("n") * dbl("sqq") - dbl("sq") * dbl("sq"),
+        lit(0.0))) *
+      sqrt(greatest(dbl("n") * dbl("spp") - dbl("sp") * dbl("sp"), lit(0.0)))
     m.select(col("flag"), col("n"),
-        when(den =!= lit(0.0),
-          round((num / den) * 1000000.0).cast("long")).as("corr_q6"))
+        when(den > lit(0.0),
+          round(greatest(least(num / den, lit(1.0)), lit(-1.0)) * 1000000.0)
+            .cast("long")).as("corr_q6"))
       .orderBy("flag")
   }
 
@@ -1352,7 +1364,8 @@ object CoreQueries {
         |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
         |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
         |  vt IS NULL AS is_current
-        |FROM hist ORDER BY user_id, valid_from, attr""".stripMargin,
+        |FROM hist
+        |ORDER BY user_id, valid_from, attr, valid_to NULLS LAST""".stripMargin,
     "a21_corr" ->
       """WITH m AS (
         |  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1366,16 +1379,17 @@ object CoreQueries {
         |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
         |  FROM lineitem GROUP BY 1)
         |SELECT flag, n,
-        |  CASE WHEN den <> 0 THEN CAST(round((num / den) * 1000000.0)
-        |    AS BIGINT) END AS corr_q6
+        |  CASE WHEN den > 0 THEN
+        |    CAST(round(greatest(least(num / den, 1.0), -1.0) * 1000000.0)
+        |      AS BIGINT) END AS corr_q6
         |FROM (
         |  SELECT flag, n,
         |    CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
         |      - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) AS num,
-        |    sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
-        |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-        |      * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
-        |        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) AS den
+        |    sqrt(greatest(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+        |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE), 0.0))
+        |      * sqrt(greatest(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+        |        - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE), 0.0)) AS den
         |  FROM m)
         |ORDER BY flag""".stripMargin,
     "a19_event_transitions" ->

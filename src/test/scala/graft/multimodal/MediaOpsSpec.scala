@@ -65,9 +65,9 @@ class MediaOpsSpec extends SparkSpec {
     // local[*] runs tasks in one JVM, so the static counters see every task
     assert(MediaOpsSpec.initCount.get() == 4,
       s"expected 4 partition inits, saw ${MediaOpsSpec.initCount.get()}")
-    val sizes = java.util.Collections.list(
-      java.util.Collections.enumeration(MediaOpsSpec.batchSizes))
-    assert(!sizes.isEmpty && sizes.stream().allMatch(_ <= 8),
+    import scala.jdk.CollectionConverters._
+    val sizes = MediaOpsSpec.batchSizes.asScala.toSeq
+    assert(sizes.nonEmpty && sizes.forall(_ <= 8),
       s"a batch exceeded maxBatch: $sizes")
     assert(got.sorted.toSeq == ids.map(_ * 10)) // each record exactly once
   }
@@ -87,8 +87,9 @@ class MediaOpsSpec extends SparkSpec {
         batch.drop(1).map(identity)
       }.collect()
     }
-    assert(e.getMessage.contains("outputs") ||
-      e.getCause.getMessage.contains("outputs"))
+    assert(Option(e.getMessage).exists(_.contains("outputs")) ||
+      Option(e.getCause).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("outputs")))
   }
 }
 
