@@ -278,14 +278,17 @@ object CoreQueries {
   /** A3 — exact per-day distinct users (UV), two-phase aggregation so the
     * distinct never concentrates on one node
     * (cf. DwsTrafficVcChArIsNewPageViewWindow.java:79-128). */
-  private val a3DailyUv: Q = (s, d) => {
-    val perUser = Tables.events(s, d)
+  private[graft] def dailyUvFrom(events: DataFrame): DataFrame = {
+    val perUser = events
       .groupBy(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
       .agg(count(lit(1)).as("user_pv"))
     perUser.groupBy(col("day"))
       .agg(count(lit(1)).as("uv"), sum(col("user_pv")).as("pv"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("cur_date"), col("uv"), col("pv"))
       .orderBy("cur_date")
+  }
+  private val a3DailyUv: Q = (s, d) => {
+    dailyUvFrom(Tables.events(s, d))
   }
 
   /** A15 — windowed ordered funnel (view → click → purchase within 3
@@ -379,10 +382,10 @@ object CoreQueries {
     * caps manage), and the (ts, event_id) sort key is tie-free
     * (event_id is unique) so lag() is engine-exact against the
     * oracle's identical window. */
-  private val a19EventTransitions: Q = (s, d) => {
+  private[graft] def transitionsFrom(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    Tables.events(s, d)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag(col("event_type"), 1).over(w))
       .filter(col("prev_type").isNotNull)
@@ -391,6 +394,8 @@ object CoreQueries {
       .select(col("prev_type"), col("event_type").as("curr_type"), col("n"))
       .orderBy("prev_type", "curr_type")
   }
+  private val a19EventTransitions: Q = (s, d) =>
+    transitionsFrom(Tables.events(s, d))
 
   /** A20 — SCD2 dimension history from a changelog: per key, the
     * attribute's run-length-collapsed version intervals (valid_from /
@@ -476,8 +481,8 @@ object CoreQueries {
     * so no window, no second shuffle, and partials merge
     * associatively at any parallelism. Values pass through untouched
     * (no arithmetic), so doubles hash-match trivially. */
-  private val a22Ohlc: Q = (s, d) => {
-    val e = Tables.events(s, d).select(
+  private[graft] def ohlcFrom(events: DataFrame): DataFrame = {
+    val e = events.select(
       date_trunc("DAY", col("ts")).as("day"), col("event_type"),
       col("ts"), col("event_id"), col("value"))
     e.groupBy("day", "event_type")
@@ -490,6 +495,7 @@ object CoreQueries {
         col("low"), col("c.value").as("close"), col("n"))
       .orderBy("cur_date", "event_type")
   }
+  private val a22Ohlc: Q = (s, d) => ohlcFrom(Tables.events(s, d))
 
   /** A23 — last-touch attribution: each purchase attributed to the
     * user's most recent STRICTLY-preceding click within a 7-day
@@ -531,8 +537,8 @@ object CoreQueries {
     * boundary events (a22's shape — the unique (ts, event_id) prefix
     * makes it total), then a tiny grid aggregate. The oracle rebuilds
     * the sessions with w10's exact lag/cumsum convention. */
-  private val a24SessionPaths: Q = (s, d) => {
-    val sess = Tables.events(s, d)
+  private[graft] def sessionPathsFrom(events: DataFrame): DataFrame = {
+    val sess = events
       .groupBy(col("user_id"),
         session_window(col("ts"), "30 minutes").as("w"))
       .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"),
@@ -543,6 +549,8 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).as("n_events"))
       .orderBy("entry_type", "exit_type")
   }
+  private val a24SessionPaths: Q = (s, d) =>
+    sessionPathsFrom(Tables.events(s, d))
 
   /** A16 — cohort retention matrix: users bucketed by FIRST-active day
     * (the cohort), counted on each later active day as (cohort, offset)
