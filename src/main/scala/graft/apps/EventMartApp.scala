@@ -7,9 +7,9 @@ import graft.queries.CoreQueries
 import graft.sources.Tables
 
 /** Multi-mart assembly over ONE events scan: daily UV (a3's frame),
-  * the transition matrix (a19), daily OHLC bars (a22) and session
-  * entry/exit paths (a24) written as four parquet marts from a single
-  * cached pass over the source.
+  * the transition matrix (a19), daily OHLC bars (a22), session
+  * entry/exit paths (a24) and half-life decay scores (a26) written as
+  * five parquet marts from a single cached pass over the source.
   *
   * The reference computes each DWS mart as its own job re-reading the
   * source topic (one Kafka re-read per `app/dws` class); at
@@ -17,7 +17,7 @@ import graft.sources.Tables
   * tier. Here the source is persisted once and every mart's plan reads
   * the `InMemoryTableScan` (spec-asserted: after the first
   * materialization, NO mart plan contains a parquet scan of events) —
-  * the four marts still shuffle independently on their own keys, which
+  * the five marts still shuffle independently on their own keys, which
   * is unavoidable and correct; only the redundant source I/O is gone.
   *
   * The mart bodies are the SAME frame-based functions the registered
@@ -25,7 +25,7 @@ import graft.sources.Tables
   * cannot drift from the hash-gated semantics. */
 object EventMartApp {
 
-  /** Build all four marts under `outDir`; returns mart → row count. */
+  /** Build all five marts under `outDir`; returns mart → row count. */
   def run(spark: SparkSession, sfDir: String,
           outDir: String): Map[String, Long] = {
     val events = Tables.events(spark, sfDir)
@@ -35,7 +35,8 @@ object EventMartApp {
         "daily_uv" -> CoreQueries.dailyUvFrom(events),
         "transitions" -> CoreQueries.transitionsFrom(events),
         "ohlc" -> CoreQueries.ohlcFrom(events),
-        "session_paths" -> CoreQueries.sessionPathsFrom(events))
+        "session_paths" -> CoreQueries.sessionPathsFrom(events),
+        "decay_scores" -> CoreQueries.decayScoresFrom(events))
       marts.map { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$outDir/$name")
         name -> spark.read.parquet(s"$outDir/$name").count()

@@ -571,16 +571,53 @@ object SimilarityOps {
   def ngramJaccardNearDup(docs: DataFrame, id: Column, text: Column,
                           blockN: Int, shingleN: Int,
                           threshold: Double): DataFrame = {
-    // tokenize once — both shingle lengths derive from the same token
-    // frame (tokenization is the dominant map-side cost at corpus scale)
+    val (pairs, sets) = ngramBlock(docs, id, text, blockN, shingleN)
+    jaccardVerify(pairs, sets, threshold)
+  }
+
+  /** Shared block stage of the n-gram near-dup family (d5 Jaccard, d12
+    * containment): tokenize ONCE (tokenization is the dominant map-side
+    * cost at corpus scale — both shingle lengths derive from the same
+    * persisted token frame), minhash-block on the LONG `blockN`-gram
+    * shingles, and return the candidate pairs alongside the SHORT
+    * `shingleN`-gram verification sets. */
+  private def ngramBlock(docs: DataFrame, id: Column, text: Column,
+                         blockN: Int, shingleN: Int)
+      : (DataFrame, DataFrame) = {
     val toks = docs.select(id.as("__id"),
         TextFunctions.tokens(TextFunctions.normalized(text)).as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def sets(n: Int): DataFrame = toks.select(col("__id"),
       TextFunctions.shinglesFromTokens(col("__toks"), n).as("__sh"))
     val sig = minhashSignature(sets(blockN), k = 2)
-    val pairs = candidatePairs(lshBands(sig, k = 2, bandSize = 1))
-    jaccardVerify(pairs, sets(shingleN), threshold)
+    (candidatePairs(lshBands(sig, k = 2, bandSize = 1)), sets(shingleN))
+  }
+
+  /** Containment near-dup (Broder's containment coefficient
+    * |A∩B| / |A|): the ASYMMETRIC twin of Jaccard — a short document
+    * quoted whole inside a long one scores containment ≈ 1 while its
+    * Jaccard stays low, so the d5 metric never surfaces the pair.
+    * Same block stage as d5 ([[ngramBlock]]); the verify emits BOTH
+    * directions as exact ppm integers (`inter·10^6 div |side|` — no
+    * float crosses engines) and keeps pairs where either direction
+    * clears `thresholdPpm`. */
+  def ngramContainment(docs: DataFrame, id: Column, text: Column,
+                       blockN: Int, shingleN: Int,
+                       thresholdPpm: Long): DataFrame = {
+    val (pairs, sets) = ngramBlock(docs, id, text, blockN, shingleN)
+    val sa = array_distinct(col("__sha"))
+    val sb = array_distinct(col("__shb"))
+    pairs
+      .join(sets.select(col("__id").as("a"), col("__sh").as("__sha")), "a")
+      .join(sets.select(col("__id").as("b"), col("__sh").as("__shb")), "b")
+      .withColumn("__i", size(array_intersect(sa, sb)).cast("long"))
+      .withColumn("__na", size(sa).cast("long"))
+      .withColumn("__nb", size(sb).cast("long"))
+      .withColumn("contain_a_ppm", expr("(__i * 1000000) div __na"))
+      .withColumn("contain_b_ppm", expr("(__i * 1000000) div __nb"))
+      .filter(greatest(col("contain_a_ppm"), col("contain_b_ppm"))
+        >= thresholdPpm)
+      .select(col("a"), col("b"), col("contain_a_ppm"), col("contain_b_ppm"))
   }
 
   /** Embedding near-dup: pairs (a < b) in the same LSH bucket with cosine

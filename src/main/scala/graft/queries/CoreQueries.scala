@@ -965,6 +965,58 @@ object CoreQueries {
   private val a25Cube: Q = (s, d) =>
     grainAgg(revenueFineGrain(s, d).cube(col("r_name"), col("n_name")))
 
+  /** A26 — half-life decay engagement score: per-user weekly value sums
+    * weighted by 2^-(weeks-old) relative to the newest event's week —
+    * the recency-weighted scoring behind retention ranking and
+    * training-data freshness mixing. Exact cross-engine algebra by
+    * construction: values go to 2^20 fixed point (`floor(value·2^20)` —
+    * a power-of-two scale is an exponent shift, exact IEEE), weekly
+    * bucket sums are order-independent long addition, and the decay is
+    * an arithmetic right-shift of the BUCKET sum by its age in whole
+    * weeks — a continuous `pow(0.5, age/7.0)` weight would diverge
+    * between engines at the ulp. Truncating per BUCKET (not per event)
+    * is what makes the metric incrementally maintainable: shifts
+    * compose (`(x >> a) >> b == x >> (a+b)`), so a stored bucket map
+    * re-ages exactly — [[graft.streaming.StatefulOps.decayScore]] is
+    * the streaming twin with one bounded bucket map of state per user.
+    * `score` re-scales by double division by 2^20 (exponent-only,
+    * exact).
+    *
+    * 100 TB shape: two-phase aggregation — `groupBy(user, week)` with
+    * map-side partial sums compresses the corpus to user-weeks, the
+    * shift runs map-side on that frame, and the per-user rollup
+    * reuses the same hash partitioning (no second wide shuffle: the
+    * planner sees user_id as a prefix of the first grouping). The
+    * reference week rides a 1-row broadcast (in a production release
+    * it is a pipeline parameter — the release cut — which removes the
+    * derivation scan). */
+  private[graft] def decayScoresFrom(events: DataFrame): DataFrame = {
+    val wk = events
+      .select(col("user_id"),
+        expr("(unix_millis(ts) div 86400000) div 7").as("__w"),
+        floor(col("value") * lit(1048576L)).cast("long").as("__vfp"))
+    val ref = wk.agg(max(col("__w")).as("__refw"))
+    wk.groupBy("user_id", "__w")
+      .agg(count(lit(1)).as("__n"), sum(col("__vfp")).as("__bfp"))
+      .crossJoin(broadcast(ref))
+      // clamp at 63: JVM shifts wrap the count mod 64 (a 64-week-old
+      // bucket would wrap to >> 0), DuckDB's don't; >> 63 of the
+      // non-negative sums is already exactly 0, so the clamp changes
+      // nothing mathematically while keeping both engines aligned at
+      // any corpus age
+      .withColumn("__dec",
+        expr("shiftright(__bfp, cast(least(__refw - __w, 63L) as int))"))
+      .groupBy("user_id")
+      .agg(sum(col("__n")).as("n_events"),
+        sum(col("__dec")).as("decayed_fp20"))
+      .select(col("user_id"), col("n_events"), col("decayed_fp20"),
+        (col("decayed_fp20").cast("double") / lit(1048576.0)).as("score"))
+      .orderBy("user_id")
+  }
+
+  private val a26DecayScore: Q = (s, d) =>
+    decayScoresFrom(Tables.events(s, d))
+
   /** A13 — pivot: per-day event counts spread into one column per event
     * type (wide-format reporting). The pivot VALUES are declared, so the
     * plan is a single two-phase conditional aggregation — an undeclared
@@ -1066,6 +1118,7 @@ object CoreQueries {
     "a23_attribution" -> a23Attribution,
     "a24_session_paths" -> a24SessionPaths,
     "a25_cube" -> a25Cube,
+    "a26_decay_score" -> a26DecayScore,
     "j7_double_lookup" -> j7DoubleLookup,
     "j8_asof_join" -> j8AsofJoin,
     "j9_salted_join" -> j9SaltedJoin,
@@ -1531,6 +1584,28 @@ object CoreQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE (r_name, n_name)
         |ORDER BY g_region, g_nation, r_name, n_name""".stripMargin,
+    // a26: the fixed-point bucket algebra replayed verbatim — floor to
+    // 2^20 fixed point, weekly BIGINT bucket sums (DuckDB's HUGEINT sum
+    // cast back), arithmetic >> of the bucket by its age in weeks,
+    // exact /2^20 for the double score
+    "a26_decay_score" ->
+      """WITH wk AS (
+        |  SELECT user_id, (epoch_ms(ts) // 86400000) // 7 AS w,
+        |    CAST(floor(value * 1048576) AS BIGINT) AS vfp
+        |  FROM events),
+        |ref AS (SELECT MAX(w) AS refw FROM wk),
+        |b AS (
+        |  SELECT user_id, w, COUNT(*) AS n,
+        |    CAST(SUM(vfp) AS BIGINT) AS bfp
+        |  FROM wk GROUP BY user_id, w),
+        |dec AS (
+        |  SELECT user_id, n,
+        |    bfp >> CAST(least(refw - w, 63) AS INTEGER) AS d
+        |  FROM b, ref)
+        |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(d) AS BIGINT) AS decayed_fp20,
+        |  CAST(SUM(d) AS BIGINT) / 1048576.0 AS score
+        |FROM dec GROUP BY user_id ORDER BY user_id""".stripMargin,
     "a10_salted_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS amount,

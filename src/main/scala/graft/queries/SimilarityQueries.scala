@@ -207,6 +207,18 @@ object SimilarityQueries {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** D12 — containment near-dup (|A∩B|/|A|, Broder): the asymmetric
+    * metric that catches quotation/subset duplicates Jaccard misses.
+    * d5's exact block stage (shared, so the candidate set is provably
+    * identical), integer-ppm verify, either direction >= 50%. */
+  private val d12Containment: Q = (s, d) =>
+    SimilarityOps.ngramContainment(Tables.documents(s, d),
+        col("doc_id"), col("text"), blockN = 5, shingleN = 2,
+        thresholdPpm = 500000L)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("contain_a_ppm"), col("contain_b_ppm"))
+      .orderBy("doc_a", "doc_b")
+
   /** V5 — same contract as v1 but per-probe top-k computed by the bounded
     * TopK AGGREGATOR (map-side partial top-k) instead of a row_number
     * window; shares v1's oracle — proving the rewrite is exact. */
@@ -333,6 +345,7 @@ object SimilarityQueries {
     "d4_simhash" -> d4Simhash,
     "d6_dedup_clusters" -> d6DedupClusters,
     "d5_ngram_jaccard" -> d5NgramJaccard,
+    "d12_containment" -> d12Containment,
     "d7_simhash_hamming" -> d7SimhashHamming,
     "d8_span_dedup" -> d8SpanDedup,
     "d9_semantic_dedup" -> d9SemanticDedup,
@@ -727,7 +740,10 @@ object SimilarityQueries {
   /** d5: 2-gram verify sets + two single-row minhash bands over 5-grams
     * (perms = the first two of the shared LCG family). */
   private val d5Perms = StableHash.minhashParams(2)
-  private val d5Sql =
+  /** The shared candidate chain (toks → 2-gram sets → 5-gram minhash
+    * bands → bucket-capped pairs) — d5's final Jaccard select and d12's
+    * containment select both read `cand` + `sets` off this prefix. */
+  private val d5CteSql =
     s"""WITH toks AS (
        |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
        |  FROM documents),
@@ -761,7 +777,10 @@ object SimilarityQueries {
        |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
        |  JOIN bsz ON l.band = bsz.band AND l.sig = bsz.sig
        |  WHERE bsz.c <= 1000),
-       |sets AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id)
+       |sets AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id)""".stripMargin
+
+  private val d5Sql =
+    s"""$d5CteSql
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT doc_a, doc_b,
        |    len(list_intersect(sa.l, sb.l))::DOUBLE
@@ -770,6 +789,22 @@ object SimilarityQueries {
        |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
        |            JOIN sets sb ON doc_b = sb.doc_id)
        |WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d12: same candidates; containment in exact ppm (len() is BIGINT in
+    * DuckDB so the `//` floor matches Spark's `div` on the non-negative
+    * operands), either direction >= 500000. */
+  private val d12Sql =
+    s"""$d5CteSql
+       |SELECT doc_a, doc_b, contain_a_ppm, contain_b_ppm FROM (
+       |  SELECT doc_a, doc_b,
+       |    (len(list_intersect(sa.l, sb.l)) * 1000000) // len(sa.l)
+       |      AS contain_a_ppm,
+       |    (len(list_intersect(sa.l, sb.l)) * 1000000) // len(sb.l)
+       |      AS contain_b_ppm
+       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
+       |            JOIN sets sb ON doc_b = sb.doc_id)
+       |WHERE greatest(contain_a_ppm, contain_b_ppm) >= 500000
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** d8: 8-token spans hashed with the shared stableMod family; df ≥ 2
@@ -838,6 +873,7 @@ object SimilarityQueries {
     "d4_simhash" -> d4Sql,
     "d7_simhash_hamming" -> d7Sql,
     "d5_ngram_jaccard" -> d5Sql,
+    "d12_containment" -> d12Sql,
     "d6_dedup_clusters" -> d6Sql,
     // d11: d6's labels as a CTE + the shared t2 quality fragment; the
     // window-argmax mirrors the Spark struct-max's (q DESC, id ASC) order

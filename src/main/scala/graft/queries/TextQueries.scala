@@ -231,6 +231,45 @@ object TextQueries {
           .join(bench, "s") // no broadcast hint: the at-scale shuffled join
       })
 
+  /** C6 — per-document contamination RATE: the fraction of a document's
+    * distinct 3-gram shingles that appear anywhere in the benchmark
+    * set, with a 20% flag threshold — the graded form of c2's boolean
+    * verdict (real pipelines drop on "more than X% contaminated", not
+    * on any single hit). Exact integer algebra: the rate is ppm via
+    * `(hits · 10^6) div n_shingles`, so no float crosses the engines.
+    *
+    * Scale shape: the benchmark SHINGLE SET (distinct `s` over
+    * eval-set-sized docs — KBs–MBs) rides a broadcast; the corpus side
+    * is one scan + map-side left semi-probe + one `groupBy(doc_id)`
+    * count. No df-guard here, deliberately: c2's guard protects the
+    * (doc, bench) PAIR join from stop-shingle fan-out, but c6 joins
+    * against the deduplicated set — each corpus shingle matches at most
+    * once, so there is no fan-out to guard. Short docs (< 3 tokens)
+    * have no shingles and re-enter via the left join as rate 0. */
+  private val c6ContaminationRate: Q = (s, d) => {
+    val sh = SimilarityOps.shingleSets(
+        Tables.documents(s, d), col("doc_id"), col("text"), 3)
+      .select(col("__id").as("doc_id"),
+        explode(array_distinct(col("__sh"))).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchS = sh.filter(col("doc_id") % 37 === 0)
+      .select("s").distinct().withColumn("__hit", lit(1))
+    val rates = sh.filter(col("doc_id") % 37 =!= 0)
+      .join(broadcast(benchS), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_contaminated"))
+    Tables.documents(s, d).filter(col("doc_id") % 37 =!= 0).select("doc_id")
+      .join(rates, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_ppm", when(col("n_shingles") > 0,
+        expr("(n_contaminated * 1000000) div n_shingles")).otherwise(0L))
+      .withColumn("flagged", col("contam_ppm") >= 200000)
+      .orderBy("doc_id")
+  }
+
   /** The deterministic split rule u4 defines and c5 audits:
     * stable60(doc_id) % 100 → 80/10/10 train/validation/test. ONE
     * definition per side (this for Spark, `splitSql` for the oracles)
@@ -567,6 +606,60 @@ object TextQueries {
       .orderBy("source", "rnk")
   }
 
+  /** U15 — EXACT-quota train/validation/test split via largest-remainder
+    * (Hamilton) allocation: each source gets floor quotas for 80/10/10
+    * and the leftover units go to the splits with the largest
+    * fractional remainders (ties broken by the declared split order), so
+    * per-source counts are exactly n·p rounded — u4's hash split only
+    * delivers proportions in EXPECTATION, and an eval set that must
+    * hold "exactly 10% per source" cannot ride on expectation.
+    * Documents then map to splits by their stable-hash rank within
+    * source: ranks [1, q_train] → train, next q_val → validation, rest
+    * → test. Fully integer, reproducible, engine-portable.
+    *
+    * 100 TB shape: the per-source rank is TWO-PHASE (u12's pattern
+    * partitioned by source) — 32 hash-prefix buckets per source, a
+    * broadcast (source × bucket) offset frame, and a row_number within
+    * each (source, bucket) cell — so no source ever funnels through a
+    * single partition's sort; the quota algebra runs on 3-row-per-
+    * source frames and broadcasts. */
+  private val u15QuotaSplit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), StableHash.stable60(
+        concat(lit("split2:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", expr("h div 36028797018963968")) // 2^55 → 32
+    val cellCounts = docs.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("c"))
+    // rank offset of each (source, bucket) cell — sources × 32 rows
+    val offsets = cellCounts.withColumn("off",
+      sum("c").over(Window.partitionBy("source").orderBy("bucket"))
+        - col("c"))
+    val bySource = cellCounts.groupBy("source").agg(sum("c").as("n"))
+    val splitFrame = s.createDataFrame(Seq(
+        ("train", 8, 0), ("validation", 1, 1), ("test", 1, 2)))
+      .toDF("split", "wt", "ord")
+    val wSrc = Window.partitionBy("source")
+    val quotas = bySource.crossJoin(broadcast(splitFrame))
+      .withColumn("fl", expr("(n * wt) div 10"))
+      .withColumn("rem", expr("(n * wt) % 10"))
+      .withColumn("rk", row_number().over(
+        wSrc.orderBy(col("rem").desc, col("ord"))))
+      .withColumn("quota", col("fl") +
+        when(col("rk") <= col("n") - sum("fl").over(wSrc), 1L).otherwise(0L))
+      .withColumn("lo",
+        sum("quota").over(wSrc.orderBy("ord")) - col("quota"))
+      .select(col("source").as("q_source"), col("split"),
+        col("lo"), col("quota"))
+    docs.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("pos", col("off") + row_number().over(
+        Window.partitionBy("source", "bucket").orderBy("h", "doc_id")))
+      .join(broadcast(quotas), col("source") === col("q_source") &&
+        col("pos") > col("lo") && col("pos") <= col("lo") + col("quota"))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy("doc_id")
+  }
+
   /** T12 — BM25 retrieval ranking (Robertson et al.; k1 = 6/5, b = 3/4
     * as exact rationals): top-5 documents per query term — the search/
     * ranking capability class (t8's tf-idf scores salience per doc;
@@ -779,6 +872,7 @@ object TextQueries {
     "t12_bm25" -> t12Bm25,
     "u13_chunk" -> u13Chunk,
     "u14_fixed_sample" -> u14FixedSample,
+    "u15_quota_split" -> u15QuotaSplit,
     "u8_stratified_sample" -> u8StratifiedSample,
     "u9_weighted_mix" -> u9WeightedMix,
     "u10_pack_sequences" -> u10PackSequences,
@@ -790,6 +884,7 @@ object TextQueries {
     "c1_clean_corpus" -> c1CleanCorpus,
     "c2_decontaminate" -> c2Decontaminate,
     "c3_source_filter" -> c3SourceFilter,
+    "c6_contamination_rate" -> c6ContaminationRate,
     "t6_length_quantiles" -> t6LengthQuantiles,
     "t10_approx_quantiles" -> t10ApproxQuantiles,
     "t7_redact" -> t7Redact,
@@ -906,6 +1001,40 @@ object TextQueries {
          |    ORDER BY k, doc_id) AS INT) AS rnk,
          |  doc_id, k AS sample_key
          |FROM h QUALIFY rnk <= 20 ORDER BY source, rnk""".stripMargin,
+    // u15: plain per-source rank over the same hash (Spark's two-phase
+    // bucket rank orders by (h div 2^55, h, doc_id) == (h, doc_id));
+    // quotas replay the largest-remainder algebra on 3-row frames
+    "u15_quota_split" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |    ${stable60Sql("'split2:' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |n AS (SELECT source, COUNT(*) AS n FROM h GROUP BY source),
+         |sp AS (SELECT * FROM (VALUES ('train', 8, 0),
+         |  ('validation', 1, 1), ('test', 1, 2)) AS t(split, wt, ord)),
+         |q0 AS (SELECT source, split, ord, n,
+         |    (n * wt) // 10 AS fl, (n * wt) % 10 AS rem
+         |  FROM n, sp),
+         |q1 AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY rem DESC, ord) AS rk,
+         |    n - SUM(fl) OVER (PARTITION BY source) AS leftover
+         |  FROM q0),
+         |q2 AS (SELECT source, split, ord,
+         |    fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+         |  FROM q1),
+         |q3 AS (SELECT source, split, quota,
+         |    SUM(quota) OVER (PARTITION BY source ORDER BY ord) - quota
+         |      AS lo
+         |  FROM q2),
+         |r AS (SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id)
+         |      AS pos
+         |  FROM h)
+         |SELECT r.doc_id, r.source, q3.split
+         |FROM r JOIN q3 ON r.source = q3.source
+         |  AND r.pos > q3.lo AND r.pos <= q3.lo + q3.quota
+         |ORDER BY r.doc_id""".stripMargin,
     "u13_chunk" ->
       s"""WITH toks AS (
          |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
@@ -1148,6 +1277,40 @@ object TextQueries {
          |GROUP BY sh.doc_id, bench_id
          |HAVING COUNT(*) >= 3
          |ORDER BY doc_id, bench_id""".stripMargin,
+    // c6: same 3-gram shingle frame as c2; hits counted against the
+    // DISTINCT benchmark shingle set (each corpus shingle matches at
+    // most once, so COUNT(b.s) over the left join is the hit count);
+    // ppm via integer division — `//` floors but operands are >= 0, so
+    // it equals Spark's truncating `div`
+    "c6_contamination_rate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+         |    FROM (SELECT doc_id, t,
+         |            unnest(generate_series(1, len(t) - 2)) AS i
+         |          FROM toks))),
+         |benchs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
+         |rates AS (
+         |  SELECT c.doc_id, COUNT(*) AS n_shingles,
+         |    COUNT(b.s) AS n_contaminated
+         |  FROM sh c LEFT JOIN benchs b ON c.s = b.s
+         |  WHERE c.doc_id % 37 <> 0
+         |  GROUP BY c.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_shingles, 0) AS n_shingles,
+         |  COALESCE(n_contaminated, 0) AS n_contaminated,
+         |  CASE WHEN COALESCE(n_shingles, 0) > 0
+         |    THEN (COALESCE(n_contaminated, 0) * 1000000) // n_shingles
+         |    ELSE 0 END AS contam_ppm,
+         |  (CASE WHEN COALESCE(n_shingles, 0) > 0
+         |    THEN (COALESCE(n_contaminated, 0) * 1000000) // n_shingles
+         |    ELSE 0 END) >= 200000 AS flagged
+         |FROM documents d LEFT JOIN rates ON d.doc_id = rates.doc_id
+         |WHERE d.doc_id % 37 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
     "u4_hash_split" ->
       s"""SELECT ${splitSql("doc_id")} AS split,
          | COUNT(*) AS n_docs, CAST(SUM($wcSql) AS BIGINT) AS n_words

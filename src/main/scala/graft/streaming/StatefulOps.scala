@@ -290,4 +290,57 @@ object StatefulOps {
         out.result().iterator
     }
   }
+
+  /** State of [[decayScore]]: total event count + parallel week/sum
+    * arrays (the bucket map in encoder-friendly form). */
+  case class DecayState(n: Long, weeks: Array[Long], sums: Array[Long])
+
+  /** A26's streaming twin — per-key half-life decay score maintained
+    * incrementally. State per key is the total event count plus a
+    * bucket map (week index → non-negative fixed-point value sum).
+    * a26 truncates per BUCKET, and arithmetic shifts compose
+    * (`(x >> a) >> b == x >> (a+b)`), so stored buckets re-age to any
+    * later reference with NO drift — the property the batch query chose
+    * its algebra for. Buckets aged past 62 half-lives are dropped at
+    * ingest: a non-negative long shifted by >= 63 is exactly 0 (this is
+    * why the operator REQUIRES non-negative fixed-point values), so
+    * state is <= 63 live buckets per key — bytes, regardless of history
+    * length. Emits `(key, n_events, decayed_fp20 at refWeek)` per
+    * touched key per micro-batch (append stream; readers take a key's
+    * LAST emission — it subsumes the earlier ones). `refWeek` — the
+    * reference the batch query derives from the data — is a parameter
+    * here, exactly as the a26 scaladoc prescribes for production. */
+  def decayScore[K: Encoder, V: Encoder](ds: Dataset[V], key: V => K,
+      fpOf: V => Long, weekOf: V => Long,
+      refWeek: Long): Dataset[(K, Long, Long)] = {
+    implicit val outEnc: Encoder[(K, Long, Long)] =
+      Encoders.tuple(implicitly[Encoder[K]], Encoders.scalaLong,
+        Encoders.scalaLong)
+    implicit val stEnc: Encoder[DecayState] = Encoders.product[DecayState]
+    ds.groupByKey(key).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (k: K, it: Iterator[V], state: GroupState[DecayState]) =>
+        val st = state.getOption.getOrElse(
+          DecayState(0L, Array.empty[Long], Array.empty[Long]))
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        st.weeks.indices.foreach(i => m(st.weeks(i)) = st.sums(i))
+        var n = st.n
+        it.foreach { v =>
+          val w = weekOf(v); val fp = fpOf(v)
+          require(fp >= 0L,
+            s"decayScore requires non-negative fixed-point values (got $fp)")
+          require(w <= refWeek,
+            s"event week $w is past the reference week $refWeek")
+          n += 1
+          // a bucket already >= 63 half-lives old contributes exactly 0
+          // at refWeek and at every later reference — never stored
+          if (refWeek - w <= 62) m(w) = m.getOrElse(w, 0L) + fp
+        }
+        val weeks = m.keys.toArray.sorted
+        state.update(DecayState(n, weeks, weeks.map(m)))
+        val score = weeks.foldLeft(0L)((acc, w) =>
+          acc + (m(w) >> (refWeek - w).toInt))
+        Iterator.single((k, n, score))
+    }
+  }
 }

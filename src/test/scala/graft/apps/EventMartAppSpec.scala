@@ -21,12 +21,14 @@ class EventMartAppSpec extends SparkSpec {
     val out = Files.createTempDirectory("event-mart").toString
     val counts = EventMartApp.run(spark, sf, out)
     assert(counts.keySet ==
-      Set("daily_uv", "transitions", "ohlc", "session_paths"))
+      Set("daily_uv", "transitions", "ohlc", "session_paths",
+        "decay_scores"))
     val pairs = Seq(
       "daily_uv" -> "a3_daily_uv",
       "transitions" -> "a19_event_transitions",
       "ohlc" -> "a22_ohlc",
-      "session_paths" -> "a24_session_paths")
+      "session_paths" -> "a24_session_paths",
+      "decay_scores" -> "a26_decay_score")
     for ((mart, query) <- pairs) {
       val got = spark.read.parquet(s"$out/$mart")
       val want = graft.SparkEntry.queries(query)(spark, sf)
@@ -47,7 +49,8 @@ class EventMartAppSpec extends SparkSpec {
         CoreQueries.dailyUvFrom(events),
         CoreQueries.transitionsFrom(events),
         CoreQueries.ohlcFrom(events),
-        CoreQueries.sessionPathsFrom(events)).map(
+        CoreQueries.sessionPathsFrom(events),
+        CoreQueries.decayScoresFrom(events)).map(
         _.queryExecution.executedPlan.toString)
       plans.foreach { p =>
         assert(p.contains("InMemoryTableScan"),

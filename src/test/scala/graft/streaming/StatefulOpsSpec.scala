@@ -13,6 +13,7 @@ import graft.operators.DedupOps
 case class Ev(user: Long, seq: Long, day: String, v: Double)
 case class Fe(user: Long, us: Long, eid: Long, code: Int)
 case class Te(user: Long, us: Long, eid: Long, et: String)
+case class De(user: Long, fp: Long, week: Long)
 
 class StatefulOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -209,6 +210,42 @@ class StatefulOpsSpec extends SparkSpec {
     val batch = graft.SparkEntry.queries("a19_event_transitions")(spark, sf)
       .as[(String, String, Long)].collect()
       .map { case (p, c, n) => (p, c) -> n }.toMap
+    assert(got == batch)
+  }
+
+  test("decayScore final emissions == the batch a26 scores, exactly") {
+    // REAL sf0.001 events in three chronological chunks; the reference
+    // week parameter = the data's max week, i.e. exactly what batch a26
+    // derives — so the twin must reproduce its integer scores verbatim
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"),
+        floor(col("value") * lit(1048576L)).cast("long").as("fp"),
+        expr("(unix_millis(ts) div 86400000) div 7").as("week"))
+      .collect()
+      .map(r => De(r.getAs[Long]("user_id"), r.getAs[Long]("fp"),
+        r.getAs[Long]("week")))
+      .sortBy(_.week)
+    val refWeek = rows.map(_.week).max
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[De]
+    val q = StatefulOps.decayScore[Long, De](mem.toDS(), _.user,
+        _.fp, _.week, refWeek)
+      .toDF("user", "n", "score_fp")
+      .writeStream.format("memory").queryName("dcy")
+      .outputMode(OutputMode.Append()).start()
+    try chunks.foreach { c => mem.addData(c.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // a key's LAST emission subsumes the earlier ones: highest n wins
+    val got = spark.table("dcy").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, es) =>
+        val last = es.maxBy(_._2); u -> (last._2, last._3)
+      }
+    val batch = graft.SparkEntry.queries("a26_decay_score")(spark, sf)
+      .select("user_id", "n_events", "decayed_fp20")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, n, s) => u -> (n, s) }.toMap
     assert(got == batch)
   }
 }
