@@ -984,12 +984,12 @@ object CoreQueries {
     *
     * 100 TB shape: two-phase aggregation — `groupBy(user, week)` with
     * map-side partial sums compresses the corpus to user-weeks, the
-    * shift runs map-side on that frame, and the per-user rollup
-    * reuses the same hash partitioning (no second wide shuffle: the
-    * planner sees user_id as a prefix of the first grouping). The
-    * reference week rides a 1-row broadcast (in a production release
-    * it is a pipeline parameter — the release cut — which removes the
-    * derivation scan). */
+    * shift runs map-side on that frame, and the per-user rollup's
+    * second exchange moves only the compressed user-week frame
+    * (≤ ~one row per active user-week — orders of magnitude under the
+    * event scan). The reference week rides a 1-row broadcast (in a
+    * production release it is a pipeline parameter — the release cut —
+    * which removes the derivation scan). */
   private[graft] def decayScoresFrom(events: DataFrame): DataFrame = {
     val wk = events
       .select(col("user_id"),
