@@ -831,6 +831,41 @@ object CoreQueries {
       .orderBy("col_name")
   }
 
+  /** One key's slice of [[x5SkewProfile]]: two-phase counts per key
+    * value, then ONE global aggregation computing the summary (total,
+    * distinct keys, max) AND the top-3 hot keys (bounded TopK — ≤3
+    * rows per partition reach the final merge, never a global count
+    * sort) together, so the fact table is scanned once and the counts
+    * frame aggregated once. */
+  private def skewProfileOf(df: DataFrame, keyName: String,
+                            key: Column): DataFrame =
+    df.select(key.as("key_val"))
+      .groupBy("key_val").agg(count(lit(1)).as("key_rows"))
+      .agg(sum(col("key_rows")).as("total_rows"),
+        count(lit(1)).as("n_keys"), max(col("key_rows")).as("__max"),
+        graft.functions.TopK.topK(3)(
+          col("key_rows").cast("double"), col("key_val")).as("top"))
+      .select(col("total_rows"), col("n_keys"), col("__max"),
+        posexplode(col("top")).as(Seq("pos", "sc")))
+      .select(lit(keyName).as("key_name"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("sc._2").as("key_val"), col("sc._1").cast("long").as("key_rows"),
+        col("total_rows"), col("n_keys"),
+        expr("(__max * 1000000) div total_rows").as("max_ppm"))
+
+  /** X5 — join-key skew profile: per candidate join key its row total,
+    * distinct-key count, hottest key's row share (exact ppm) and top-3
+    * hot keys — the pre-flight report that decides salting (j9/a10's
+    * machinery), AQE skew thresholds, and broadcast strategy BEFORE a
+    * 100 TB join runs. The counts-per-key frame is the only corpus-
+    * sized intermediate and it is aggregated twice without re-scanning
+    * the fact table (count, then bounded top-k). */
+  private val x5SkewProfile: Q = (s, d) =>
+    skewProfileOf(Tables.orders(s, d), "o_custkey", col("o_custkey"))
+      .unionByName(skewProfileOf(
+        Tables.lineitem(s, d), "l_orderkey", col("l_orderkey")))
+      .orderBy("key_name", "rnk")
+
   /** J7 — double self-lookup: the SAME dim table joined TWICE under two
     * aliases (customer's nation vs supplier's nation — the reference
     * aliases one HBase dim twice, DwdTradeRefundOrderDetail.java:83-106).
@@ -1111,6 +1146,7 @@ object CoreQueries {
     "x1_split_route" -> x1SplitRoute,
     "x2_log_explode" -> x2LogExplode,
     "x3_profile" -> x3Profile,
+    "x5_skew_profile" -> x5SkewProfile,
     "a19_event_transitions" -> a19EventTransitions,
     "a20_scd2_history" -> a20Scd2History,
     "a21_corr" -> a21Corr,
@@ -1478,6 +1514,41 @@ object CoreQueries {
         |  CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_nulls,
         |  CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
         |FROM m GROUP BY col_name ORDER BY col_name""".stripMargin,
+    // x5: the top-3 rank mirrors TopK's total order (rows DESC, key
+    // ASC); summary columns repeat per rank row
+    "x5_skew_profile" ->
+      """WITH oc AS (
+        |  SELECT o_custkey AS key_val, CAST(COUNT(*) AS BIGINT)
+        |    AS key_rows
+        |  FROM orders GROUP BY 1),
+        |os AS (
+        |  SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys, MAX(key_rows) AS mx
+        |  FROM oc),
+        |ot AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_rows DESC, key_val)
+        |      AS INT) AS rnk, key_val, key_rows
+        |  FROM oc QUALIFY rnk <= 3),
+        |lc AS (
+        |  SELECT l_orderkey AS key_val, CAST(COUNT(*) AS BIGINT)
+        |    AS key_rows
+        |  FROM lineitem GROUP BY 1),
+        |ls AS (
+        |  SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys, MAX(key_rows) AS mx
+        |  FROM lc),
+        |lt AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY key_rows DESC, key_val)
+        |      AS INT) AS rnk, key_val, key_rows
+        |  FROM lc QUALIFY rnk <= 3)
+        |SELECT 'o_custkey' AS key_name, rnk, key_val, key_rows,
+        |  total_rows, n_keys, (mx * 1000000) // total_rows AS max_ppm
+        |FROM ot, os
+        |UNION ALL
+        |SELECT 'l_orderkey', rnk, key_val, key_rows,
+        |  total_rows, n_keys, (mx * 1000000) // total_rows
+        |FROM lt, ls
+        |ORDER BY key_name, rnk""".stripMargin,
     "a16_cohort_retention" ->
       """WITH byday AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

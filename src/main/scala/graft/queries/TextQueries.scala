@@ -270,6 +270,49 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** T13 — integer unigram surprisal, the LM-perplexity quality proxy
+    * of CCNet-class curation pipelines in exact-algebra form: per-token
+    * surprisal ≈ -log2 p(token), quantized to whole bits via integer
+    * floor-log2 — `length(conv(c, 10, 2)) - 1`, the BIT LENGTH of the
+    * count, bit-exact on both engines where a float `log2` chain
+    * diverges at power-of-two boundaries (Spark's log2 is
+    * `log(x)/log(2)`, not correctly rounded). surprisal(token) =
+    * bitlen(T) - bitlen(c) with T the corpus token total; per-document
+    * mean surprisal in ppm-bits. High = rare/implausible tokens
+    * (gibberish, OCR noise); low = boilerplate. The whole-bit
+    * quantization is the documented accuracy trade for cross-engine
+    * exactness — ranking power at the filter thresholds these
+    * pipelines use survives 1-bit granularity.
+    *
+    * 100 TB shape: two-phase token counts compress the corpus to the
+    * (sublinear) vocabulary; the count frame broadcasts back onto the
+    * token stream (map-side), the total rides a 1-row broadcast, and
+    * the per-doc rollup is one partial-agg shuffle on doc_id. If a
+    * vocabulary ever outgrew broadcast, the same plan runs with a
+    * shuffled token join — identical result. */
+  private val t13Surprisal: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(tokens(normalized(col("text")))).as("token"))
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__t"))
+    val agg = toks.join(broadcast(counts), "token")
+      .crossJoin(broadcast(total))
+      .withColumn("__bits",
+        (length(conv(col("__t"), 10, 2))
+          - length(conv(col("__c"), 10, 2))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__bits")).as("sum_bits"))
+    Tables.documents(s, d).select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_bits"), lit(0L)).as("sum_bits"))
+      .withColumn("mean_bits_ppm", when(col("n_tokens") > 0,
+        expr("(sum_bits * 1000000) div n_tokens")).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   /** The deterministic split rule u4 defines and c5 audits:
     * stable60(doc_id) % 100 → 80/10/10 train/validation/test. ONE
     * definition per side (this for Spark, `splitSql` for the oracles)
@@ -885,6 +928,7 @@ object TextQueries {
     "c2_decontaminate" -> c2Decontaminate,
     "c3_source_filter" -> c3SourceFilter,
     "c6_contamination_rate" -> c6ContaminationRate,
+    "t13_surprisal" -> t13Surprisal,
     "t6_length_quantiles" -> t6LengthQuantiles,
     "t10_approx_quantiles" -> t10ApproxQuantiles,
     "t7_redact" -> t7Redact,
@@ -1310,6 +1354,32 @@ object TextQueries {
          |    ELSE 0 END) >= 200000 AS flagged
          |FROM documents d LEFT JOIN rates ON d.doc_id = rates.doc_id
          |WHERE d.doc_id % 37 <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+    // t13: same token fragment; bitlen via length(bin(x)) == Spark's
+    // length(conv(x, 10, 2)); the count sum is cast back from HUGEINT
+    // before bin() so both engines take the BIGINT rendering
+    "t13_surprisal" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array($normSql, '\\s+')) AS token
+         |  FROM documents),
+         |c AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(length(bin(t)) - length(bin(c.c)) AS BIGINT) AS bits
+         |  FROM tok JOIN c USING (token), tot),
+         |agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    CAST(SUM(bits) AS BIGINT) AS sum_bits
+         |  FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_tokens, 0) AS n_tokens,
+         |  COALESCE(sum_bits, 0) AS sum_bits,
+         |  CASE WHEN COALESCE(n_tokens, 0) > 0
+         |    THEN (sum_bits * 1000000) // n_tokens ELSE 0 END
+         |    AS mean_bits_ppm
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "u4_hash_split" ->
       s"""SELECT ${splitSql("doc_id")} AS split,
