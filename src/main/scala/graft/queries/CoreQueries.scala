@@ -858,8 +858,13 @@ object CoreQueries {
     * hot keys — the pre-flight report that decides salting (j9/a10's
     * machinery), AQE skew thresholds, and broadcast strategy BEFORE a
     * 100 TB join runs. The counts-per-key frame is the only corpus-
-    * sized intermediate and it is aggregated twice without re-scanning
-    * the fact table (count, then bounded top-k). */
+    * sized intermediate, consumed by the single combined aggregation
+    * [[skewProfileOf]] documents. Exactness bounds, both far past any
+    * physical single-key count at 100 TB: TopK's double score is exact
+    * below 2^53 rows per key (the u14 bound), and the ppm multiply
+    * stays in range below ~9.2·10^12 rows per key — past that, ANSI
+    * Spark and DuckDB BOTH fail loudly on the overflow, never return a
+    * silently wrong profile. */
   private val x5SkewProfile: Q = (s, d) =>
     skewProfileOf(Tables.orders(s, d), "o_custkey", col("o_custkey"))
       .unionByName(skewProfileOf(

@@ -270,6 +270,15 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** The exploded (doc_id, token) stream — ONE scan, the base of the
+    * t9/t13 count-join scaffolds (their count frames differ on purpose:
+    * t13 drops the empty pseudo-token a whitespace-only document
+    * produces, t9 keeps historical behavior). */
+  private def tokenStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(tokens(normalized(col("text")))).as("token"))
+
   /** T13 — integer unigram surprisal, the LM-perplexity quality proxy
     * of CCNet-class curation pipelines in exact-algebra form: per-token
     * surprisal ≈ -log2 p(token), quantized to whole bits via integer
@@ -285,18 +294,19 @@ object TextQueries {
     * pipelines use survives 1-bit granularity.
     *
     * 100 TB shape: two-phase token counts compress the corpus to the
-    * (sublinear) vocabulary; the count frame broadcasts back onto the
-    * token stream (map-side), the total rides a 1-row broadcast, and
-    * the per-doc rollup is one partial-agg shuffle on doc_id. If a
-    * vocabulary ever outgrew broadcast, the same plan runs with a
-    * shuffled token join — identical result. */
+    * (sublinear) vocabulary; the count-frame join back onto the token
+    * stream is left to Catalyst — broadcast while the vocabulary is
+    * small, shuffled when it isn't (t9's shape; no forced hint that
+    * would OOM the driver at an outsized vocab) — the total rides a
+    * 1-row broadcast, and the per-doc rollup is one partial-agg
+    * shuffle on doc_id. The empty pseudo-token a whitespace-only
+    * document produces is dropped, so degenerate documents report
+    * n_tokens = 0 (the left-join row) instead of the surprisal of ''. */
   private val t13Surprisal: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"),
-        explode(tokens(normalized(col("text")))).as("token"))
+    val toks = tokenStream(s, d).filter(length(col("token")) > 0)
     val counts = toks.groupBy("token").agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum(col("__c")).as("__t"))
-    val agg = toks.join(broadcast(counts), "token")
+    val agg = toks.join(counts, "token")
       .crossJoin(broadcast(total))
       .withColumn("__bits",
         (length(conv(col("__t"), 10, 2))
@@ -551,8 +561,7 @@ object TextQueries {
     * aggregate (no second corpus scan); the per-occurrence join is the
     * idf join every tf-idf pipeline already pays. */
   private val t9Rarity: Q = (s, d) => {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("token"))
+    val toks = tokenStream(s, d)
     val cnt = toks.groupBy("token").agg(count(lit(1)).as("c"))
     val tot = cnt.agg(sum(col("c")).as("n")) // no second scan
     toks.join(cnt, "token").crossJoin(broadcast(tot))
@@ -1360,9 +1369,11 @@ object TextQueries {
     // before bin() so both engines take the BIGINT rendering
     "t13_surprisal" ->
       s"""WITH tok AS (
-         |  SELECT doc_id,
-         |    unnest(regexp_split_to_array($normSql, '\\s+')) AS token
-         |  FROM documents),
+         |  SELECT doc_id, token FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_split_to_array($normSql, '\\s+')) AS token
+         |    FROM documents)
+         |  WHERE token <> ''),
          |c AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c),
          |sc AS (
