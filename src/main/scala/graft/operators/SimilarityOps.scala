@@ -558,6 +558,86 @@ object SimilarityOps {
     exactRerank(corpus, isProbe, scored, rerankK, topK, broadcastProbes)
   }
 
+  /** Product-quantization ANN (Jégou, Douze & Schmid, PAMI 2011) — the
+    * memory lever BEYOND scalar quantization: v6's int8 keeps d bytes
+    * per vector; PQ keeps m sub-CODES (here m=4 codes for a 64-dim
+    * vector — 16× smaller than the floats). The vector splits into m
+    * orthogonal sub-blocks; each sub-block gets its own k-word codebook
+    * (the SAME deterministic integer-scaled cosine k-means the IVF
+    * family trains with, run on the sliced corpus — so the oracle
+    * replays training bit-for-bit); a probe precomputes an ADC lookup
+    * table (k·m sub-dots per PROBE), and each candidate then costs m
+    * table lookups + m-1 adds — the asymmetric-distance trick that
+    * makes the scan independent of d. The approximate rank feeds the
+    * shared [[exactRerank]], so PQ error can only cost recall (gated in
+    * `AnnRecallSpec`), never wrong scores.
+    *
+    * Exactness discipline: the reconstruction norm composes exactly
+    * across the orthogonal blocks (‖v̂‖² = Σ‖c_s‖², summed in fixed
+    * written order), the ADC sum is a fixed-order m-term expression
+    * (never a SQL SUM over per-subspace rows, whose float order is
+    * engine-dependent), and codeword lookup matches on (s, cid) rather
+    * than positional indexing so a codeword dropped during training
+    * (possible: a cluster can lose all members) cannot shift its
+    * neighbors' table slots. */
+  def pqAnn(corpus: DataFrame, isProbe: Column, m: Int, subDim: Int,
+            k: Int, iters: Int, topK: Int, rerankK: Int): DataFrame = {
+    def subCol(v: Column, s: Int): Column = slice(v, s * subDim + 1, subDim)
+    // one codebook per sub-block, trained on the SLICED corpus with the
+    // shared seeds (vec_id < k) and iteration count
+    val books = (0 until m).map { s =>
+      kmeansCodebook(
+        corpus.select(col("vec_id"), subCol(col("embedding"), s).as("embedding")),
+        k, iters)
+        .select(lit(s).as("s"), col("cid"), col("cvec"),
+          sqrt(VectorFunctions.norm2(col("cvec"))).as("nc"))
+    }
+    // all m codebooks in ONE broadcast row (m·k entries)
+    val cb = books.reduce(_ unionByName _)
+      .agg(collect_list(struct(col("s"), col("cid"), col("cvec"), col("nc")))
+        .as("__cb"))
+    // per-vector encode: nearest codeword per sub-block by (cosine desc,
+    // cid asc) — assignCells' exact semantics as a map-side fold
+    def bestOf(s: Int): Column = {
+      val sub = subCol(col("embedding"), s)
+      val entries = filter(col("__cb"), e => e.getField("s") === s)
+      val scoredE = transform(entries, e =>
+        struct(cosineFromParts(VectorFunctions.dot(sub, e.getField("cvec")),
+            sqrt(VectorFunctions.norm2(sub)), e.getField("nc")).as("cs"),
+          e.getField("cid").as("cid"), e.getField("nc").as("nc")))
+      element_at(array_sort(scoredE, (l, r) =>
+        when(l.getField("cs") > r.getField("cs"), -1)
+          .when(l.getField("cs") < r.getField("cs"), 1)
+          .when(l.getField("cid") < r.getField("cid"), -1)
+          .otherwise(1)), 1)
+    }
+    val encoded = corpus.crossJoin(broadcast(cb))
+      .select(col("vec_id") +:
+        (0 until m).map(s => bestOf(s).as(s"__b$s")): _*)
+      .select(col("vec_id") +:
+        (0 until m).map(s => col(s"__b$s").getField("cid").as(s"__c$s")) :+
+        sqrt((0 until m).map(s => col(s"__b$s").getField("nc")
+            * col(s"__b$s").getField("nc")).reduceLeft(_ + _)).as("__vnorm"): _*)
+    // ADC table per probe: dot of the probe's sub-block with EVERY
+    // codeword — k·m sub-dots per probe, map-side over the broadcast
+    val probes = corpus.filter(isProbe).crossJoin(broadcast(cb))
+      .select(col("vec_id").as("q_id"),
+        transform(col("__cb"), e =>
+          struct(e.getField("s").as("s"), e.getField("cid").as("cid"),
+            VectorFunctions.dot(
+              slice(col("embedding"), e.getField("s") * subDim + 1, lit(subDim)),
+              e.getField("cvec")).as("dotv"))).as("__lut"))
+    def lutAt(s: Int): Column =
+      element_at(filter(col("__lut"), e =>
+        e.getField("s") === s && e.getField("cid") === col(s"__c$s")), 1)
+        .getField("dotv")
+    val scored = encoded.crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("r", when(col("__vnorm") === 0.0, lit(0.0)).otherwise(
+        (0 until m).map(lutAt).reduceLeft(_ + _) / col("__vnorm")))
+    exactRerank(corpus, isProbe, scored, rerankK, topK)
+  }
+
   /** N-gram-Jaccard near-dup: bottom-hash blocking over LONG (`blockN`)
     * shingles, exact Jaccard verification over SHORT (`shingleN`)
     * shingles. Blocking = two single-row MinHash bands (collision

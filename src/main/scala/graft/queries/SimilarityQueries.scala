@@ -50,6 +50,18 @@ object SimilarityQueries {
   // per candidate, so it spends the saving on candidates — measured
   // recall@5 0.84 (2 cells, v4's floor) → 0.90 (3 cells)
   private val V7ProbeCells = 3
+  // v10 PQ tuning: 64 dims → 4 sub-blocks × 16 dims, 16 codewords per
+  // block (m·k = 64 table entries per probe). PQ's rank is COARSE (16×
+  // compression vs v6's 4×, and only 16^4 distinct reconstructions), so
+  // it buys recall back with a DEEP exact rerank — 20·topK candidates
+  // (~7% of the sf0.01 corpus; at production scale the pool stays
+  // constant while the corpus grows, so the fraction vanishes):
+  // measured recall@5 0.54 at a 4·topK pool → gated >= 0.8 at 20·topK
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 16
+  private val PqIters = KmeansIters
+  private val PqRerank = 20 * TopK
 
   // ---------------------------------------------------------------- queries
 
@@ -239,6 +251,15 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
       .orderBy("q_id", "rnk")
 
+  /** V10 — product-quantization ANN: 4 sub-block codebooks, ADC lookup
+    * scoring, exact rerank — the 16×-compression scale path beyond v6's
+    * scalar quantization. */
+  private val v10AnnPq: Q = (s, d) =>
+    SimilarityOps.pqAnn(Tables.embeddings(s, d), col("vec_id") < NProbes,
+        PqM, PqSubDim, PqK, PqIters, TopK, rerankK = PqRerank)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+
   /** V7 — quantized IVF ANN: v4's trained cells cut candidates, v6's
     * int8 codes shrink the cell scan, exact rerank keeps it
     * oracle-exact — the composed 100 TB serving shape. */
@@ -356,6 +377,7 @@ object SimilarityQueries {
     "v4_ann_ivf" -> v4AnnIvf,
     "v5_ann_topk_agg" -> v5AnnTopkAgg,
     "v6_ann_quantized" -> v6AnnQuantized,
+    "v10_ann_pq" -> v10AnnPq,
     "v7_ann_ivf_quantized" -> v7AnnIvfQuantized,
     "v8_ann_ivf_batch" -> v8AnnIvfBatch)
 
@@ -665,6 +687,93 @@ object SimilarityQueries {
       v4UpdateCte(s"c$i", s"a$i")
   }.mkString(",\n")
 
+  /** v10's per-subspace training chains: the v4 builders run verbatim
+    * on the SLICED corpus — one (c0 → assign/update × iters → final
+    * encode) chain per sub-block, names suffixed s0..s3. */
+  private def pqSlicedSql(s: Int): String =
+    s"(SELECT vec_id, embedding[${s * PqSubDim + 1}:${(s + 1) * PqSubDim}]" +
+      " AS embedding FROM embeddings)"
+
+  private val pqCtes: String = (0 until PqM).map { s =>
+    val c0 =
+      s"""c0s$s AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> x::DOUBLE) AS cvec
+         |  FROM ${pqSlicedSql(s)} WHERE vec_id < $PqK)""".stripMargin
+    val iters = (1 to PqIters).map { i =>
+      v4AssignCte(s"a${i}s$s", pqSlicedSql(s), s"c${i - 1}s$s", keep = 1) +
+        ",\n" + v4UpdateCte(s"c${i}s$s", s"a${i}s$s")
+    }.mkString(",\n")
+    val enc = v4AssignCte(s"encs$s", pqSlicedSql(s), s"c${PqIters}s$s",
+      keep = 1)
+    Seq(c0, iters, enc).mkString(",\n")
+  }.mkString(",\n")
+
+  /** v10 oracle: per-subspace k-means replay, (s, cid)-matched codeword
+    * lookups (never positional — a dropped codeword cannot shift
+    * slots), the ADC sum in the same fixed parenthesization as the
+    * Spark expression, exact-cosine rerank of the top 20·topK. */
+  private val v10Sql =
+    s"""WITH $pqCtes,
+       |cbents AS (
+       |  ${(0 until PqM).map(s =>
+            s"SELECT $s AS s, cid, cvec FROM c${PqIters}s$s")
+           .mkString("\n  UNION ALL ")}),
+       |cn AS (SELECT s, cid, sqrt(${dotSql("cvec", "cvec")}) AS nc
+       |  FROM cbents),
+       |codes AS (
+       |  SELECT e0.vec_id, e0.cluster AS c0, e1.cluster AS c1,
+       |    e2.cluster AS c2, e3.cluster AS c3
+       |  FROM encs0 e0 JOIN encs1 e1 ON e0.vec_id = e1.vec_id
+       |    JOIN encs2 e2 ON e0.vec_id = e2.vec_id
+       |    JOIN encs3 e3 ON e0.vec_id = e3.vec_id),
+       |vn AS (
+       |  SELECT codes.vec_id,
+       |    sqrt(((n0.nc * n0.nc + n1.nc * n1.nc) + n2.nc * n2.nc)
+       |      + n3.nc * n3.nc) AS vnorm
+       |  FROM codes
+       |  JOIN cn n0 ON n0.s = 0 AND n0.cid = codes.c0
+       |  JOIN cn n1 ON n1.s = 1 AND n1.cid = codes.c1
+       |  JOIN cn n2 ON n2.s = 2 AND n2.cid = codes.c2
+       |  JOIN cn n3 ON n3.s = 3 AND n3.cid = codes.c3),
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, cb.s, cb.cid,
+       |    ${dotSql(
+              s"q.embedding[cb.s * $PqSubDim + 1:(cb.s + 1) * $PqSubDim]",
+              "cb.cvec")} AS dotv
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < $NProbes) q
+       |  CROSS JOIN cbents cb),
+       |scored AS (
+       |  SELECT l0.q_id, codes.vec_id,
+       |    CASE WHEN vn.vnorm = 0 THEN 0.0 ELSE
+       |      (((l0.dotv + l1.dotv) + l2.dotv) + l3.dotv) / vn.vnorm END
+       |      AS r
+       |  FROM codes
+       |  JOIN vn ON vn.vec_id = codes.vec_id
+       |  JOIN lut l0 ON l0.s = 0 AND l0.cid = codes.c0
+       |  JOIN lut l1 ON l1.s = 1 AND l1.cid = codes.c1
+       |    AND l1.q_id = l0.q_id
+       |  JOIN lut l2 ON l2.s = 2 AND l2.cid = codes.c2
+       |    AND l2.q_id = l0.q_id
+       |  JOIN lut l3 ON l3.s = 3 AND l3.cid = codes.c3
+       |    AND l3.q_id = l0.q_id
+       |  WHERE l0.q_id <> codes.vec_id),
+       |top AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY r DESC, vec_id) AS crnk
+       |    FROM scored)
+       |  WHERE crnk <= $PqRerank)
+       |SELECT q_id, vec_id, rnk, cos_sim FROM (
+       |  SELECT t.q_id, t.vec_id,
+       |    ${cosineSql("q.embedding", "e.embedding")} AS cos_sim,
+       |    row_number() OVER (PARTITION BY t.q_id
+       |      ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC,
+       |        t.vec_id) AS rnk
+       |  FROM top t JOIN embeddings q ON t.q_id = q.vec_id
+       |             JOIN embeddings e ON t.vec_id = e.vec_id)
+       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
   private val v4Sql =
     s"""WITH c0 AS (
        |  SELECT vec_id AS cid,
@@ -898,6 +1007,7 @@ object SimilarityQueries {
     "v4_ann_ivf" -> v4Sql,
     "v5_ann_topk_agg" -> v1Sql, // same contract as v1 by construction
     "v6_ann_quantized" -> v6Sql,
+    "v10_ann_pq" -> v10Sql,
     "v7_ann_ivf_quantized" -> v7Sql,
     // v8 is v7 through the shuffled batch-probe plan — same semantics,
     // same oracle; the DIFFERENCE under test is the physical plan,

@@ -38,6 +38,17 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"v4 recall@5 = $recall")
   }
 
+  test("product-quantization ANN (v10) recall@5 >= 0.8 vs brute force") {
+    // PQ's 16x compression ranks coarser than v6's int8 (4x): measured
+    // 0.54 with a 4·topK rerank pool, 0.86 with the 20·topK pool the
+    // query ships — the deep-rerank trade PQ standardly makes
+    val exact = topkPairs("v1_ann_cosine_topk")
+    val pq = topkPairs("v10_ann_pq")
+    val recall = (exact & pq).size.toDouble / exact.size
+    info(s"v10 recall@5 = $recall")
+    assert(recall >= 0.8, s"v10 recall@5 = $recall")
+  }
+
   test("quantized IVF ANN (v7) recall@5 >= 0.85 vs brute force") {
     // the composed serving shape loses recall ONLY to cell-probing (the
     // rerank cancels quantization error within probed cells), so its
