@@ -449,6 +449,17 @@ object SimilarityOps {
     * assignment; this one moves nothing. Ordering semantics are
     * identical (cos desc, ties → lowest cid), so v4/v7 oracles and the
     * k-means fixpoint are unchanged. */
+  /** The (cs desc, cid asc) total-order comparator the IVF cell
+    * assignment AND the PQ encode sort with — ONE definition, so the
+    * k-means fixpoint, the PQ codes and both their oracles can never
+    * de-sync on tie semantics. Operands are structs with `cs` (score)
+    * and `cid` fields. */
+  private def csDescCidAsc(l: Column, r: Column): Column =
+    when(l.getField("cs") > r.getField("cs"), -1)
+      .when(l.getField("cs") < r.getField("cs"), 1)
+      .when(l.getField("cid") < r.getField("cid"), -1)
+      .otherwise(1)
+
   private def assignCells(corpus: DataFrame, centroids: DataFrame,
                           nprobe: Int): DataFrame = {
     val centsArr = centroids
@@ -462,11 +473,7 @@ object SimilarityOps {
         c.getField("cid").as("cid")))
     // array_sort comparator == the window's (cs desc, cid asc); cs ties
     // break by cid, equal cids impossible
-    val byScore = array_sort(scored, (l, r) =>
-      when(l.getField("cs") > r.getField("cs"), -1)
-        .when(l.getField("cs") < r.getField("cs"), 1)
-        .when(l.getField("cid") < r.getField("cid"), -1)
-        .otherwise(1))
+    val byScore = array_sort(scored, csDescCidAsc)
     corpus
       .withColumn("__nv", sqrt(VectorFunctions.norm2(col("embedding"))))
       .crossJoin(broadcast(centsArr))
@@ -582,6 +589,13 @@ object SimilarityOps {
     * neighbors' table slots. */
   def pqAnn(corpus: DataFrame, isProbe: Column, m: Int, subDim: Int,
             k: Int, iters: Int, topK: Int, rerankK: Int): DataFrame = {
+    require(m > 0 && subDim > 0 && k > 0 && iters > 0,
+      s"pqAnn geometry must be positive (m=$m, subDim=$subDim, k=$k)")
+    // a mis-sized geometry would SILENTLY rank on a truncated vector
+    // (slice just stops short) — check against the data once
+    val dim = corpus.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(m * subDim == dim,
+      s"pqAnn sub-blocks cover ${m * subDim} dims but vectors have $dim")
     def subCol(v: Column, s: Int): Column = slice(v, s * subDim + 1, subDim)
     // one codebook per sub-block, trained on the SLICED corpus with the
     // shared seeds (vec_id < k) and iteration count
@@ -596,41 +610,56 @@ object SimilarityOps {
     val cb = books.reduce(_ unionByName _)
       .agg(collect_list(struct(col("s"), col("cid"), col("cvec"), col("nc")))
         .as("__cb"))
+    // per-vector sub-slices and THEIR norms hoisted into one projection:
+    // expressions inside a higher-order-function lambda re-evaluate per
+    // element (the shinglesFromTokens lesson), so the norm must be a
+    // column REFERENCE in the encode fold, not a fold of its own
+    val sliced = corpus.crossJoin(broadcast(cb))
+      .select(Seq(col("vec_id"), col("__cb")) ++
+        (0 until m).flatMap(s => Seq(
+          subCol(col("embedding"), s).as(s"__s$s"),
+          sqrt(VectorFunctions.norm2(subCol(col("embedding"), s)))
+            .as(s"__n$s"))): _*)
     // per-vector encode: nearest codeword per sub-block by (cosine desc,
     // cid asc) — assignCells' exact semantics as a map-side fold
     def bestOf(s: Int): Column = {
-      val sub = subCol(col("embedding"), s)
       val entries = filter(col("__cb"), e => e.getField("s") === s)
       val scoredE = transform(entries, e =>
-        struct(cosineFromParts(VectorFunctions.dot(sub, e.getField("cvec")),
-            sqrt(VectorFunctions.norm2(sub)), e.getField("nc")).as("cs"),
+        struct(cosineFromParts(
+            VectorFunctions.dot(col(s"__s$s"), e.getField("cvec")),
+            col(s"__n$s"), e.getField("nc")).as("cs"),
           e.getField("cid").as("cid"), e.getField("nc").as("nc")))
-      element_at(array_sort(scoredE, (l, r) =>
-        when(l.getField("cs") > r.getField("cs"), -1)
-          .when(l.getField("cs") < r.getField("cs"), 1)
-          .when(l.getField("cid") < r.getField("cid"), -1)
-          .otherwise(1)), 1)
+      element_at(array_sort(scoredE, csDescCidAsc), 1)
     }
-    val encoded = corpus.crossJoin(broadcast(cb))
+    val encoded = sliced
       .select(col("vec_id") +:
         (0 until m).map(s => bestOf(s).as(s"__b$s")): _*)
       .select(col("vec_id") +:
         (0 until m).map(s => col(s"__b$s").getField("cid").as(s"__c$s")) :+
         sqrt((0 until m).map(s => col(s"__b$s").getField("nc")
             * col(s"__b$s").getField("nc")).reduceLeft(_ + _)).as("__vnorm"): _*)
-    // ADC table per probe: dot of the probe's sub-block with EVERY
-    // codeword — k·m sub-dots per probe, map-side over the broadcast
-    val probes = corpus.filter(isProbe).crossJoin(broadcast(cb))
+    // ADC table per probe, DENSE: slot s·k + cid. The k-means seeds are
+    // vec_id < k, so cid values always lie in [0, k) and the layout is
+    // total; a codeword dropped in training leaves a null slot that no
+    // candidate code can reference. Dense layout = the advertised O(1)
+    // lookup per candidate (a (s, cid)-filter scan would pay ~m·k struct
+    // compares on every scored row — on the HOT path ADC exists to
+    // make cheap). The map is materialized in its own projection so
+    // CollapseProject cannot inline the k·m dots once per slot.
+    val probeMaps = corpus.filter(isProbe).crossJoin(broadcast(cb))
       .select(col("vec_id").as("q_id"),
-        transform(col("__cb"), e =>
-          struct(e.getField("s").as("s"), e.getField("cid").as("cid"),
+        map_from_entries(transform(col("__cb"), e =>
+          struct((e.getField("s") * k + e.getField("cid")).cast("int")
+              .as("slot"),
             VectorFunctions.dot(
-              slice(col("embedding"), e.getField("s") * subDim + 1, lit(subDim)),
-              e.getField("cvec")).as("dotv"))).as("__lut"))
+              slice(col("embedding"),
+                (e.getField("s") * subDim + 1).cast("int"), lit(subDim)),
+              e.getField("cvec")).as("v")))).as("__m"))
+    val probes = probeMaps.select(col("q_id"),
+      transform(sequence(lit(0), lit(m * k - 1)),
+        i => element_at(col("__m"), i)).as("__lut"))
     def lutAt(s: Int): Column =
-      element_at(filter(col("__lut"), e =>
-        e.getField("s") === s && e.getField("cid") === col(s"__c$s")), 1)
-        .getField("dotv")
+      element_at(col("__lut"), lit(s * k + 1) + col(s"__c$s").cast("int"))
     val scored = encoded.crossJoin(broadcast(probes))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("r", when(col("__vnorm") === 0.0, lit(0.0)).otherwise(

@@ -722,20 +722,17 @@ object SimilarityQueries {
        |cn AS (SELECT s, cid, sqrt(${dotSql("cvec", "cvec")}) AS nc
        |  FROM cbents),
        |codes AS (
-       |  SELECT e0.vec_id, e0.cluster AS c0, e1.cluster AS c1,
-       |    e2.cluster AS c2, e3.cluster AS c3
-       |  FROM encs0 e0 JOIN encs1 e1 ON e0.vec_id = e1.vec_id
-       |    JOIN encs2 e2 ON e0.vec_id = e2.vec_id
-       |    JOIN encs3 e3 ON e0.vec_id = e3.vec_id),
+       |  SELECT e0.vec_id,
+       |    ${(0 until PqM).map(s => s"e$s.cluster AS c$s").mkString(", ")}
+       |  FROM encs0 e0${(1 until PqM).map(s =>
+            s" JOIN encs$s e$s ON e0.vec_id = e$s.vec_id").mkString}),
        |vn AS (
        |  SELECT codes.vec_id,
-       |    sqrt(((n0.nc * n0.nc + n1.nc * n1.nc) + n2.nc * n2.nc)
-       |      + n3.nc * n3.nc) AS vnorm
-       |  FROM codes
-       |  JOIN cn n0 ON n0.s = 0 AND n0.cid = codes.c0
-       |  JOIN cn n1 ON n1.s = 1 AND n1.cid = codes.c1
-       |  JOIN cn n2 ON n2.s = 2 AND n2.cid = codes.c2
-       |  JOIN cn n3 ON n3.s = 3 AND n3.cid = codes.c3),
+       |    sqrt(${(0 until PqM).map(s => s"n$s.nc * n$s.nc")
+              .reduceLeft((a, b) => s"($a + $b)")}) AS vnorm
+       |  FROM codes${(0 until PqM).map(s =>
+            s" JOIN cn n$s ON n$s.s = $s AND n$s.cid = codes.c$s")
+            .mkString}),
        |lut AS (
        |  SELECT q.vec_id AS q_id, cb.s, cb.cid,
        |    ${dotSql(
@@ -746,17 +743,14 @@ object SimilarityQueries {
        |scored AS (
        |  SELECT l0.q_id, codes.vec_id,
        |    CASE WHEN vn.vnorm = 0 THEN 0.0 ELSE
-       |      (((l0.dotv + l1.dotv) + l2.dotv) + l3.dotv) / vn.vnorm END
+       |      ${(0 until PqM).map(s => s"l$s.dotv")
+              .reduceLeft((a, b) => s"($a + $b)")} / vn.vnorm END
        |      AS r
        |  FROM codes
        |  JOIN vn ON vn.vec_id = codes.vec_id
-       |  JOIN lut l0 ON l0.s = 0 AND l0.cid = codes.c0
-       |  JOIN lut l1 ON l1.s = 1 AND l1.cid = codes.c1
-       |    AND l1.q_id = l0.q_id
-       |  JOIN lut l2 ON l2.s = 2 AND l2.cid = codes.c2
-       |    AND l2.q_id = l0.q_id
-       |  JOIN lut l3 ON l3.s = 3 AND l3.cid = codes.c3
-       |    AND l3.q_id = l0.q_id
+       |  JOIN lut l0 ON l0.s = 0 AND l0.cid = codes.c0${(1 until PqM)
+            .map(s => s"\n  JOIN lut l$s ON l$s.s = $s AND l$s.cid" +
+              s" = codes.c$s AND l$s.q_id = l0.q_id").mkString}
        |  WHERE l0.q_id <> codes.vec_id),
        |top AS (
        |  SELECT q_id, vec_id FROM (
