@@ -478,8 +478,11 @@ object SimilarityOps {
       .withColumn("__nv", sqrt(VectorFunctions.norm2(col("embedding"))))
       .crossJoin(broadcast(centsArr))
       .withColumn("__e", explode(slice(byScore, 1, nprobe)))
-      .select(col("vec_id"), col("embedding"), col("__nv"),
-        col("__e.cid").as("cluster"))
+      // keep the corpus's OTHER columns too (label etc.): assignment is
+      // the one pass that touches every vector, so downstream evaluators
+      // (v11 purity) ride it instead of re-joining the corpus on vec_id
+      .withColumn("cluster", col("__e.cid"))
+      .drop("__cents", "__e")
   }
 
   /** IVF ANN with a trained codebook and multi-cell probing: every vector
@@ -759,6 +762,15 @@ object SimilarityOps {
   def clusterAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
     assignCells(corpus, centroids, nprobe = 1)
       .select(col("vec_id"), col("cluster"))
+
+  /** [[clusterAssign]] carrying extra corpus columns through the one
+    * full-corpus pass — evaluators (v11 label purity) read their
+    * payload here instead of re-joining the corpus on vec_id (a second
+    * corpus-wide shuffle the assignment already paid for). */
+  def clusterAssignWith(corpus: DataFrame, centroids: DataFrame,
+                        extra: String*): DataFrame =
+    assignCells(corpus, centroids, nprobe = 1)
+      .select((Seq("vec_id", "cluster") ++ extra).map(col): _*)
 
   /** Semantic dedup (SemDeDup, Abbas et al., "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication",

@@ -337,6 +337,33 @@ object SimilarityQueries {
       .orderBy("cluster")
   }
 
+  /** V11 — cluster-purity evaluation: per trained cell, the majority
+    * label's share of members (exact ppm) plus the distinct-label count
+    * — the standard clustering-quality readout when ground-truth labels
+    * exist (here `embeddings.label`), and the mixture-audit a curation
+    * pipeline runs after v9's profile. All integer algebra: the
+    * majority rides `max(struct(cnt, -label))` (ties → lowest label,
+    * total order), purity is `maj·10^6 div n`. Plan: one map-side cell
+    * assignment (v9's zero-shuffle broadcast argmax), one
+    * (cluster, label) partial-agg shuffle, then a tiny per-cluster
+    * rollup of the |cells|×|labels| count frame. */
+  private val v11ClusterPurity: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cb = SimilarityOps.kmeansCodebook(e, KCells, KmeansIters)
+    val counts = SimilarityOps.clusterAssignWith(e, cb, "label")
+      .groupBy("cluster", "label")
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy("cluster")
+      .agg(sum(col("cnt")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        max(struct(col("cnt"), (-col("label")).as("nl"))).as("__m"))
+      .select(col("cluster"), col("n_vecs"), col("n_labels"),
+        (-col("__m.nl")).cast("int").as("maj_label"),
+        col("__m.cnt").as("maj_cnt"))
+      .withColumn("purity_ppm", expr("(maj_cnt * 1000000) div n_vecs"))
+      .orderBy("cluster")
+  }
+
   /** D11 — keep-BEST-copy NEAR-dup dedup: d10's quality-argmax survivor
     * rule applied to d6's connected components instead of exact-dup
     * groups — the production curation shape (near-dup clusters keep the
@@ -371,6 +398,7 @@ object SimilarityQueries {
     "d8_span_dedup" -> d8SpanDedup,
     "d9_semantic_dedup" -> d9SemanticDedup,
     "v9_cluster_profile" -> v9ClusterProfile,
+    "v11_cluster_purity" -> v11ClusterPurity,
     "v1_ann_cosine_topk" -> v1AnnCosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_embed_neardup" -> v3EmbedNeardup,
@@ -971,7 +999,34 @@ object SimilarityQueries {
        |  MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
        |FROM assigned GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  /** v11: v4's training/assignment replay + label join; the window's
+    * (cnt DESC, label ASC) mirrors the Spark struct-max tie order. */
+  private val v11Sql =
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cvec
+       |  FROM embeddings WHERE vec_id < $KCells),
+       |$v4IterCtes,
+       |${v4AssignCte("assigned", "embeddings", s"c$KmeansIters", keep = 1)},
+       |counts AS (
+       |  SELECT a.cluster, e.label, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  GROUP BY a.cluster, e.label),
+       |r AS (
+       |  SELECT cluster, label, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY cluster
+       |      ORDER BY cnt DESC, label ASC) AS rn,
+       |    CAST(SUM(cnt) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs,
+       |    CAST(COUNT(*) OVER (PARTITION BY cluster) AS BIGINT)
+       |      AS n_labels
+       |  FROM counts)
+       |SELECT cluster, n_vecs, n_labels,
+       |  CAST(label AS INTEGER) AS maj_label, cnt AS maj_cnt,
+       |  (cnt * 1000000) // n_vecs AS purity_ppm
+       |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "v11_cluster_purity" -> v11Sql,
     "d3_minhash_neardup" -> d3Sql,
     "d4_simhash" -> d4Sql,
     "d7_simhash_hamming" -> d7Sql,
