@@ -437,6 +437,17 @@ object SimilarityOps {
     cents
   }
 
+  /** The (cs desc, cid asc) total-order comparator the IVF cell
+    * assignment AND the PQ encode sort with — ONE definition, so the
+    * k-means fixpoint, the PQ codes and both their oracles can never
+    * de-sync on tie semantics. Operands are structs with `cs` (score)
+    * and `cid` fields. */
+  private def csDescCidAsc(l: Column, r: Column): Column =
+    when(l.getField("cs") > r.getField("cs"), -1)
+      .when(l.getField("cs") < r.getField("cs"), 1)
+      .when(l.getField("cid") < r.getField("cid"), -1)
+      .otherwise(1)
+
   /** Assign each corpus vector to its `nprobe` nearest codebook cells by
     * cosine (ties → lowest cid). nprobe=1 is cell assignment; nprobe>1 is
     * the probe-side multi-cell search list.
@@ -449,17 +460,6 @@ object SimilarityOps {
     * assignment; this one moves nothing. Ordering semantics are
     * identical (cos desc, ties → lowest cid), so v4/v7 oracles and the
     * k-means fixpoint are unchanged. */
-  /** The (cs desc, cid asc) total-order comparator the IVF cell
-    * assignment AND the PQ encode sort with — ONE definition, so the
-    * k-means fixpoint, the PQ codes and both their oracles can never
-    * de-sync on tie semantics. Operands are structs with `cs` (score)
-    * and `cid` fields. */
-  private def csDescCidAsc(l: Column, r: Column): Column =
-    when(l.getField("cs") > r.getField("cs"), -1)
-      .when(l.getField("cs") < r.getField("cs"), 1)
-      .when(l.getField("cid") < r.getField("cid"), -1)
-      .otherwise(1)
-
   private def assignCells(corpus: DataFrame, centroids: DataFrame,
                           nprobe: Int): DataFrame = {
     val centsArr = centroids
@@ -658,9 +658,13 @@ object SimilarityOps {
               slice(col("embedding"),
                 (e.getField("s") * subDim + 1).cast("int"), lit(subDim)),
               e.getField("cvec")).as("v")))).as("__m"))
+    // try_element_at, NOT element_at: a codeword dropped in training
+    // leaves its slot key absent from the map, and ANSI-mode Spark 4
+    // THROWS on a missing map key — try_ yields the null slot the dense
+    // layout intends (no candidate code ever reads it)
     val probes = probeMaps.select(col("q_id"),
       transform(sequence(lit(0), lit(m * k - 1)),
-        i => element_at(col("__m"), i)).as("__lut"))
+        i => try_element_at(col("__m"), i)).as("__lut"))
     def lutAt(s: Int): Column =
       element_at(col("__lut"), lit(s * k + 1) + col(s"__c$s").cast("int"))
     val scored = encoded.crossJoin(broadcast(probes))
@@ -797,7 +801,11 @@ object SimilarityOps {
     * every corpus vector — callers keep `is_dup = 0`. */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
                     threshold: Double): DataFrame = {
+    // narrow BEFORE the persist: assignCells passes the corpus's other
+    // columns through (for the v11 evaluator path), and a cached frame
+    // materializes its full column set — pruning does not reach inside
     val assigned = assignCells(corpus, centroids, nprobe = 1)
+      .select(col("vec_id"), col("embedding"), col("__nv"), col("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("cluster"), col("vec_id").as("a"),
       col("embedding").as("va"), col("__nv").as("__na"))

@@ -67,22 +67,19 @@ class EventMartAppSpec extends SparkSpec {
   }
 
   /** (parquet scans, cache scans) reachable from `p` without descending
-    * into a cache node's provenance plan; AQE wrappers are crossed. */
+    * into a cache node's provenance plan. Rides the shared
+    * [[graft.SparkSpec.collectPlan]] walker (AQE wrappers, reused
+    * exchanges AND subqueries are crossed — a private copy missing one
+    * wrapper would make the no-re-scan gate vacuous; the cache node is
+    * a leaf, so the walker already stops above the provenance plan). */
   private def scansAboveCache(
       p: org.apache.spark.sql.execution.SparkPlan): (Int, Int) = {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-    var file = 0
-    var cache = 0
-    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = n.foreach {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case s: QueryStageExec => walk(s.plan)
-      case _: InMemoryTableScanExec => cache += 1 // stop: provenance below
-      case _: FileSourceScanExec => file += 1
-      case _ => ()
+    val hits = collectPlan(p) {
+      case _: FileSourceScanExec => 'f'
+      case _: InMemoryTableScanExec => 'c'
     }
-    walk(p)
-    (file, cache)
+    (hits.count(_ == 'f'), hits.count(_ == 'c'))
   }
 }
