@@ -871,6 +871,62 @@ object CoreQueries {
         Tables.lineitem(s, d), "l_orderkey", col("l_orderkey")))
       .orderBy("key_name", "rnk")
 
+  /** G1 — PageRank over the customer↔supplier trade graph (nodes =
+    * customers and suppliers that traded, edges = symmetric distinct
+    * (customer, supplier) pairs from lineitem⋈orders; ids namespaced
+    * 2·custkey / 2·suppkey+1): the iterative-graph-analytics class —
+    * entity importance for sampling weights, fraud triage, dedup
+    * prioritization. EXACT integer algebra so ten float iterations
+    * can't drift across engines: scores are 10^12-scaled longs seeded
+    * at `10^12 div N`, each step is
+    * `s' = (15·(10^12 div N)) div 100 + (85·Σ_in (s div outdeg)) div
+    * 100` — truncating integer division on both engines, and the
+    * normalized seed bounds every sum by ~10^12·85 regardless of graph
+    * size (no overflow at any N). Symmetric edges mean no dangling
+    * mass. Fixed 10 iterations (a parameter at production scale; the
+    * oracle unrolls them as CTEs — the v4 k-means pattern).
+    *
+    * Scale shape: d6's iterative discipline — the edge list persists
+    * once, each iteration is ONE join (edges ⋈ scores on src) + one
+    * `groupBy(dst)` partial-agg shuffle, and an eager localCheckpoint
+    * per round truncates the lineage so plans don't stack. */
+  private val PrIters = 10
+  private val PrScale = 1000000000000L
+  private val g1PageRank: Q = (s, d) => {
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cu"),
+        (col("l_suppkey") * 2 + 1).as("su"))
+      .distinct()
+    // pre-partition the persisted edge list on the join key: the cache
+    // keeps its HashPartitioning, so all 10 iteration joins exchange
+    // only the (node, contribution) scores side — never the edges
+    val edges = pairs.select(col("cu").as("src"), col("su").as("dst"))
+      .unionByName(pairs.select(col("su").as("src"), col("cu").as("dst")))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val odf = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("od"))
+    val nC = odf.agg(count(lit(1)).as("n"))
+    var sc = odf.crossJoin(broadcast(nC))
+      .withColumn("s", expr(s"$PrScale div n"))
+      .localCheckpoint(true)
+    for (_ <- 0 until PrIters) {
+      val inflow = edges
+        .join(sc.select(col("node").as("__sn"), expr("s div od").as("__c")),
+          col("src") === col("__sn"))
+        .groupBy(col("dst").as("node")).agg(sum(col("__c")).as("__inf"))
+      sc = sc.drop("s").join(inflow, Seq("node"), "left")
+        .withColumn("s", expr(s"(15 * ($PrScale div n)) div 100" +
+          " + (85 * coalesce(__inf, 0)) div 100"))
+        .drop("__inf")
+        .localCheckpoint(true)
+    }
+    sc.select((col("node") % 2).cast("int").as("node_type"),
+        expr("node div 2").as("key"), col("s").as("score"))
+      .orderBy("node_type", "key")
+  }
+
   /** J7 — double self-lookup: the SAME dim table joined TWICE under two
     * aliases (customer's nation vs supplier's nation — the reference
     * aliases one HBase dim twice, DwdTradeRefundOrderDetail.java:83-106).
@@ -1152,6 +1208,7 @@ object CoreQueries {
     "x2_log_explode" -> x2LogExplode,
     "x3_profile" -> x3Profile,
     "x5_skew_profile" -> x5SkewProfile,
+    "g1_pagerank" -> g1PageRank,
     "a19_event_transitions" -> a19EventTransitions,
     "a20_scd2_history" -> a20Scd2History,
     "a21_corr" -> a21Corr,
@@ -1165,7 +1222,40 @@ object CoreQueries {
     "j9_salted_join" -> j9SaltedJoin,
     "j10_range_join" -> j10RangeJoin)
 
+  /** g1 oracle: the 10 iterations unrolled as CTEs (the v4 k-means
+    * pattern — recursive CTEs can't aggregate per step), replaying the
+    * identical truncating integer algebra. */
+  private val g1Sql: String = {
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""s$i AS (
+         |  SELECT o.node, o.od, o.n,
+         |    (15 * ($PrScale // o.n)) // 100
+         |      + (85 * COALESCE(f.inf, 0)) // 100 AS s
+         |  FROM s0 o LEFT JOIN (
+         |    SELECT e.dst AS nd, CAST(SUM(p.s // p.od) AS BIGINT) AS inf
+         |    FROM edges e JOIN s${i - 1} p ON e.src = p.node
+         |    GROUP BY e.dst) f ON o.node = f.nd)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS cu, l_suppkey * 2 + 1 AS su
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT cu AS src, su AS dst FROM pairs
+       |  UNION ALL SELECT su, cu FROM pairs),
+       |od AS (
+       |  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS od
+       |  FROM edges GROUP BY src),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM od),
+       |s0 AS (
+       |  SELECT node, od, n, ($PrScale // n) AS s FROM od CROSS JOIN nn),
+       |$iterCtes
+       |SELECT CAST(node % 2 AS INTEGER) AS node_type, node // 2 AS key,
+       |  s AS score
+       |FROM s$PrIters ORDER BY node_type, key""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "g1_pagerank" -> g1Sql,
     "s1_scan_project" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
         | strftime(l_shipdate, '%Y-%m-%d') AS ship_date
