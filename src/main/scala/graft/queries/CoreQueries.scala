@@ -898,28 +898,37 @@ object CoreQueries {
       .select((col("o_custkey") * 2).as("cu"),
         (col("l_suppkey") * 2 + 1).as("su"))
       .distinct()
-    // pre-partition the persisted edge list on the join key: the cache
-    // keeps its HashPartitioning, so all 10 iteration joins exchange
-    // only the (node, contribution) scores side — never the edges
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select(col("cu").as("src"), col("su").as("dst"))
       .unionByName(pairs.select(col("su").as("src"), col("cu").as("dst")))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val odf = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("od"))
-    val nC = odf.agg(count(lit(1)).as("n"))
-    var sc = odf.crossJoin(broadcast(nC))
-      .withColumn("s", expr(s"$PrScale div n"))
+    // the SOURCE's out-degree rides the edge list itself, so an
+    // iteration is truly ONE join + one aggregate and the score frame
+    // stays the narrow (node, s); pre-partitioning the persisted edges
+    // on the join key means the cache's HashPartitioning serves every
+    // iteration — only the score side exchanges per round
+    val edgesW = edges
+      .join(odf, col("src") === col("node"))
+      .select(col("src"), col("dst"), col("od"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node count: one deterministic driver-side long (the teleport and
+    // seed constants fold into literals — no per-row broadcast column)
+    val n = odf.count()
+    require(n > 0, "g1 PageRank over an empty trade graph")
+    val teleport = (15L * (PrScale / n)) / 100L
+    var sc = odf.select(col("node"), lit(PrScale / n).as("s"))
       .localCheckpoint(true)
     for (_ <- 0 until PrIters) {
-      val inflow = edges
-        .join(sc.select(col("node").as("__sn"), expr("s div od").as("__c")),
+      // symmetric edges ⇒ every node appears as a dst, so the groupBy
+      // re-emits the full node set and no restoring left join is needed
+      sc = edgesW
+        .join(sc.withColumnRenamed("node", "__sn"),
           col("src") === col("__sn"))
-        .groupBy(col("dst").as("node")).agg(sum(col("__c")).as("__inf"))
-      sc = sc.drop("s").join(inflow, Seq("node"), "left")
-        .withColumn("s", expr(s"(15 * ($PrScale div n)) div 100" +
-          " + (85 * coalesce(__inf, 0)) div 100"))
-        .drop("__inf")
+        .select(col("dst"), expr("s div od").as("__c"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr(s"$teleport + (85 * sum(__c)) div 100").as("s"))
         .localCheckpoint(true)
     }
     sc.select((col("node") % 2).cast("int").as("node_type"),
