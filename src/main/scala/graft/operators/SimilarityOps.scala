@@ -595,10 +595,18 @@ object SimilarityOps {
     require(m > 0 && subDim > 0 && k > 0 && iters > 0,
       s"pqAnn geometry must be positive (m=$m, subDim=$subDim, k=$k)")
     // a mis-sized geometry would SILENTLY rank on a truncated vector
-    // (slice just stops short) — check against the data once
-    val dim = corpus.select(size(col("embedding")).as("d")).head().getInt(0)
-    require(m * subDim == dim,
-      s"pqAnn sub-blocks cover ${m * subDim} dims but vectors have $dim")
+    // (slice just stops short) — check against the data once, over the
+    // WHOLE corpus (one min/max agg): a single-row peek would pass a
+    // mixed-length corpus, which is exactly the truncation this guard
+    // exists to catch, and an empty corpus must fail with the contract
+    // message, not a bare NoSuchElementException
+    val dims = corpus.agg(min(size(col("embedding"))).as("lo"),
+      max(size(col("embedding"))).as("hi")).head()
+    require(!dims.isNullAt(0), "pqAnn requires a non-empty corpus")
+    val (lo, hi) = (dims.getInt(0), dims.getInt(1))
+    require(lo == hi, s"pqAnn requires uniform embedding lengths (min $lo, max $hi)")
+    require(m * subDim == lo,
+      s"pqAnn sub-blocks cover ${m * subDim} dims but vectors have $lo")
     def subCol(v: Column, s: Int): Column = slice(v, s * subDim + 1, subDim)
     // one codebook per sub-block, trained on the SLICED corpus with the
     // shared seeds (vec_id < k) and iteration count

@@ -536,7 +536,10 @@ object CoreQueries {
     * shuffle shape as w10) with struct-argmin/argmax picking the
     * boundary events (a22's shape — the unique (ts, event_id) prefix
     * makes it total), then a tiny grid aggregate. The oracle rebuilds
-    * the sessions with w10's exact lag/cumsum convention. */
+    * the sessions with w10's exact lag/cumsum convention, breaking on
+    * gap >= 30 min — Spark's `session_window` is half-open (an event
+    * landing exactly at lastTs + gap starts a NEW session), and the
+    * oracle's break predicate matches that boundary exactly. */
   private[graft] def sessionPathsFrom(events: DataFrame): DataFrame = {
     val sess = events
       .groupBy(col("user_id"),
@@ -931,6 +934,12 @@ object CoreQueries {
         .agg(expr(s"$teleport + (85 * sum(__c)) div 100").as("s"))
         .localCheckpoint(true)
     }
+    // the loop's localCheckpoint(true) calls are EAGER, so after it the
+    // final scores are materialized and the cached edge frames have no
+    // remaining consumer — release their executor storage here instead
+    // of letting it accumulate across a 115-query harness run
+    pairs.unpersist()
+    edgesW.unpersist()
     sc.select((col("node") % 2).cast("int").as("node_type"),
         expr("node div 2").as("key"), col("s").as("score"))
       .orderBy("node_type", "key")
@@ -1474,7 +1483,7 @@ object CoreQueries {
       """WITH o AS (
         | SELECT user_id, ts, event_id, event_type,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
         |       THEN 1 ELSE 0 END AS brk
         | FROM events
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1704,7 +1713,7 @@ object CoreQueries {
         | SELECT user_id, ts, value,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |        OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |           > INTERVAL 30 MINUTE
+        |           >= INTERVAL 30 MINUTE
         |       THEN 1 ELSE 0 END AS brk
         | FROM events),
         |i AS (

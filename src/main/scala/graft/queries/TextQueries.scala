@@ -247,11 +247,17 @@ object TextQueries {
     * once, so there is no fan-out to guard. Short docs (< 3 tokens)
     * have no shingles and re-enter via the left join as rate 0. */
   private val c6ContaminationRate: Q = (s, d) => {
+    // NOT persisted: the two consumers below read DISJOINT doc_id
+    // slices (bench %37==0 vs corpus %37<>0) whose filters push down to
+    // the scan, so a cache would materialize every document's shingles
+    // to serve each side a subset — strictly more work than the two
+    // pushed-down passes, and the blocks would leak across the
+    // 115-query harness run (no safe unpersist point: both reads happen
+    // inside the returned plan's one execution)
     val sh = SimilarityOps.shingleSets(
         Tables.documents(s, d), col("doc_id"), col("text"), 3)
       .select(col("__id").as("doc_id"),
         explode(array_distinct(col("__sh"))).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val benchS = sh.filter(col("doc_id") % 37 === 0)
       .select("s").distinct().withColumn("__hit", lit(1))
     val rates = sh.filter(col("doc_id") % 37 =!= 0)

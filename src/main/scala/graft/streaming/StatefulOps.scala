@@ -329,12 +329,18 @@ object StatefulOps {
           val w = weekOf(v); val fp = fpOf(v)
           require(fp >= 0L,
             s"decayScore requires non-negative fixed-point values (got $fp)")
-          require(w <= refWeek,
-            s"event week $w is past the reference week $refWeek")
-          n += 1
-          // a bucket already >= 63 half-lives old contributes exactly 0
-          // at refWeek and at every later reference — never stored
-          if (refWeek - w <= 62) m(w) = m.getOrElse(w, 0L) + fp
+          // an event PAST the reference week is undefined under this
+          // algebra (a negative shift) — it is DROPPED, not thrown on:
+          // an executor-side throw would poison the whole streaming
+          // query on one bad record, where production semantics for
+          // out-of-contract events are drop-and-move-on (pre-filter the
+          // stream, or count drops upstream, if visibility is needed)
+          if (w <= refWeek) {
+            n += 1
+            // a bucket already >= 63 half-lives old contributes exactly
+            // 0 at refWeek and at every later reference — never stored
+            if (refWeek - w <= 62) m(w) = m.getOrElse(w, 0L) + fp
+          }
         }
         val weeks = m.keys.toArray.sorted
         state.update(DecayState(n, weeks, weeks.map(m)))
