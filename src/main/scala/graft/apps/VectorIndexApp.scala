@@ -45,18 +45,66 @@ import graft.operators.SimilarityOps
   * Jégou et al. '11 inverted files + scalar quantization). */
 object VectorIndexApp {
 
+  /** PQ geometry of the optional IVFADC index flavor: `m` sub-blocks of
+    * `subDim` dims, `k` codewords per block, `iters` training rounds.
+    * With it the codes table holds m PQ codes + one norm per vector
+    * (16× smaller than the int8 default at the shipped geometry) and
+    * queries ADC-scan the probed cells ([[SimilarityOps.ivfPqAnn]]). */
+  final case class PqGeometry(m: Int, subDim: Int, k: Int, iters: Int)
+
   /** Train the codebook on `corpus` and materialize the full index. A
-    * crash mid-build is healed by re-running (all writes overwrite). */
+    * crash mid-build is healed by re-running (all writes overwrite).
+    * `pq` selects the IVFADC flavor: the per-sub-block codebooks are
+    * trained here too (frozen, like the coarse centroids), persisted
+    * under `pqbook`/`pqmeta`, and the codes table stores PQ codes. */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
-            kCells: Int, iters: Int): Unit = {
+            kCells: Int, iters: Int,
+            pq: Option[PqGeometry] = None): Unit = {
     val fs = new Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(staging(indexDir), true) // superseded, not healed
-    val cents = SimilarityOps.kmeansCodebook(corpus, kCells, iters)
-    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
-    writeCodes(SimilarityOps.ivfCodes(corpus, cents), s"$indexDir/codes")
+    SimilarityOps.kmeansCodebook(corpus, kCells, iters)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // encode against the books READ BACK from the index, not the lazy
+    // training frames — otherwise the codes job re-runs the whole
+    // training inside its own plan (the write is the materialization)
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    pq.foreach { g =>
+      SimilarityOps.pqCodebookEntries(
+          SimilarityOps.pqCodebook(corpus, g.m, g.subDim, g.k, g.iters))
+        .write.mode("overwrite").parquet(s"$indexDir/pqbook")
+      spark.range(1)
+        .select(lit(g.m).as("m"), lit(g.subDim).as("sub_dim"),
+          lit(g.k).as("k"))
+        .write.mode("overwrite").parquet(s"$indexDir/pqmeta")
+    }
+    val codes = pqState(spark, indexDir) match {
+      case Some((cb, m, subDim, _)) =>
+        SimilarityOps.ivfPqCodes(corpus, cents, cb, m, subDim)
+      case None => SimilarityOps.ivfCodes(corpus, cents)
+    }
+    writeCodes(codes, s"$indexDir/codes")
     corpus.agg(max(col("vec_id")).as("max_vec_id"))
       .write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  /** The frozen PQ state of an IVFADC-flavored index: the rebuilt
+    * one-row codebook frame plus (m, subDim, k); None for the int8
+    * default. The geometry is read from `pqmeta`, never inferred from
+    * the entries — a codeword dropped in training must not shift the
+    * dense ADC slot layout ([[SimilarityOps.pqLuts]]). */
+  private def pqState(spark: SparkSession, indexDir: String)
+      : Option[(DataFrame, Int, Int, Int)] = {
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$indexDir/pqbook"))) None
+    else {
+      val g = spark.read.parquet(s"$indexDir/pqmeta")
+        .select(col("m"), col("sub_dim"), col("k")).head()
+      Some((SimilarityOps.pqCodebookFromEntries(
+          spark.read.parquet(s"$indexDir/pqbook")),
+        g.getInt(0), g.getInt(1), g.getInt(2)))
+    }
   }
 
   /** Top-k search: probes = `corpus.filter(isProbe)`. The codes scan is
@@ -112,13 +160,25 @@ object VectorIndexApp {
     // build), both narrow map-side passes over corpus.filter(isProbe),
     // because a persist with no caller-accessible handle would leak
     // one cache entry per query in a serving loop.
-    val qprobes = SimilarityOps.ivfProbes(corpus, cents, isProbe, nprobe)
+    val pqs = pqState(spark, indexDir)
+    val qprobes = pqs match {
+      case Some((cb, m, subDim, k)) =>
+        SimilarityOps.ivfPqProbes(corpus, cents, cb, isProbe, nprobe,
+          m, subDim, k)
+      case None => SimilarityOps.ivfProbes(corpus, cents, isProbe, nprobe)
+    }
     val cells = qprobes.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)) // ≤ kCells values, never per-probe
     val codes = spark.read.parquet(s"$indexDir/codes")
       .filter(col("cluster").isin(cells.toSeq: _*))
-    SimilarityOps.ivfSearchCodes(codes, qprobes, corpus, isProbe,
-      topK, rerankK, broadcastProbes)
+    pqs match {
+      case Some((_, m, _, k)) =>
+        SimilarityOps.ivfPqSearchCodes(codes, qprobes, corpus, isProbe,
+          m, k, topK, rerankK, broadcastProbes)
+      case None =>
+        SimilarityOps.ivfSearchCodes(codes, qprobes, corpus, isProbe,
+          topK, rerankK, broadcastProbes)
+    }
   }
 
   /** Append `delta` vectors against the frozen codebook. Idempotent
@@ -143,7 +203,15 @@ object VectorIndexApp {
       val cents = spark.read.parquet(s"$indexDir/centroids")
       val stg = staging(indexDir)
       fs.delete(stg, true)
-      writeCodes(SimilarityOps.ivfCodes(delta, cents), s"$stg/idx/codes")
+      // the delta encodes against the index's FROZEN books (coarse and,
+      // in the IVFADC flavor, PQ) — encode is a pure per-vector
+      // function of them, which is what makes append == rebuild
+      val deltaCodes = pqState(spark, indexDir) match {
+        case Some((cb, m, subDim, _)) =>
+          SimilarityOps.ivfPqCodes(delta, cents, cb, m, subDim)
+        case None => SimilarityOps.ivfCodes(delta, cents)
+      }
+      writeCodes(deltaCodes, s"$stg/idx/codes")
       delta.agg(max(col("vec_id")).as("max_vec_id"))
         .write.mode("overwrite").parquet(s"$stg/idx/meta")
       // the cell dirs this append touched, read off the STAGED layout

@@ -592,47 +592,93 @@ object SimilarityOps {
     * neighbors' table slots. */
   def pqAnn(corpus: DataFrame, isProbe: Column, m: Int, subDim: Int,
             k: Int, iters: Int, topK: Int, rerankK: Int): DataFrame = {
-    require(m > 0 && subDim > 0 && k > 0 && iters > 0,
-      s"pqAnn geometry must be positive (m=$m, subDim=$subDim, k=$k)")
-    // a mis-sized geometry would SILENTLY rank on a truncated vector
-    // (slice just stops short) — check against the data once, over the
-    // WHOLE corpus (one min/max agg): a single-row peek would pass a
-    // mixed-length corpus, which is exactly the truncation this guard
-    // exists to catch, and an empty corpus must fail with the contract
-    // message, not a bare NoSuchElementException
+    val cb = pqCodebook(corpus, m, subDim, k, iters)
+    val encoded = pqEncode(corpus, cb, m, subDim)
+    val probes = pqLuts(corpus.filter(isProbe), cb, m, subDim, k)
+    // FLAT PQ: every encoded vector is ADC-scored per probe batch — the
+    // pure 16×-compression story. The cell-pruned composition that cuts
+    // the scan itself is [[ivfPqAnn]].
+    val scored = encoded.crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("r", pqAdcRank(m, k))
+    exactRerank(corpus, isProbe, scored, rerankK, topK)
+  }
+
+  /** Shared geometry guard of the PQ family: m·subDim must cover the
+    * (uniform) embedding length. One min/max agg over the corpus — a
+    * single-row peek would pass a mixed-length corpus, which is exactly
+    * the silent-truncation failure this guard exists to catch (slice
+    * just stops short), and an empty corpus must fail with the contract
+    * message, not a bare NoSuchElementException. */
+  private def requirePqGeometry(corpus: DataFrame, m: Int,
+                                subDim: Int): Unit = {
     val dims = corpus.agg(min(size(col("embedding"))).as("lo"),
       max(size(col("embedding"))).as("hi")).head()
-    require(!dims.isNullAt(0), "pqAnn requires a non-empty corpus")
+    require(!dims.isNullAt(0), "PQ requires a non-empty corpus")
     val (lo, hi) = (dims.getInt(0), dims.getInt(1))
-    require(lo == hi, s"pqAnn requires uniform embedding lengths (min $lo, max $hi)")
+    require(lo == hi, s"PQ requires uniform embedding lengths (min $lo, max $hi)")
     require(m * subDim == lo,
-      s"pqAnn sub-blocks cover ${m * subDim} dims but vectors have $lo")
-    def subCol(v: Column, s: Int): Column = slice(v, s * subDim + 1, subDim)
-    // one codebook per sub-block, trained on the SLICED corpus with the
-    // shared seeds (vec_id < k) and iteration count
+      s"PQ sub-blocks cover ${m * subDim} dims but vectors have $lo")
+  }
+
+  private def subCol(v: Column, s: Int, subDim: Int): Column =
+    slice(v, s * subDim + 1, subDim)
+
+  /** All m sub-block codebooks as ONE single-row broadcastable frame
+    * (`__cb`: array of (s, cid, cvec, nc) structs, m·k entries). Each
+    * sub-block's codebook is the SAME deterministic integer-scaled
+    * cosine k-means the IVF family trains with, run on the sliced
+    * corpus — so an oracle replays training bit-for-bit. */
+  def pqCodebook(corpus: DataFrame, m: Int, subDim: Int, k: Int,
+                 iters: Int): DataFrame = {
+    require(m > 0 && subDim > 0 && k > 0 && iters > 0,
+      s"PQ geometry must be positive (m=$m, subDim=$subDim, k=$k)")
+    requirePqGeometry(corpus, m, subDim)
     val books = (0 until m).map { s =>
       kmeansCodebook(
-        corpus.select(col("vec_id"), subCol(col("embedding"), s).as("embedding")),
+        corpus.select(col("vec_id"),
+          subCol(col("embedding"), s, subDim).as("embedding")),
         k, iters)
         .select(lit(s).as("s"), col("cid"), col("cvec"),
           sqrt(VectorFunctions.norm2(col("cvec"))).as("nc"))
     }
-    // all m codebooks in ONE broadcast row (m·k entries)
-    val cb = books.reduce(_ unionByName _)
+    books.reduce(_ unionByName _)
       .agg(collect_list(struct(col("s"), col("cid"), col("cvec"), col("nc")))
         .as("__cb"))
+  }
+
+  /** [[pqCodebook]]'s one-row frame rebuilt from a PERSISTED entries
+    * table (s, cid, cvec, nc) — the round-trip a serving index uses. */
+  def pqCodebookFromEntries(entries: DataFrame): DataFrame =
+    entries.agg(collect_list(
+      struct(col("s"), col("cid"), col("cvec"), col("nc"))).as("__cb"))
+
+  /** The persisted FORM of the codebook: one row per (s, cid) codeword
+    * with its norm — what an index materializes on disk. */
+  def pqCodebookEntries(cb: DataFrame): DataFrame =
+    cb.select(explode(col("__cb")).as("e"))
+      .select(col("e.s").as("s"), col("e.cid").as("cid"),
+        col("e.cvec").as("cvec"), col("e.nc").as("nc"))
+
+  /** Per-vector PQ encode: nearest codeword per sub-block by (cosine
+    * desc, cid asc) — [[assignCells]]' exact semantics as a map-side
+    * fold — emitting `__c0..__c{m-1}` plus `__vnorm` (the reconstruction
+    * norm, composing exactly across the orthogonal blocks in fixed
+    * written order). `carry` columns of `df` ride through the encode
+    * (e.g. the IVF cell), so composed pipelines never re-join the
+    * corpus for them. Wholly map-side over the broadcast codebook. */
+  def pqEncode(df: DataFrame, cb: DataFrame, m: Int, subDim: Int,
+               carry: Seq[String] = Nil): DataFrame = {
     // per-vector sub-slices and THEIR norms hoisted into one projection:
     // expressions inside a higher-order-function lambda re-evaluate per
     // element (the shinglesFromTokens lesson), so the norm must be a
     // column REFERENCE in the encode fold, not a fold of its own
-    val sliced = corpus.crossJoin(broadcast(cb))
-      .select(Seq(col("vec_id"), col("__cb")) ++
+    val sliced = df.crossJoin(broadcast(cb))
+      .select(Seq(col("vec_id"), col("__cb")) ++ carry.map(col) ++
         (0 until m).flatMap(s => Seq(
-          subCol(col("embedding"), s).as(s"__s$s"),
-          sqrt(VectorFunctions.norm2(subCol(col("embedding"), s)))
+          subCol(col("embedding"), s, subDim).as(s"__s$s"),
+          sqrt(VectorFunctions.norm2(subCol(col("embedding"), s, subDim)))
             .as(s"__n$s"))): _*)
-    // per-vector encode: nearest codeword per sub-block by (cosine desc,
-    // cid asc) — assignCells' exact semantics as a map-side fold
     def bestOf(s: Int): Column = {
       val entries = filter(col("__cb"), e => e.getField("s") === s)
       val scoredE = transform(entries, e =>
@@ -642,22 +688,29 @@ object SimilarityOps {
           e.getField("cid").as("cid"), e.getField("nc").as("nc")))
       element_at(array_sort(scoredE, csDescCidAsc), 1)
     }
-    val encoded = sliced
-      .select(col("vec_id") +:
+    sliced
+      .select(col("vec_id") +: carry.map(col) ++:
         (0 until m).map(s => bestOf(s).as(s"__b$s")): _*)
-      .select(col("vec_id") +:
+      .select(col("vec_id") +: carry.map(col) ++:
         (0 until m).map(s => col(s"__b$s").getField("cid").as(s"__c$s")) :+
         sqrt((0 until m).map(s => col(s"__b$s").getField("nc")
             * col(s"__b$s").getField("nc")).reduceLeft(_ + _)).as("__vnorm"): _*)
-    // ADC table per probe, DENSE: slot s·k + cid. The k-means seeds are
-    // vec_id < k, so cid values always lie in [0, k) and the layout is
-    // total; a codeword dropped in training leaves a null slot that no
-    // candidate code can reference. Dense layout = the advertised O(1)
-    // lookup per candidate (a (s, cid)-filter scan would pay ~m·k struct
-    // compares on every scored row — on the HOT path ADC exists to
-    // make cheap). The map is materialized in its own projection so
-    // CollapseProject cannot inline the k·m dots once per slot.
-    val probeMaps = corpus.filter(isProbe).crossJoin(broadcast(cb))
+  }
+
+  /** Per-probe ADC lookup tables: `(q_id, __lut)` where the table is
+    * DENSE (slot s·k + cid — k·m sub-dots per PROBE, so each candidate
+    * later costs m lookups + m−1 adds, independent of d). The k-means
+    * seeds are vec_id < k, so cid values always lie in [0, k) and the
+    * layout is total; a codeword dropped in training leaves a null slot
+    * that no candidate code can reference. Dense layout = the
+    * advertised O(1) lookup per candidate (a (s, cid)-filter scan would
+    * pay ~m·k struct compares on every scored row — on the HOT path ADC
+    * exists to make cheap). The map is materialized in its own
+    * projection so CollapseProject cannot inline the k·m dots once per
+    * slot. */
+  def pqLuts(probes: DataFrame, cb: DataFrame, m: Int, subDim: Int,
+             k: Int): DataFrame = {
+    val probeMaps = probes.crossJoin(broadcast(cb))
       .select(col("vec_id").as("q_id"),
         map_from_entries(transform(col("__cb"), e =>
           struct((e.getField("s") * k + e.getField("cid")).cast("int")
@@ -670,16 +723,86 @@ object SimilarityOps {
     // leaves its slot key absent from the map, and ANSI-mode Spark 4
     // THROWS on a missing map key — try_ yields the null slot the dense
     // layout intends (no candidate code ever reads it)
-    val probes = probeMaps.select(col("q_id"),
+    probeMaps.select(col("q_id"),
       transform(sequence(lit(0), lit(m * k - 1)),
         i => try_element_at(col("__m"), i)).as("__lut"))
+  }
+
+  /** The ADC candidate score: m table lookups + m−1 adds in FIXED
+    * parenthesization (never a SQL SUM over per-subspace rows, whose
+    * float order is engine-dependent), over `__lut` + `__c*`/`__vnorm`
+    * columns. Zero-reconstruction candidates score 0. */
+  private def pqAdcRank(m: Int, k: Int): Column = {
     def lutAt(s: Int): Column =
       element_at(col("__lut"), lit(s * k + 1) + col(s"__c$s").cast("int"))
-    val scored = encoded.crossJoin(broadcast(probes))
+    when(col("__vnorm") === 0.0, lit(0.0)).otherwise(
+      (0 until m).map(lutAt).reduceLeft(_ + _) / col("__vnorm"))
+  }
+
+  /** V12 — IVFADC (Jégou et al. PAMI 2011, §IV): the quantization
+    * capstone composing BOTH scale levers. The trained IVF cells cut
+    * the CANDIDATE SET (a probe ADC-scans its `nprobe` cells' codes,
+    * never the corpus — [[pqAnn]]'s flat scan is corpus-linear per
+    * probe batch); the PQ codes cut the BYTES the cell scan touches
+    * 16× (m codes + one norm per vector); the shared [[exactRerank]]
+    * makes the output oracle-exact — compound quantization error can
+    * only cost recall (CI-gated), never wrong scores.
+    *
+    * Codes are DIRECT PQ of the full vector (not residual-of-centroid:
+    * residual codes buy precision when cells are many and tight; at
+    * the trained-cell sizes this engine ships, the deep exact rerank
+    * recovers more than residuals would, and direct codes keep encode
+    * a pure per-vector function of the frozen books — the property the
+    * persistent index's append-equals-rebuild contract rests on).
+    *
+    * Scale shape: cell assignment and encode are one map-side pass
+    * over a broadcast codebook row; the scoring join exchanges on
+    * `cluster` (cell-local, like v7); the rank shuffle carries the
+    * narrow (q_id, vec_id, r); raw embeddings are touched only by the
+    * rerank's ≤ probes × rerankK survivors. */
+  def ivfPqAnn(corpus: DataFrame, centroids: DataFrame, isProbe: Column,
+               m: Int, subDim: Int, k: Int, iters: Int, topK: Int,
+               rerankK: Int, nprobe: Int): DataFrame = {
+    val cb = pqCodebook(corpus, m, subDim, k, iters)
+    ivfPqSearchCodes(ivfPqCodes(corpus, centroids, cb, m, subDim),
+      ivfPqProbes(corpus, centroids, cb, isProbe, nprobe, m, subDim, k),
+      corpus, isProbe, m, k, topK, rerankK)
+  }
+
+  /** The IVFADC index PAYLOAD: per-vector cell + PQ codes + the
+    * reconstruction norm — 16× smaller than v7's int8 codes. What a
+    * persistent PQ index materializes, partitioned by `cluster`. */
+  def ivfPqCodes(corpus: DataFrame, centroids: DataFrame, cb: DataFrame,
+                 m: Int, subDim: Int): DataFrame =
+    pqEncode(assignCells(corpus, centroids, nprobe = 1), cb, m, subDim,
+        carry = Seq("cluster"))
+      .select(col("vec_id") +: col("cluster") +:
+        (0 until m).map(s => col(s"__c$s")) :+ col("__vnorm"): _*)
+
+  /** The IVFADC probe side: one row per (probe, probed cell) carrying
+    * the probe's ADC lookup table. Probes are few — this broadcasts. */
+  def ivfPqProbes(corpus: DataFrame, centroids: DataFrame, cb: DataFrame,
+                  isProbe: Column, nprobe: Int, m: Int, subDim: Int,
+                  k: Int): DataFrame = {
+    val probeCells = assignCells(corpus.filter(isProbe), centroids, nprobe)
+      .select(col("vec_id").as("q_id"), col("cluster"))
+    probeCells.join(pqLuts(corpus.filter(isProbe), cb, m, subDim, k), "q_id")
+  }
+
+  /** V12's search stage over PREBUILT IVFADC codes (fresh or loaded
+    * from a persisted index): cell-local ADC scan → narrow
+    * (q_id, vec_id, r) rank → exact rerank. `broadcastProbes = false`
+    * is the batch-probe plan (see [[ivfSearchCodes]]). */
+  def ivfPqSearchCodes(codes: DataFrame, qprobes: DataFrame,
+                       corpus: DataFrame, isProbe: Column, m: Int, k: Int,
+                       topK: Int, rerankK: Int,
+                       broadcastProbes: Boolean = true): DataFrame = {
+    val probeSide = if (broadcastProbes) broadcast(qprobes)
+      else qprobes.hint("shuffle_hash") // never a driver broadcast build
+    val scored = codes.join(probeSide, "cluster")
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("r", when(col("__vnorm") === 0.0, lit(0.0)).otherwise(
-        (0 until m).map(lutAt).reduceLeft(_ + _) / col("__vnorm")))
-    exactRerank(corpus, isProbe, scored, rerankK, topK)
+      .withColumn("r", pqAdcRank(m, k))
+    exactRerank(corpus, isProbe, scored, rerankK, topK, broadcastProbes)
   }
 
   /** N-gram-Jaccard near-dup: bottom-hash blocking over LONG (`blockN`)

@@ -62,6 +62,10 @@ object SimilarityQueries {
   private val PqK = 16
   private val PqIters = KmeansIters
   private val PqRerank = 20 * TopK
+  // v12 IVFADC: PQ's rank is coarser than v6's int8, so the composed
+  // form probes one more cell than v7 (cell pruning's recall loss and
+  // ADC's rank loss compound) and keeps v10's deep 20·topK rerank
+  private val V12ProbeCells = 4
 
   // ---------------------------------------------------------------- queries
 
@@ -260,6 +264,21 @@ object SimilarityQueries {
       .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
       .orderBy("q_id", "rnk")
 
+  /** V12 — IVFADC: the quantization CAPSTONE composing v4's trained
+    * cells (the candidate-set lever) with v10's PQ codes (the 16×
+    * memory lever) — a probe ADC-scans only its 4 nearest cells' codes
+    * instead of the corpus, then the shared deep exact rerank. The
+    * form FAISS ships as IndexIVFPQ. */
+  private val v12AnnIvfPq: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val cb = SimilarityOps.kmeansCodebook(e, KCells, KmeansIters)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SimilarityOps.ivfPqAnn(e, cb, col("vec_id") < NProbes, PqM, PqSubDim,
+        PqK, PqIters, TopK, rerankK = PqRerank, nprobe = V12ProbeCells)
+      .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** V7 — quantized IVF ANN: v4's trained cells cut candidates, v6's
     * int8 codes shrink the cell scan, exact rerank keeps it
     * oracle-exact — the composed 100 TB serving shape. */
@@ -406,6 +425,7 @@ object SimilarityQueries {
     "v5_ann_topk_agg" -> v5AnnTopkAgg,
     "v6_ann_quantized" -> v6AnnQuantized,
     "v10_ann_pq" -> v10AnnPq,
+    "v12_ann_ivfadc" -> v12AnnIvfPq,
     "v7_ann_ivf_quantized" -> v7AnnIvfQuantized,
     "v8_ann_ivf_batch" -> v8AnnIvfBatch)
 
@@ -737,13 +757,11 @@ object SimilarityQueries {
     Seq(c0, iters, enc).mkString(",\n")
   }.mkString(",\n")
 
-  /** v10 oracle: per-subspace k-means replay, (s, cid)-matched codeword
-    * lookups (never positional — a dropped codeword cannot shift
-    * slots), the ADC sum in the same fixed parenthesization as the
-    * Spark expression, exact-cosine rerank of the top 20·topK. */
-  private val v10Sql =
-    s"""WITH $pqCtes,
-       |cbents AS (
+  /** The PQ middle CTEs shared by v10 (flat) and v12 (IVFADC): codebook
+    * entries + norms, per-vector codes, reconstruction norms, and the
+    * per-probe ADC tables — everything between training and scoring. */
+  private val pqMidCtes =
+    s"""cbents AS (
        |  ${(0 until PqM).map(s =>
             s"SELECT $s AS s, cid, cvec FROM c${PqIters}s$s")
            .mkString("\n  UNION ALL ")}),
@@ -767,8 +785,14 @@ object SimilarityQueries {
               s"q.embedding[cb.s * $PqSubDim + 1:(cb.s + 1) * $PqSubDim]",
               "cb.cvec")} AS dotv
        |  FROM (SELECT * FROM embeddings WHERE vec_id < $NProbes) q
-       |  CROSS JOIN cbents cb),
-       |scored AS (
+       |  CROSS JOIN cbents cb)""".stripMargin
+
+  /** The ADC scoring CTE: the sum in the same fixed parenthesization as
+    * the Spark expression. `extraJoins` restricts the candidate set —
+    * empty for v10's flat scan; v12 injects the cell-membership joins
+    * (placed AFTER the lut joins: they reference l0.q_id). */
+  private def pqScoredCte(extraJoins: String): String =
+    s"""scored AS (
        |  SELECT l0.q_id, codes.vec_id,
        |    CASE WHEN vn.vnorm = 0 THEN 0.0 ELSE
        |      ${(0 until PqM).map(s => s"l$s.dotv")
@@ -778,14 +802,18 @@ object SimilarityQueries {
        |  JOIN vn ON vn.vec_id = codes.vec_id
        |  JOIN lut l0 ON l0.s = 0 AND l0.cid = codes.c0${(1 until PqM)
             .map(s => s"\n  JOIN lut l$s ON l$s.s = $s AND l$s.cid" +
-              s" = codes.c$s AND l$s.q_id = l0.q_id").mkString}
-       |  WHERE l0.q_id <> codes.vec_id),
-       |top AS (
+              s" = codes.c$s AND l$s.q_id = l0.q_id").mkString}$extraJoins
+       |  WHERE l0.q_id <> codes.vec_id)""".stripMargin
+
+  /** Rerank tail shared by the PQ family: top-`rerankK` by ADC rank,
+    * exact-cosine rerank, final top-k. */
+  private def pqTailSql(rerankK: Int): String =
+    s"""top AS (
        |  SELECT q_id, vec_id FROM (
        |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
        |      ORDER BY r DESC, vec_id) AS crnk
        |    FROM scored)
-       |  WHERE crnk <= $PqRerank)
+       |  WHERE crnk <= $rerankK)
        |SELECT q_id, vec_id, rnk, cos_sim FROM (
        |  SELECT t.q_id, t.vec_id,
        |    ${cosineSql("q.embedding", "e.embedding")} AS cos_sim,
@@ -795,6 +823,39 @@ object SimilarityQueries {
        |  FROM top t JOIN embeddings q ON t.q_id = q.vec_id
        |             JOIN embeddings e ON t.vec_id = e.vec_id)
        |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
+  /** v10 oracle: per-subspace k-means replay, (s, cid)-matched codeword
+    * lookups (never positional — a dropped codeword cannot shift
+    * slots), the ADC sum in the same fixed parenthesization as the
+    * Spark expression, exact-cosine rerank of the top 20·topK. */
+  private val v10Sql =
+    s"""WITH $pqCtes,
+       |$pqMidCtes,
+       |${pqScoredCte("")},
+       |${pqTailSql(PqRerank)}""".stripMargin
+
+  /** v12 oracle: v4's coarse k-means/assignment replay (the IVF half)
+    * + v10's per-subspace chains (the PQ half); the scored CTE joins
+    * each candidate's CELL against the probe's ${V12ProbeCells}-cell
+    * search list, so the ADC scan is provably cell-local — then the
+    * shared exact-cosine rerank tail. */
+  private val v12Sql =
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cvec
+       |  FROM embeddings WHERE vec_id < $KCells),
+       |$v4IterCtes,
+       |${v4AssignCte("assigned", "embeddings", s"c$KmeansIters", keep = 1)},
+       |${v4AssignCte("pcells",
+            s"(SELECT * FROM embeddings WHERE vec_id < $NProbes)",
+            s"c$KmeansIters", keep = V12ProbeCells)},
+       |$pqCtes,
+       |$pqMidCtes,
+       |${pqScoredCte(
+         "\n  JOIN assigned ca ON ca.vec_id = codes.vec_id" +
+         "\n  JOIN pcells pc ON pc.cluster = ca.cluster" +
+         " AND pc.vec_id = l0.q_id")},
+       |${pqTailSql(PqRerank)}""".stripMargin
 
   private val v4Sql =
     s"""WITH c0 AS (
@@ -1057,6 +1118,7 @@ object SimilarityQueries {
     "v5_ann_topk_agg" -> v1Sql, // same contract as v1 by construction
     "v6_ann_quantized" -> v6Sql,
     "v10_ann_pq" -> v10Sql,
+    "v12_ann_ivfadc" -> v12Sql,
     "v7_ann_ivf_quantized" -> v7Sql,
     // v8 is v7 through the shuffled batch-probe plan — same semantics,
     // same oracle; the DIFFERENCE under test is the physical plan,

@@ -67,6 +67,60 @@ class VectorIndexSpec extends SparkSpec {
     assert(vs.isEmpty, vs.mkString("\n"))
   }
 
+  test("IVFADC flavor: query == ivfPqAnn, cell-pruned scan, append == rebuild") {
+    val corpus = Tables.embeddings(spark, sf)
+    val g = VectorIndexApp.PqGeometry(m = 4, subDim = 16, k = 8, iters = 2)
+    val cut = corpus.stat.approxQuantile("vec_id", Array(0.7), 0.0).head.toLong
+    val base = corpus.filter(col("vec_id") <= cut)
+    val delta = corpus.filter(col("vec_id") > cut)
+
+    val idx = Files.createTempDirectory("vidx-pq").toString
+    VectorIndexApp.build(spark, base, idx, kCells, iters, pq = Some(g))
+    val isProbe = col("vec_id") < 5
+
+    // the PQ codes table carries m codes + the norm, never embeddings
+    val codeCols = spark.read.parquet(s"$idx/codes").columns.toSet
+    assert(codeCols == Set("vec_id", "cluster", "__vnorm") ++
+      (0 until g.m).map(s => s"__c$s"), s"unexpected PQ schema: $codeCols")
+
+    // query over the BASE-built index == the in-memory IVFADC search
+    // with the stored frozen books
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val cb = SimilarityOps.pqCodebookFromEntries(
+      spark.read.parquet(s"$idx/pqbook"))
+    def want(over: org.apache.spark.sql.DataFrame) =
+      rows(SimilarityOps.ivfPqSearchCodes(
+        SimilarityOps.ivfPqCodes(over, cents, cb, g.m, g.subDim),
+        SimilarityOps.ivfPqProbes(corpus, cents, cb, isProbe, nprobe,
+          g.m, g.subDim, g.k),
+        corpus, isProbe, g.m, g.k, topK, nprobe * 5))
+    val got0 = VectorIndexApp.query(spark, corpus, idx, isProbe,
+      topK, nprobe, rerankK = nprobe * 5)
+    assert(rows(got0) == want(base), "PQ index diverged from in-memory IVFADC")
+
+    // the codes scan still prunes to the probed cells at planning time
+    val codeScans = scansOf(got0.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/codes")))
+    assert(codeScans.nonEmpty, "no codes scan in the PQ query plan")
+    val scanned = codeScans.map { f =>
+      val static = f.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      f.relation.location.listFiles(static, f.dataFilters).size
+    }.sum
+    assert(scanned <= 5 * nprobe,
+      s"PQ codes scan read $scanned cell partitions > probes x nprobe")
+    assert(graft.plans.PlanAudit.violations(got0).isEmpty)
+
+    // append encodes the delta against the frozen books: the extended
+    // index answers exactly like a rebuild-with-frozen-books
+    VectorIndexApp.append(spark, delta, idx)
+    val got1 = VectorIndexApp.query(spark, corpus, idx, isProbe,
+      topK, nprobe, rerankK = nprobe * 5)
+    assert(rows(got1) == want(corpus), "PQ append diverged from rebuild")
+    assert(rows(got1).exists(_._2 > cut),
+      "no delta vector in any result — fixture too small")
+  }
+
   test("append == rebuild with the frozen codebook; replay no-ops") {
     val corpus = Tables.embeddings(spark, sf)
     val cut = corpus.stat.approxQuantile("vec_id", Array(0.7), 0.0).head.toLong

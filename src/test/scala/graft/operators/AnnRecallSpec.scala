@@ -49,6 +49,19 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.8, s"v10 recall@5 = $recall")
   }
 
+  test("IVFADC (v12) recall@5 >= 0.85 (v7's floor) vs brute force") {
+    // the capstone composition: cell pruning's loss (v4/v7's regime)
+    // compounds with PQ's coarse rank, bought back by probing one more
+    // cell than v7 plus v10's deep 20·topK exact rerank — the gate is
+    // v7's floor, per the design goal that composing the memory lever
+    // must not cost recall vs the int8 serving shape
+    val exact = topkPairs("v1_ann_cosine_topk")
+    val ivfadc = topkPairs("v12_ann_ivfadc")
+    val recall = (exact & ivfadc).size.toDouble / exact.size
+    info(s"v12 recall@5 = $recall")
+    assert(recall >= 0.85, s"v12 recall@5 = $recall")
+  }
+
   test("quantized IVF ANN (v7) recall@5 >= 0.85 vs brute force") {
     // the composed serving shape loses recall ONLY to cell-probing (the
     // rerank cancels quantization error within probed cells), so its
