@@ -74,8 +74,17 @@ object Compaction {
   private[apps] var DefaultTargetBytes: Long = 128L * 1024 * 1024
 
   /** One schema-homogeneous set of directories with its in-file
-    * ordering contract (the sort inside each merged file). */
-  final case class Group(dirs: Seq[Path], order: Seq[Column])
+    * ordering contract (the sort inside each merged file).
+    * `snapshotRoot` — when set, the group's dirs belong to a
+    * [[Snapshots]]-managed table rooted there: the merge installs its
+    * files WITHOUT deleting the replaced originals (readers that
+    * planned against the current snapshot keep every file they
+    * resolved), and the post-publish snapshot commit retires the
+    * originals, deleting them one commit LATER — closing the
+    * concurrent-reader window documented in the header for raw
+    * tables. */
+  final case class Group(dirs: Seq[Path], order: Seq[Column],
+                         snapshotRoot: Option[Path] = None)
 
   /** Directories under `root` (non-recursive) — the `key=value`
     * partition dirs of one index; skips `_staging`/dot entries. A
@@ -122,12 +131,31 @@ object Compaction {
     // the heal would freeze the torn directory state. The app append
     // paths heal before calling this, so the common case is a no-op.
     StagedCommit.heal(fs, staging)
+    // then resolve any crashed snapshot commit (its merged files are
+    // installed by the manifest heal above, or never were) — BEFORE
+    // the freeze below, so a healed commit's retired files are already
+    // excluded from the snapshot the freeze consults
+    groups.flatMap(_.snapshotRoot).distinct.foreach(Snapshots.heal(fs, _))
     // FREEZE the per-directory file lists: the manifest's delete set
-    // must be exactly the files the merge job read, no more
+    // must be exactly the files the merge job read, no more. For a
+    // snapshot-managed group only the CURRENT SNAPSHOT's data files
+    // are candidates — a retired-pending file (replaced by the last
+    // merge, alive only for its readers' grace window) merged again
+    // would put its rows in the table twice.
     val frozen: Seq[(Group, Seq[(Path, Seq[Path])])] = groups.map { g =>
+      val inData: Path => Boolean = g.snapshotRoot match {
+        case Some(root) => Snapshots.currentFiles(fs, root) match {
+          case Some(data) =>
+            val abs = data.map(p => new Path(root, p).toUri.getPath).toSet
+            p => abs.contains(p.toUri.getPath)
+          case None => _ => true // unadopted table: all visible is data
+        }
+        case None => _ => true
+      }
       g -> g.dirs.flatMap { dir =>
         val files = visibleFiles(fs, dir)
           .filter(_.getLen < targetBytes).map(_.getPath)
+          .filter(inData)
         if (files.length > maxFiles) Some(dir -> files) else None
       }
     }.filter(_._2.nonEmpty)
@@ -150,6 +178,14 @@ object Compaction {
     // exactly the original physical schema — the partition value stays
     // encoded in the directory name.
     val ops = scala.collection.mutable.ArrayBuffer[StagedCommit.Op]()
+    // per snapshot root: the originals each merge replaces and the
+    // merged files it installs (root-relative), for the pending journal
+    val snapPlan = scala.collection.mutable.Map.empty[Path,
+      (scala.collection.mutable.ArrayBuffer[String],
+        scala.collection.mutable.ArrayBuffer[String])]
+    def rel(root: Path, dir: Path, name: String): String =
+      if (dir.toUri.getPath == root.toUri.getPath) name
+      else s"${dir.getName}/$name"
     frozen.zipWithIndex.foreach { case ((g, entries), grp) =>
       val byName = entries.zipWithIndex.flatMap { case ((dir, files), did) =>
         files.map(f => (s"${dir.getName}/${f.getName}", did))
@@ -184,15 +220,36 @@ object Compaction {
         // multi-file glob here would silently drop rows at install
         require(merged.length <= 1,
           s"compaction produced ${merged.length} files for $dir")
-        ops ++= files.map(StagedCommit.Del(_))
+        g.snapshotRoot match {
+          case Some(root) =>
+            // snapshot mode: install WITHOUT deleting — the snapshot
+            // commit below retires the originals; their physical
+            // deletion waits one more commit (the readers' grace)
+            val (repl, mrg) = snapPlan.getOrElseUpdate(root,
+              (scala.collection.mutable.ArrayBuffer.empty,
+                scala.collection.mutable.ArrayBuffer.empty))
+            repl ++= files.map(f => rel(root, dir, f.getName))
+            mrg ++= merged.map(m => rel(root, dir, m.getName))
+          case None =>
+            ops ++= files.map(StagedCommit.Del(_))
+        }
         // a merged file keeps its unique part-…-uuid name — it can
         // never collide with a later append's files
         ops ++= merged.map(m => StagedCommit.Move(m, new Path(dir, m.getName)))
         // zero merged files ⇔ every frozen file was empty: the Dels
-        // alone are the compaction
+        // (raw mode) / retirements (snapshot mode) alone are the
+        // compaction
       }
     }
+    // journal each snapshot table's intent BEFORE any install: a crash
+    // leaves either nothing installed (heal aborts the journal) or
+    // everything (the staged-manifest replay is all-or-nothing, and
+    // heal then finishes the snapshot commit)
+    snapPlan.foreach { case (root, (repl, mrg)) =>
+      Snapshots.writePending(fs, root, repl.toSeq, mrg.toSeq)
+    }
     StagedCommit.publishOps(fs, staging, ops.toSeq)
+    snapPlan.keys.foreach(Snapshots.commitPending(fs, _))
     frozen.map(_._2.length).sum
   }
 }

@@ -1,0 +1,299 @@
+package graft.apps
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Sinks
+
+/** The CONTINUOUS form of [[EventMartApp]]: the five event marts
+  * (daily UV a3, transitions a19, OHLC a22, session paths a24, decay
+  * scores a26) maintained incrementally from an events STREAM — the
+  * reference's DWS tier runs exactly so (one continuously-updating
+  * mart per `app/dws` class, e.g. `DwsTradeSkuOrderWindow.java:51-265`),
+  * where the batch app recomputes from a full scan.
+  *
+  * Architecture: one `foreachBatch` updates per-mart STATE TABLES that
+  * are keyed and mergeable; each mart is a cheap finalization VIEW
+  * over its state. Per batch the work is O(batch ∪ touched buckets),
+  * never O(history) — the property that lets the mart tier survive an
+  * unbounded stream:
+  *
+  *  - `uv_days` (day, user → pv), `ohlc` (day, type → o/h/l/c/n),
+  *    `decay_weeks` (user, week → n, fp-sum): ORDER-INDEPENDENT
+  *    partial aggregates, merged additively through
+  *    [[Sinks.upsertCombine]] (K3's bucket machinery with associative
+  *    combine + per-bucket batch stamps for exactly-once replay);
+  *  - `trans_state` (user → last event) and `sess_state` (user → open
+  *    session) hold the per-key carry the stateful marts need —
+  *    [[Sinks.upsertKeyed]] keep-last, the K3/K4 idempotent form;
+  *  - the batch's TRANSITION PAIRS and CLOSED SESSIONS derive from
+  *    (pre-batch state ∪ batch) and are STAGED under `deltas/` before
+  *    any table mutates: a replayed batch whose state already advanced
+  *    reuses the staged delta instead of recomputing it from
+  *    post-batch state — the step that makes the stateful marts
+  *    crash-exact, not just crash-convergent.
+  *
+  * Delivery contract (same as every streaming twin in
+  * [[graft.streaming.StatefulOps]]): within a batch rows are ordered
+  * explicitly; ACROSS batches per-user (ts, event_id) must be
+  * non-decreasing (watermarked, key-partitioned delivery). The
+  * order-independent marts (uv/ohlc/decay) do not need it. */
+object EventMartStream {
+
+  private val GapUs = 30L * 60 * 1000 * 1000 // a24's 30-minute session gap
+
+  /** TEST-ONLY crash injection: throw after the Nth table mutation of a
+    * batch (0-based), exercising the replay-exactness contract. */
+  private[apps] var crashAfterStage: Int = Int.MaxValue
+
+  // ------------------------------------------------------------ batch step
+
+  /** Apply one micro-batch. Idempotent under replay with the same
+    * (content, batchId) — the foreachBatch contract. */
+  def processBatch(batch: DataFrame, batchId: Long, martDir: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(martDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    var stage = 0
+    def mutate(body: => Unit): Unit = {
+      if (stage >= crashAfterStage)
+        throw new IllegalStateException(s"injected crash before stage $stage")
+      body; stage += 1
+    }
+    val ev = batch.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), col("value"))
+    if (ev.isEmpty) return
+
+    // ---- order-independent partials (replay-safe via bucket stamps) ----
+    val uvDelta = ev
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd")
+        .as("cur_date"), col("user_id"))
+      .agg(count(lit(1)).as("pv"))
+    mutate(Sinks.upsertCombine(spark, uvDelta, Seq("cur_date", "user_id"),
+      Seq(sum(col("pv")).as("pv")), batchId, s"$martDir/uv_days"))
+
+    val ohlcDelta = ev
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd")
+        .as("cur_date"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        count(lit(1)).as("n"))
+    mutate(Sinks.upsertCombine(spark, ohlcDelta,
+      Seq("cur_date", "event_type"),
+      Seq(min(col("o")).as("o"), max(col("high")).as("high"),
+        min(col("low")).as("low"), max(col("c")).as("c"),
+        sum(col("n")).as("n")),
+      batchId, s"$martDir/ohlc"))
+
+    val decayDelta = ev
+      .groupBy(col("user_id"),
+        expr("(unix_millis(ts) div 86400000) div 7").as("__w"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * lit(1048576L)).cast("long")).as("bfp"))
+    mutate(Sinks.upsertCombine(spark, decayDelta, Seq("user_id", "__w"),
+      Seq(sum(col("n")).as("n"), sum(col("bfp")).as("bfp")),
+      batchId, s"$martDir/decay_weeks"))
+
+    // ---- transitions: pairs from (pre-batch last-event state ∪ batch) ----
+    // state reads are BUCKET-PRUNED to the batch's users (readKeyedFor)
+    // then exactly semi-joined — per-batch cost O(batch ∪ touched
+    // buckets), never O(all users ever seen)
+    val batchUsers = ev.select("user_id").distinct()
+    val transDelta = stagedDelta(spark, fs, s"$martDir/deltas/trans", batchId) {
+      val state = Sinks.readKeyedFor(spark, s"$martDir/trans_state",
+          batchUsers, Seq("user_id"))
+        .map(_.join(batchUsers, Seq("user_id"), "left_semi")
+          .select(col("user_id"), col("us"), col("eid"),
+            col("typ"), lit(1).as("__st")))
+      val rows = ev.select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("event_type").as("typ"), lit(0).as("__st"))
+        .unionByName(state.getOrElse(emptyLike(spark)))
+      val w = Window.partitionBy("user_id").orderBy("us", "eid")
+      rows
+        .withColumn("prev_type", lag(col("typ"), 1).over(w))
+        .filter(col("prev_type").isNotNull && col("__st") === 0)
+        .groupBy(col("prev_type"), col("typ").as("curr_type"))
+        .agg(count(lit(1)).as("n"))
+    }
+    mutate(Sinks.upsertCombine(spark, transDelta,
+      Seq("prev_type", "curr_type"), Seq(sum(col("n")).as("n")),
+      batchId, s"$martDir/trans_counts"))
+    val lastPerUser = ev
+      .groupBy(col("user_id"))
+      .agg(max(struct(unix_micros(col("ts")).as("us"),
+        col("event_id").as("eid"), col("event_type").as("typ"))).as("m"))
+      .select(col("user_id"), col("m.us").as("us"), col("m.eid").as("eid"),
+        col("m.typ").as("typ"))
+    mutate(Sinks.upsertKeyed(spark, lastPerUser, Seq("user_id"),
+      Seq("us", "eid"), s"$martDir/trans_state"))
+
+    // ---- sessions: fold (open-session state ∪ batch) per user ----------
+    // Closed sessions AND the new open states both derive from
+    // PRE-batch state, so both are staged together (one atomic dir
+    // rename publishes them) and the table mutations below read the
+    // staged copy — a replay can never see post-batch state.
+    val sessDelta = stagedDelta(spark, fs, s"$martDir/deltas/sess", batchId) {
+      val state = Sinks.readKeyedFor(spark, s"$martDir/sess_state",
+          batchUsers, Seq("user_id"))
+        .map(_.join(batchUsers, Seq("user_id"), "left_semi")
+          .select(col("user_id"), col("last_us").as("us"),
+            col("last_eid").as("eid"), col("exit_type").as("typ"),
+            col("entry_type").as("entry0"), col("ne").as("ne0")))
+      val rows = ev.select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          col("event_type").as("typ"), col("event_type").as("entry0"),
+          lit(1L).as("ne0"))
+        .unionByName(state.getOrElse(emptySessLike(spark)))
+      val w = Window.partitionBy("user_id").orderBy("us", "eid")
+      val sess = rows
+        // >= gap breaks — session_window's half-open boundary (a24)
+        .withColumn("__brk", when(lag(col("us"), 1).over(w).isNull
+          || col("us") - lag(col("us"), 1).over(w) >= GapUs, 1).otherwise(0))
+        .withColumn("__sid", sum(col("__brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(min(struct(col("us"), col("eid"), col("entry0"))).as("f"),
+          max(struct(col("us"), col("eid"), col("typ"))).as("l"),
+          sum(col("ne0")).as("ne"))
+      val maxSid = sess.groupBy("user_id")
+        .agg(max(col("__sid")).as("__maxsid"))
+      sess.join(maxSid, "user_id")
+        .select(col("user_id"),
+          (col("__sid") === col("__maxsid")).as("open"),
+          col("f.entry0").as("entry_type"), col("l.typ").as("exit_type"),
+          col("l.us").as("last_us"), col("l.eid").as("last_eid"),
+          col("ne"))
+    }
+    val closed = sessDelta.filter(!col("open"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).as("n_events"))
+    mutate(Sinks.upsertCombine(spark, closed,
+      Seq("entry_type", "exit_type"),
+      Seq(sum(col("n_sessions")).as("n_sessions"),
+        sum(col("n_events")).as("n_events")),
+      batchId, s"$martDir/sess_grid"))
+    val open = sessDelta.filter(col("open"))
+      .select("user_id", "entry_type", "exit_type", "last_us", "last_eid", "ne")
+    mutate(Sinks.upsertKeyed(spark, open, Seq("user_id"),
+      Seq("last_us", "last_eid"), s"$martDir/sess_state"))
+
+    // retire deltas old enough that no replay can need them (streaming
+    // replays at most the LAST batch after a restart)
+    Seq("trans", "sess").foreach { d =>
+      val root = new Path(s"$martDir/deltas/$d")
+      if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith("batch=") && n.drop(6).toLong <= batchId - 2)
+          fs.delete(s.getPath, true)
+      }
+    }
+  }
+
+  /** Compute-or-reuse a staged per-batch delta: if `dir/batch=N`
+    * already exists the previous attempt staged it (the dir rename is
+    * the atomic publish) and the recompute would read POST-batch state
+    * — reuse the staged copy. Otherwise compute, write to a tmp dir,
+    * and rename into place. */
+  private def stagedDelta(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String, batchId: Long)(
+                          compute: => DataFrame): DataFrame = {
+    val target = new Path(s"$dir/batch=$batchId")
+    if (!fs.exists(target)) {
+      val tmp = new Path(s"$dir/.tmp-$batchId")
+      fs.delete(tmp, true)
+      compute.write.mode("overwrite").parquet(tmp.toString)
+      require(fs.rename(tmp, target), s"could not publish delta $target")
+    }
+    spark.read.parquet(target.toString)
+  }
+
+  private def readState(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(path))) Some(Sinks.readKeyed(spark, path)) else None
+  }
+
+  private def emptyLike(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("user_id"), col("id").as("us"),
+      col("id").as("eid"), col("id").cast("string").as("typ"),
+      lit(1).as("__st"))
+
+  private def emptySessLike(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("user_id"), col("id").as("us"),
+      col("id").as("eid"), col("id").cast("string").as("typ"),
+      col("id").cast("string").as("entry0"), col("id").as("ne0"))
+
+  // ------------------------------------------------------------ mart views
+
+  /** a3's mart: finalize the (day, user) partials — day-local, so a
+    * consumer filtering days prunes buckets' worth of work. */
+  def dailyUv(spark: SparkSession, martDir: String): DataFrame =
+    Sinks.readCombined(spark, s"$martDir/uv_days")
+      .groupBy(col("cur_date"))
+      .agg(count(lit(1)).as("uv"), sum(col("pv")).as("pv"))
+      .orderBy("cur_date")
+
+  /** a22's mart: the partials are already at mart grain. */
+  def ohlc(spark: SparkSession, martDir: String): DataFrame =
+    Sinks.readCombined(spark, s"$martDir/ohlc")
+      .select(col("cur_date"), col("event_type"), col("o.value").as("open"),
+        col("high"), col("low"), col("c.value").as("close"), col("n"))
+      .orderBy("cur_date", "event_type")
+
+  /** a19's mart: the pair counts are the mart. */
+  def transitions(spark: SparkSession, martDir: String): DataFrame =
+    Sinks.readCombined(spark, s"$martDir/trans_counts")
+      .select(col("prev_type"), col("curr_type"), col("n"))
+      .orderBy("prev_type", "curr_type")
+
+  /** a24's mart: closed-session grid + the still-open sessions (the
+    * batch function counts trailing sessions too). */
+  def sessionPaths(spark: SparkSession, martDir: String): DataFrame = {
+    val closed = Sinks.readCombined(spark, s"$martDir/sess_grid")
+      .select(col("entry_type"), col("exit_type"),
+        col("n_sessions"), col("n_events"))
+    val open = readState(spark, s"$martDir/sess_state")
+      .map(_.groupBy("entry_type", "exit_type")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).as("n_events")))
+      .getOrElse(closed.limit(0))
+    closed.unionByName(open)
+      .groupBy("entry_type", "exit_type")
+      .agg(sum(col("n_sessions")).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("entry_type", "exit_type")
+  }
+
+  /** a26's mart: re-age the (user, week) fixed-point partials to the
+    * CURRENT reference week — arithmetic shifts compose, so stored
+    * buckets re-age to any later reference with no drift (the property
+    * a26 chose its algebra for). */
+  def decayScores(spark: SparkSession, martDir: String): DataFrame = {
+    val wk = Sinks.readCombined(spark, s"$martDir/decay_weeks")
+    val ref = wk.agg(max(col("__w")).as("__refw"))
+    wk.crossJoin(broadcast(ref))
+      .withColumn("__dec",
+        expr("shiftright(bfp, cast(least(__refw - __w, 63L) as int))"))
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n_events"), sum(col("__dec")).as("decayed_fp20"))
+      .select(col("user_id"), col("n_events"), col("decayed_fp20"),
+        (col("decayed_fp20").cast("double") / lit(1048576.0)).as("score"))
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  /** Run the mart tier continuously over an events stream. */
+  def stream(events: DataFrame, martDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, martDir)
+      }
+      .start()
+}

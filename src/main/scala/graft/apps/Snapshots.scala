@@ -1,0 +1,181 @@
+package graft.apps
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** A one-file snapshot tier for a partition-directory table — the
+  * minimal metadata layer that removes [[Compaction]]'s documented
+  * concurrent-reader window (a query planning its scan mid-compaction
+  * could reference a just-deleted small file) WITHOUT an Iceberg-scale
+  * format:
+  *
+  *  - `<table>/_snap/v<N>` — an immutable text manifest: the table's
+  *    current data files (relative paths) plus the files RETIRED at
+  *    this version (replaced by a compaction merge, still on disk);
+  *  - the current version is simply the highest `v<N>` present — a
+  *    commit is ONE atomic rename (create-new-name), so there is no
+  *    pointer file to non-atomically overwrite;
+  *  - readers resolve the newest manifest at PLAN time and read its
+  *    data files explicitly (`spark.read.parquet(files…)` with
+  *    `basePath`), so a file replaced by a later commit is simply not
+  *    in their list;
+  *  - physical deletion of version N's retired files happens at commit
+  *    N+1 — the GRACE window: a reader that resolved version N can
+  *    plan and execute against files that provably exist until the
+  *    NEXT commit lands, instead of racing a delete inside the same
+  *    commit. (Iceberg calls the identical mechanism snapshot
+  *    expiration; this is the one-file version of it.)
+  *
+  * Writers are serialized by [[StagedCommit.withWriterLock]] (the
+  * snapshot layer never writes outside it). Crash-safety: a compaction
+  * journals its intent to `_snap/pending` BEFORE installing merged
+  * files; [[heal]] at writer entry either completes the snapshot
+  * commit (merged files present — the staged-manifest heal installed
+  * them) or aborts the journal (nothing installed, table unchanged).
+  * Every state a crash can leave is therefore one of: old snapshot +
+  * originals (correct), old snapshot + originals + unreferenced merged
+  * files (correct, orphans collected by the healed commit), or new
+  * snapshot (correct).
+  *
+  * The reference has no file-layout tier at all; the shape here is the
+  * log-structured-table lineage (Iceberg/Delta snapshot + expiry),
+  * scoped to exactly what a serving index needs. */
+private[apps] object Snapshots {
+
+  private def snapDir(root: Path) = new Path(root, "_snap")
+  private def pendingPath(root: Path) = new Path(snapDir(root), "pending")
+
+  private final case class Manifest(version: Int, data: Seq[String],
+                                    retired: Seq[String])
+
+  /** Highest committed version under `root`, if any. */
+  private def currentManifest(fs: FileSystem, root: Path): Option[Manifest] = {
+    val dir = snapDir(root)
+    if (!fs.exists(dir)) return None
+    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt)
+    if (vs.isEmpty) None
+    else {
+      val n = vs.max
+      val lines = readLines(fs, new Path(dir, f"v$n%08d"))
+      Some(Manifest(n,
+        lines.collect { case s if s.startsWith("data ") => s.drop(5) },
+        lines.collect { case s if s.startsWith("retired ") => s.drop(8) }))
+    }
+  }
+
+  /** The current data-file list (paths relative to `root`); None when
+    * the table is not snapshot-managed (no committed manifest). */
+  def currentFiles(fs: FileSystem, root: Path): Option[Seq[String]] =
+    currentManifest(fs, root).map(_.data)
+
+  /** All visible parquet data files under `root` (its partition dirs
+    * plus the root itself), as root-relative paths. */
+  private def visible(fs: FileSystem, root: Path): Seq[String] = {
+    val dirs = Compaction.partitionDirs(fs, root) :+ root
+    dirs.flatMap { d =>
+      Compaction.visibleFiles(fs, d).map { f =>
+        val rel = if (d == root) f.getPath.getName
+          else s"${d.getName}/${f.getPath.getName}"
+        rel
+      }
+    }
+  }
+
+  /** Commit the next snapshot version under the writer lock:
+    * data = (all visible files) − `replaced` − (files already retired
+    * at the current version); retired = `replaced`. Then physically
+    * delete the PREVIOUS version's retired files (their grace window
+    * ends here) and drop manifests older than the previous one.
+    * Returns the committed version. Unlisted visible files are adopted
+    * as data — which is exactly right for files a torn append
+    * published before its snapshot commit (the meta watermark makes
+    * the replay a no-op, so adoption here is their only way in);
+    * compaction's merged files are never unlisted at commit time
+    * because [[heal]] resolves the pending journal first. */
+  def commit(fs: FileSystem, root: Path,
+             replaced: Seq[String] = Nil): Int = {
+    val cur = currentManifest(fs, root)
+    val n = cur.map(_.version).getOrElse(0) + 1
+    val retiredPrev = cur.map(_.retired).getOrElse(Nil)
+    val gone = (replaced ++ retiredPrev).toSet
+    val data = visible(fs, root).filterNot(gone)
+    val dir = snapDir(root)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-v$n")
+    write(fs, tmp,
+      (data.sorted.map(p => s"data $p") ++
+        replaced.sorted.map(p => s"retired $p")).mkString("\n"))
+    require(fs.rename(tmp, new Path(dir, f"v$n%08d")),
+      s"snapshot commit v$n lost a rename race — writer lock violated?")
+    // grace ends for the PREVIOUS version's retired files
+    retiredPrev.foreach(p => fs.delete(new Path(root, p), false))
+    // keep the previous manifest (a reader between list and open may
+    // still grab it); everything older is unreachable
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+      val nm = s.getPath.getName
+      if (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
+        nm.drop(1).toInt < n - 1) fs.delete(s.getPath, false)
+    }
+    n
+  }
+
+  /** Journal a compaction's intent BEFORE its merged files install:
+    * the `replaced` originals and the `merged` files (both
+    * root-relative). Consumed by [[commitPending]] on success or
+    * resolved by [[heal]] after a crash. */
+  def writePending(fs: FileSystem, root: Path, replaced: Seq[String],
+                   merged: Seq[String]): Unit = {
+    fs.mkdirs(snapDir(root))
+    write(fs, pendingPath(root),
+      (replaced.map(p => s"replaced $p") ++
+        merged.map(p => s"merged $p")).mkString("\n"))
+  }
+
+  /** Complete a journaled compaction: snapshot-commit with the
+    * journal's replaced set, then drop the journal. */
+  def commitPending(fs: FileSystem, root: Path): Unit = {
+    val p = pendingPath(root)
+    if (!fs.exists(p)) return
+    val lines = readLines(fs, p)
+    commit(fs, root,
+      replaced = lines.collect { case s if s.startsWith("replaced ") => s.drop(9) })
+    fs.delete(p, false)
+  }
+
+  /** Resolve a crashed compaction's journal — MUST run at writer entry
+    * AFTER [[StagedCommit.heal]] (which completes any torn installs):
+    * if the journaled merged files all exist the compaction installed
+    * and only its snapshot commit is missing → finish it; if none
+    * exist the compaction never installed → abort the journal (the
+    * originals are still the data). The staged-manifest heal is
+    * all-or-nothing, so a mixed state cannot occur. */
+  def heal(fs: FileSystem, root: Path): Unit = {
+    val p = pendingPath(root)
+    if (!fs.exists(p)) return
+    val merged = readLines(fs, p)
+      .collect { case s if s.startsWith("merged ") => s.drop(7) }
+    val present = merged.count(m => fs.exists(new Path(root, m)))
+    if (present == merged.length && merged.nonEmpty) commitPending(fs, root)
+    else {
+      require(present == 0,
+        s"snapshot heal found $present of ${merged.length} merged files — " +
+          "staged-manifest heal must run first")
+      fs.delete(p, false)
+    }
+  }
+
+  private def write(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+}

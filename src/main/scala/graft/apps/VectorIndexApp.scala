@@ -86,6 +86,11 @@ object VectorIndexApp {
     writeCodes(codes, s"$indexDir/codes")
     corpus.agg(max(col("vec_id")).as("max_vec_id"))
       .write.mode("overwrite").parquet(s"$indexDir/meta")
+    // snapshot v1: serving reads resolve the codes FILE LIST at plan
+    // time from here on, so compaction can install/retire without ever
+    // deleting a file a planned query still references
+    Snapshots.commit(fs, new Path(s"$indexDir/codes"))
+    ()
   }
 
   /** The frozen PQ state of an IVFADC-flavored index: the rebuilt
@@ -169,7 +174,7 @@ object VectorIndexApp {
     }
     val cells = qprobes.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)) // ≤ kCells values, never per-probe
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes = codesFrame(spark, indexDir, Some(cells.toSet))
       .filter(col("cluster").isin(cells.toSeq: _*))
     pqs match {
       case Some((_, m, _, k)) =>
@@ -178,6 +183,40 @@ object VectorIndexApp {
       case None =>
         SimilarityOps.ivfSearchCodes(codes, qprobes, corpus, isProbe,
           topK, rerankK, broadcastProbes)
+    }
+  }
+
+  /** The codes table resolved through its [[Snapshots]] manifest: the
+    * file list is pinned at PLAN time, so a compaction committing
+    * between this plan and its execution cannot make the scan
+    * reference a deleted file — retired files live one further commit
+    * (the grace window) and replaced-but-planned reads stay valid.
+    * `cells` additionally prunes the file list to the probed cell
+    * directories before Spark ever lists anything (the snapshot twin
+    * of the partition-directory pruning the raw path gets from the
+    * `cluster` filter). Falls back to the raw directory read for
+    * tables without a snapshot (never written by this app, which
+    * commits v1 at build — but a foreign/legacy layout still reads). */
+  private[apps] def codesFrame(spark: SparkSession, indexDir: String,
+                               cells: Option[Set[Long]] = None): DataFrame = {
+    val root = new Path(s"$indexDir/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.currentFiles(fs, root) match {
+      case Some(files) if files.nonEmpty =>
+        val keep = cells match {
+          case Some(cs) => files.filter { f =>
+            val dir = f.takeWhile(_ != '/')
+            !dir.startsWith("cluster=") ||
+              cs.contains(dir.stripPrefix("cluster=").toLong)
+          }
+          case None => files
+        }
+        // an empty pruned list cannot feed parquet(); fall back to the
+        // full snapshot list — the cluster filter still drops the rows
+        val read = if (keep.nonEmpty) keep else files
+        spark.read.option("basePath", root.toString)
+          .parquet(read.map(p => new Path(root, p).toString): _*)
+      case _ => spark.read.parquet(root.toString)
     }
   }
 
@@ -192,6 +231,7 @@ object VectorIndexApp {
       spark.sparkContext.hadoopConfiguration)
     StagedCommit.withWriterLock(fs, new Path(indexDir)) {
       StagedCommit.heal(fs, staging(indexDir))
+      Snapshots.heal(fs, new Path(s"$indexDir/codes"))
       if (delta.isEmpty) return // nothing to apply (and min/max would be null)
       val maxBase = spark.read.parquet(s"$indexDir/meta")
         .agg(max(col("max_vec_id"))).head.getLong(0)
@@ -221,6 +261,13 @@ object VectorIndexApp {
         .partitionDirs(fs, new Path(s"$stg/idx/codes")).map(_.getName)
       StagedCommit.publish(fs, stg, Seq("idx" -> indexDir),
         lastFragment = "/meta/")
+      // register the delta's files in the next snapshot (a crash
+      // between publish and here is safe: commit adopts unlisted
+      // visible files as data, and the watermark makes the replay a
+      // no-op). This commit also ends the PREVIOUS compaction's grace
+      // window — its retired files are deleted now, one full commit
+      // after they left the readable set.
+      Snapshots.commit(fs, new Path(s"$indexDir/codes"))
       // bounded compaction AFTER the batch is fully applied: every cell
       // dir this append grew past the threshold merges to one file, so
       // file count stays flat under unbounded streaming appends instead
@@ -241,13 +288,18 @@ object VectorIndexApp {
                                  indexDir: String,
                                  touched: Option[Seq[String]] = None): Unit =
     Compaction.compact(spark, fs, staging(indexDir), Seq(
+      // codes: snapshot-managed — serving queries plan against the
+      // snapshot's file list, so the merge must retire (not delete)
       Compaction.Group(
         touched match {
           case Some(names) => names.map(n => new Path(s"$indexDir/codes/$n"))
           case None =>
             Compaction.partitionDirs(fs, new Path(s"$indexDir/codes"))
         },
-        Seq(col("vec_id"))),
+        Seq(col("vec_id")),
+        snapshotRoot = Some(new Path(s"$indexDir/codes"))),
+      // meta: raw Del+Move is fine — its only readers are writers, and
+      // they hold the single-writer lock
       Compaction.Group(Seq(new Path(s"$indexDir/meta")),
         Seq(col("max_vec_id")))))
 
@@ -272,6 +324,15 @@ object VectorIndexApp {
       // is removed only after every swap completes), so the common
       // no-crash takedown never pays an O(index) recursive listing.
       StagedCommit.heal(fs, staging(indexDir))
+      val codesRoot = new Path(s"$indexDir/codes")
+      Snapshots.heal(fs, codesRoot)
+      // flush the snapshot's pending retirements: discovery below is a
+      // RAW directory scan, and a retired-but-not-yet-deleted merge
+      // source would show its rows twice (and get pointlessly
+      // rewritten). Ending the grace window early here is the
+      // documented takedown trade — a takedown is a scheduled
+      // maintenance op, not a serving-path event.
+      Snapshots.commit(fs, codesRoot)
       val tmpDir = s"$indexDir/_retract"
       if (fs.exists(new Path(tmpDir)))
         SurgicalRewrite.heal(fs, new Path(s"$indexDir/codes"))
@@ -282,6 +343,13 @@ object VectorIndexApp {
         spark.read.parquet(s"$indexDir/codes"), vecIds, "vec_id")
       SurgicalRewrite.rewrite(spark, hit, tmpDir,
         SurgicalRewrite.excluding(_, vecIds, "vec_id"), Seq(col("vec_id")))
+      // survivors keep their file NAMES (SurgicalRewrite installs the
+      // replacement at the original path), but a file whose every row
+      // was retracted VANISHES — re-commit so the snapshot never lists
+      // a vanished file. In-place swaps keep the documented mid-swap
+      // window for the touched files only (same trade as above).
+      Snapshots.commit(fs, codesRoot)
+      ()
     }
   }
 

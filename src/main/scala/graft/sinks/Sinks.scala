@@ -1,7 +1,7 @@
 package graft.sinks
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
@@ -126,6 +126,72 @@ object Sinks {
     stageAndSwap(fs, path, deduped, touched)
   }
 
+  /** [[upsertKeyed]]'s ADDITIVE sibling — the incremental bucket merge
+    * with an associative COMBINE instead of keep-last, made
+    * exactly-once under streaming replay by a per-bucket batch stamp.
+    *
+    * `delta` holds this batch's per-key partial aggregates; the merge
+    * reads ONLY the touched buckets, re-aggregates (live ∪ delta) by
+    * `keys` with the caller's `combine` aggregates (which must be
+    * associative+commutative — sums, min/max, struct-argmin/argmax),
+    * and swaps the touched bucket dirs. Untouched buckets are never
+    * read or written — O(batch ∪ touched buckets), never O(table).
+    *
+    * EXACTLY-ONCE under replay: an additive merge is not naturally
+    * idempotent (applying a delta twice double-counts), so every
+    * merged row carries `__mart_batch` = the max batch id that touched
+    * it, and a bucket whose live rows already show this batch id is
+    * SKIPPED — the bucket-dir swap is atomic, so after a crash each
+    * touched bucket is either fully merged (stamped, skipped on
+    * replay) or untouched (re-merged), and the replay converges with
+    * no double count. Callers must pass the streaming micro-batch id
+    * (monotone per checkpoint; a replayed batch reuses its id with
+    * identical content — the foreachBatch contract). */
+  def upsertCombine(spark: SparkSession, delta: DataFrame, keys: Seq[String],
+                    combine: Seq[Column], batchId: Long, path: String,
+                    nBuckets: Int = DefaultUpsertBuckets): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    healBuckets(fs, path)
+    val effectiveBuckets = readOrWriteBucketCount(fs, path, nBuckets)
+    val withB = delta
+      .withColumn("__bucket", bucketOf(keys, effectiveBuckets))
+      .withColumn("__mart_batch", lit(batchId))
+    val touched = withB.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ nBuckets values, driver-safe
+    if (touched.isEmpty) return
+    val liveDirs = touched.map(b => new Path(path, s"__bucket=$b"))
+      .filter(fs.exists).map(_.toString)
+    val (skip, current) =
+      if (liveDirs.isEmpty) (Array.empty[Int], None)
+      else {
+        val live = spark.read.option("basePath", path).parquet(liveDirs: _*)
+        // buckets already stamped with this batch id are fully merged
+        // (their swap completed before the crash) — replay skips them
+        (live.filter(col("__mart_batch") === batchId)
+          .select("__bucket").distinct().collect().map(_.getInt(0)),
+          Some(live))
+      }
+    val todo = touched.filterNot(skip.contains)
+    if (todo.isEmpty) return
+    val incoming = withB.filter(col("__bucket").isin(todo.map(Int.box): _*))
+    val merged = current match {
+      case Some(cur) => cur
+        .filter(col("__bucket").isin(todo.map(Int.box): _*))
+        .unionByName(incoming, allowMissingColumns = true)
+      case None => incoming
+    }
+    val combined = merged
+      .groupBy((keys :+ "__bucket").map(col): _*)
+      .agg(combine.head, combine.tail :+
+        max(col("__mart_batch")).as("__mart_batch"): _*)
+    stageAndSwap(fs, path, combined, todo.toIndexedSeq)
+  }
+
+  /** Read a table written by [[upsertCombine]] without its layout and
+    * replay-stamp columns. */
+  def readCombined(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("__bucket", "__mart_batch")
+
   /** Stage `df` (which must carry `__bucket`) partitioned by bucket, then
     * swap exactly the `buckets` dirs into the live table. A targeted
     * bucket with NO staged output (every row removed) has its live dir
@@ -173,6 +239,26 @@ object Sinks {
   /** Read a table written by [[upsertKeyed]] without its layout column. */
   def readKeyed(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("__bucket")
+
+  /** Rows of an [[upsertKeyed]] table whose key MAY be in `forKeys` —
+    * reads ONLY the bucket dirs `forKeys` hashes into (callers still
+    * join/filter exactly; this is the pruning step that keeps a
+    * per-batch state lookup O(touched buckets), never O(table)).
+    * `forKeys` must be a small frame (its distinct buckets are
+    * collected — ≤ nBuckets values). */
+  def readKeyedFor(spark: SparkSession, path: String,
+                   forKeys: DataFrame, keys: Seq[String]): Option[DataFrame] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return None
+    val n = readOrWriteBucketCount(fs, path, DefaultUpsertBuckets)
+    val touched = forKeys.select(bucketOf(keys, n).as("__b"))
+      .distinct().collect().map(_.getInt(0))
+    val dirs = touched.map(b => new Path(path, s"__bucket=$b"))
+      .filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", path).parquet(dirs.toIndexedSeq: _*)
+      .drop("__bucket"))
+  }
 
   /** The table's recorded bucket count, creating the marker on first
     * write. Stored beside the table (not inside it — partition discovery

@@ -15,12 +15,16 @@ import graft.operators.SimilarityOps
   * compaction the index grows one file per touched partition dir per
   * append FOREVER (a year of 10 s micro-batches is ~3M files per hot
   * cell dir), so the soak drives 50 appends and asserts every
-  * directory stays at ≤ threshold files AT REST, that compaction is a
-  * pure file merge (query results identical before/after, in-file
-  * vec_id order preserved, untouched dirs byte-identical), and that a
-  * crash INSIDE the compaction commit heals on the next append with no
-  * row lost or duplicated (the Del-before-Move manifest phases mean
-  * the crash window shows rows dark, never twice). */
+  * directory's READABLE file set (the [[Snapshots]] data list serving
+  * queries plan against) stays at ≤ threshold files AT REST — with raw
+  * disk bounded at data + one cycle's retired-pending files (the
+  * deferred-delete grace [[SnapshotIsolationSpec]] pins) — that
+  * compaction is a pure file merge (query results identical
+  * before/after, in-file vec_id order preserved, untouched dirs
+  * byte-identical), and that a crash INSIDE the compaction commit is
+  * INVISIBLE to snapshot readers (old manifest + originals — stronger
+  * than the raw layout's rows-dark-never-duplicated) and heals on the
+  * next append with no row lost or duplicated. */
 class CompactionSoakSpec extends SparkSpec {
   import spark.implicits._
 
@@ -33,9 +37,10 @@ class CompactionSoakSpec extends SparkSpec {
         (pmod(col("id") * (7 * i + 3), lit(997)).cast("float") / lit(997f))
           + lit(0.01f)): _*).cast("array<float>").as("embedding"))
 
-  /** Visible parquet files per partition directory of the index:
-    * `codes/cluster=N` dirs plus the unpartitioned `meta` dir — the
-    * directories an append grows and compaction must bound. */
+  /** RAW visible parquet files per partition directory of the index:
+    * `codes/cluster=N` dirs plus the unpartitioned `meta` dir. Codes
+    * dirs may hold retired-pending files on top of the readable set —
+    * [[snapFiles]] is the readable view; this is the DISK view. */
   private def dirFiles(idx: String): Map[String, Seq[String]] = {
     val cellDirs = Files.list(Paths.get(s"$idx/codes")).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("cluster=")).toSeq
@@ -47,8 +52,18 @@ class CompactionSoakSpec extends SparkSpec {
     }.toMap
   }
 
+  /** READABLE files per codes cell directory — the current snapshot's
+    * data list, which is what every serving query plans against. */
+  private def snapFiles(idx: String): Map[String, Seq[String]] = {
+    val root = new org.apache.hadoop.fs.Path(s"$idx/codes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.currentFiles(fs, root).getOrElse(fail("codes not snapshot-managed"))
+      .groupBy(p => s"$idx/codes/${p.takeWhile(_ != '/')}")
+      .map { case (d, ps) => d -> ps.map(_.dropWhile(_ != '/').drop(1)).sorted }
+  }
+
   private def indexedIds(idx: String): Seq[Long] =
-    spark.read.parquet(s"$idx/codes").select("vec_id").as[Long].collect().toSeq
+    VectorIndexApp.codesFrame(spark, idx).select("vec_id").as[Long].collect().toSeq
 
   private def queryRows(idx: String, corpus: DataFrame) =
     VectorIndexApp.query(spark, corpus, idx, col("vec_id") < 5,
@@ -75,18 +90,27 @@ class CompactionSoakSpec extends SparkSpec {
       }
 
       // ---- phase 1: 30 plain appends, every dir bounded AT REST ----
+      // READABLE files (the snapshot data list) ≤ threshold; RAW disk
+      // ≤ readable + one cycle's retired-pending (deferred deletes)
+      val RawBound = 2 * (Threshold + 1)
       var appends = 0
       (1 to 30).foreach { i =>
         append(Delta); appends += 1
-        val over = dirFiles(idx).filter(_._2.length > Threshold)
+        val over = snapFiles(idx).filter(_._2.length > Threshold)
         assert(over.isEmpty,
-          s"after append $i these dirs exceed $Threshold files: " +
+          s"after append $i these dirs exceed $Threshold readable files: " +
             over.map { case (d, f) => s"$d=${f.length}" }.mkString(", "))
+        val raw = dirFiles(idx).filter(_._2.length > RawBound)
+        assert(raw.isEmpty,
+          s"after append $i raw disk exceeds the deferred-delete bound: " +
+            raw.map { case (d, f) => s"$d=${f.length}" }.mkString(", "))
+        // meta is raw Del+Move (no snapshot) — bounded as before
+        assert(dirFiles(idx)(s"$idx/meta").length <= Threshold)
       }
       // non-vacuous: 30 appends with threshold 4 means compaction must
       // actually have fired — without it the hot cell dirs would hold
       // ~31 files each
-      assert(dirFiles(idx).values.map(_.length).max <= Threshold)
+      assert(snapFiles(idx).values.map(_.length).max <= Threshold)
 
       // ---- phase 2: compaction is a PURE merge --------------------
       // grow past the threshold with compaction disabled, then compact
@@ -95,7 +119,13 @@ class CompactionSoakSpec extends SparkSpec {
       (1 to 6).foreach { _ => append(Delta); appends += 1 }
       Compaction.DefaultMaxFiles = Threshold
       val before = dirFiles(idx)
-      assert(before.values.exists(_.length > Threshold),
+      val snapBefore = snapFiles(idx)
+      // with compaction disabled for the growth appends, every pending
+      // retirement was flushed — raw codes disk == the readable set
+      snapBefore.foreach { case (d, f) =>
+        assert(before(d) == f, s"raw/readable diverged pre-compaction at $d")
+      }
+      assert(snapBefore.values.exists(_.length > Threshold),
         "fixture failed to grow any dir past the threshold")
       val wantRows = queryRows(idx, vecs(0, hi))
       val wantIds = indexedIds(idx)
@@ -104,14 +134,23 @@ class CompactionSoakSpec extends SparkSpec {
       VectorIndexApp.compactIndex(spark, fs, idx)
 
       val after = dirFiles(idx)
-      assert(after.values.forall(_.length <= Threshold))
-      // over-threshold dirs merged down to ONE file; untouched dirs
-      // keep their exact file set (byte-identical by name — appends
-      // never rewrite, so same name = same bytes)
-      before.foreach { case (d, fsBefore) =>
-        if (fsBefore.length > Threshold)
-          assert(after(d).length == 1, s"$d merged to ${after(d).length} files")
-        else assert(after(d) == fsBefore, s"compaction touched bounded dir $d")
+      val snapAfter = snapFiles(idx)
+      assert(snapAfter.values.forall(_.length <= Threshold))
+      // over-threshold dirs merged down to ONE readable file (their
+      // originals stay on disk, RETIRED, until the next commit — the
+      // grace window); untouched dirs keep their exact file set
+      // byte-identically (appends never rewrite: same name = same
+      // bytes), on disk AND in the snapshot
+      snapBefore.foreach { case (d, fsBefore) =>
+        if (fsBefore.length > Threshold) {
+          assert(snapAfter(d).length == 1,
+            s"$d merged to ${snapAfter(d).length} readable files")
+          assert(after(d).toSet == (fsBefore ++ snapAfter(d)).toSet,
+            s"grace window violated at $d: retired files deleted early")
+        } else {
+          assert(snapAfter(d) == fsBefore, s"compaction touched bounded dir $d")
+          assert(after(d) == fsBefore, s"compaction touched bounded dir $d on disk")
+        }
       }
       // row multiset and query results identical — a pure file merge
       assert(indexedIds(idx).sorted == wantIds.sorted,
@@ -120,11 +159,11 @@ class CompactionSoakSpec extends SparkSpec {
         "compaction changed query results")
       // the merged file preserves the in-file vec_id order that makes
       // parquet row-group min/max stats skip for pushed vec_id filters
-      val mergedDir = before.collect {
+      val mergedDir = snapBefore.collect {
         case (d, f) if f.length > Threshold && d.contains("cluster=") => d
       }.head
       val mergedIds = spark.read
-        .parquet(s"$mergedDir/${after(mergedDir).head}")
+        .parquet(s"$mergedDir/${snapAfter(mergedDir).head}")
         .select("vec_id").as[Long].collect().toSeq
       assert(mergedIds == mergedIds.sorted,
         "merged file lost the vec_id clustering")
@@ -133,7 +172,7 @@ class CompactionSoakSpec extends SparkSpec {
       // a file at/above the target size is NEVER rewritten again —
       // without the tier every cycle rewrites the dir's full contents
       // (merged file included): O(total²/maxFiles) write amplification
-      val mergedName = after(mergedDir).head
+      val mergedName = snapAfter(mergedDir).head
       val mergedSize = Files.size(Paths.get(s"$mergedDir/$mergedName"))
       val savedTarget = Compaction.DefaultTargetBytes
       Compaction.DefaultTargetBytes = mergedSize // the merged file graduates
@@ -145,12 +184,12 @@ class CompactionSoakSpec extends SparkSpec {
         VectorIndexApp.compactIndex(spark, fs, idx)
         // the graduated file survives BY NAME (same bytes — appends and
         // compaction never rewrite in place), the small files merged
-        val nowFiles = dirFiles(idx)(mergedDir)
+        val nowFiles = snapFiles(idx)(mergedDir)
         assert(nowFiles.contains(mergedName),
           "compaction rewrote a graduated file")
         assert(Files.size(Paths.get(s"$mergedDir/$mergedName")) == mergedSize)
         assert(nowFiles.length <= Threshold + 1, // ≤ threshold small + graduated
-          s"graduating dir holds ${nowFiles.length} files")
+          s"graduating dir holds ${nowFiles.length} readable files")
         assert(indexedIds(idx).sorted == preIds.sorted,
           "graduated compaction changed the row multiset")
       } finally Compaction.DefaultTargetBytes = savedTarget
@@ -162,8 +201,9 @@ class CompactionSoakSpec extends SparkSpec {
       (1 to 6).foreach { _ => append(Delta); appends += 1 }
       Compaction.DefaultMaxFiles = Threshold
       val preCrash = indexedIds(idx)
-      // crash after the 2nd committed op — inside the Del phase, the
-      // window where replaced files are gone but merges not installed
+      // crash after the 2nd committed op — mid-install, the window
+      // where some merged files are in the directories but the
+      // snapshot still lists the originals
       try {
         StagedCommit.crashAfterMoves = 2
         intercept[IllegalStateException] {
@@ -172,13 +212,13 @@ class CompactionSoakSpec extends SparkSpec {
       } finally StagedCommit.crashAfterMoves = Int.MaxValue
       assert(Files.exists(Paths.get(s"$idx/_staging/COMMIT")),
         "torn compaction must leave its frozen manifest")
-      // the crash window shows rows DARK (frozen in the staged merged
-      // file), NEVER duplicated — the Del-before-Move phase ordering
-      val darkIds = indexedIds(idx)
-      assert(darkIds.length == darkIds.distinct.length,
-        "crash window duplicated rows")
-      assert(darkIds.toSet.subsetOf(preCrash.toSet),
-        "crash window invented rows")
+      // snapshot readers cannot observe the crash AT ALL: the manifest
+      // still lists exactly the pre-crash files (raw readers would see
+      // duplicated rows here — the snapshot view is strictly stronger
+      // than the old raw layout's rows-dark-never-duplicated)
+      val crashIds = indexedIds(idx)
+      assert(crashIds.sorted == preCrash.sorted,
+        "crash window changed the snapshot-read row multiset")
 
       // the NEXT append heals the torn compaction before reading, then
       // applies and re-compacts — the inherited crash contract
@@ -186,7 +226,7 @@ class CompactionSoakSpec extends SparkSpec {
       assert(!Files.exists(Paths.get(s"$idx/_staging")))
       assert(indexedIds(idx).sorted == (preCrash ++ (hi - Delta until hi)).sorted,
         "heal + append lost or duplicated rows")
-      assert(dirFiles(idx).values.forall(_.length <= Threshold))
+      assert(snapFiles(idx).values.forall(_.length <= Threshold))
 
       // ---- phase 3b: a DIRECT compact over a torn manifest heals it,
       // never destroys it — the staged merged files are the only copy
@@ -207,17 +247,24 @@ class CompactionSoakSpec extends SparkSpec {
       assert(!Files.exists(Paths.get(s"$idx/_staging")))
       assert(indexedIds(idx).sorted == preCrash2.sorted,
         "direct compact over a torn manifest lost rows")
-      assert(dirFiles(idx).values.forall(_.length <= Threshold))
+      assert(snapFiles(idx).values.forall(_.length <= Threshold))
 
       // ---- phase 4: top up past 50 appends, final content gate ----
       (appends until 50).foreach { _ => append(Delta); appends += 1 }
       assert(appends >= 50 && hi == Base + appends * Delta,
         s"soak ran $appends appends, hi=$hi")
-      val files = dirFiles(idx)
+      val files = snapFiles(idx)
       assert(files.values.forall(_.length <= Threshold),
         s"end of soak: ${files.filter(_._2.length > Threshold)}")
+      val raw = dirFiles(idx)
+      assert(raw.filter(_._1.contains("cluster="))
+          .values.forall(_.length <= RawBound),
+        s"end of soak, raw disk: ${raw.filter(_._2.length > RawBound)}")
+      assert(raw(s"$idx/meta").length <= Threshold)
       info(s"50 appends: ${files.size} dirs, " +
-        s"max ${files.values.map(_.length).max} files/dir (threshold $Threshold)")
+        s"max ${files.values.map(_.length).max} readable files/dir " +
+        s"(threshold $Threshold; raw max " +
+        s"${raw.filter(_._1.contains("cluster=")).values.map(_.length).max})")
       // the soaked-and-compacted index answers exactly like the
       // in-memory operator over the full corpus with the frozen codebook
       val want = SimilarityOps.ivfQuantizedAnn(vecs(0, hi), cents,
