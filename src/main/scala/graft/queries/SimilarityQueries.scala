@@ -481,6 +481,40 @@ object SimilarityQueries {
     s"SELECT doc_id, $bandIdx AS band, md5(concat_ws(',', $cols)) AS sig FROM mh"
   }.mkString("\n  UNION ALL\n  ")
 
+  /** Bucket-capped candidate pairs from a `bands` CTE — the shared
+    * block stage of every banded near-dup oracle (d3, d5, d7), with
+    * the 1000-row flood cap mirroring [[SimilarityOps.candidatePairs]]. */
+  private val candCte =
+    """bsz AS (SELECT band, sig, COUNT(*) AS c FROM bands GROUP BY band, sig),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+      |  JOIN bsz ON l.band = bsz.band AND l.sig = bsz.sig
+      |  WHERE bsz.c <= 1000)""".stripMargin
+
+  /** Exact-Jaccard verification select over `cand` + `sets` — shared
+    * by the d3 and d5 oracles (thresholds differ). */
+  private def jaccardSelect(threshold: Double): String =
+    s"""SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    len(list_intersect(sa.l, sb.l))::DOUBLE
+       |      / (len(sa.l) + len(sb.l) - len(list_intersect(sa.l, sb.l)))::DOUBLE
+       |      AS jaccard
+       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
+       |            JOIN sets sb ON doc_b = sb.doc_id)
+       |WHERE jaccard >= $threshold""".stripMargin
+
+  /** The final per-probe rank select over a `scored` CTE carrying
+    * (q_id, vec_id, cos_sim) — shared by the v1/v2/v4 oracles. */
+  private val annRankTail =
+    s"""SELECT q_id, vec_id, rnk, cos_sim FROM (
+       |  SELECT q_id, vec_id, cos_sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+
   /** The verified-pair pipeline as a self-contained SELECT (nested CTEs) —
     * embeddable as a CTE body by d6/c1. */
   private[queries] val d3PairsCore =
@@ -493,22 +527,9 @@ object SimilarityQueries {
        |  FROM hv GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
-       |bsz AS (SELECT band, sig, COUNT(*) AS c FROM bands GROUP BY band, sig),
-       |cand AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-       |  JOIN bsz ON l.band = bsz.band AND l.sig = bsz.sig
-       |  WHERE bsz.c <= 1000),
+       |$candCte,
        |sets AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT doc_a, doc_b,
-       |    len(list_intersect(sa.l, sb.l))::DOUBLE
-       |      / (len(sa.l) + len(sb.l) - len(list_intersect(sa.l, sb.l)))::DOUBLE
-       |      AS jaccard
-       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
-       |            JOIN sets sb ON doc_b = sb.doc_id)
-       |WHERE jaccard >= $JaccardThreshold""".stripMargin
+       |${jaccardSelect(JaccardThreshold)}""".stripMargin
 
   private val d3Sql = s"$d3PairsCore\nORDER BY doc_a, doc_b"
 
@@ -580,13 +601,7 @@ object SimilarityQueries {
        |fp AS (SELECT doc_id, ${simhashFp(SimhashBits)} AS f FROM sums),
        |bands AS (
        |  $d7BandSelects),
-       |bsz AS (SELECT band, sig, COUNT(*) AS c FROM bands GROUP BY band, sig),
-       |cand AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-       |  JOIN bsz ON l.band = bsz.band AND l.sig = bsz.sig
-       |  WHERE bsz.c <= 1000)
+       |$candCte
        |SELECT doc_a, doc_b, hamming FROM (
        |  SELECT doc_a, doc_b,
        |    CAST(bit_count(xor(fa.f, fb.f)) AS INT) AS hamming
@@ -603,12 +618,7 @@ object SimilarityQueries {
        |  SELECT q_id, vec_id,
        |    ${cosineSql("q_vec", "embedding")} AS cos_sim
        |  FROM embeddings CROSS JOIN probes WHERE q_id <> vec_id)
-       |SELECT q_id, vec_id, rnk, cos_sim FROM (
-       |  SELECT q_id, vec_id, cos_sim,
-       |    row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cos_sim DESC, vec_id) AS rnk
-       |  FROM scored)
-       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+       |$annRankTail""".stripMargin
 
   /** v6 oracle: mirrors annQuantized exactly — int8 codes via
     * round(x·127/max|x|), exact int64 candidate dot, dequantized rank
@@ -686,12 +696,7 @@ object SimilarityQueries {
        |    ${cosineSql("q.embedding", "e.embedding")} AS cos_sim
        |  FROM cand c JOIN embeddings q ON c.q_id = q.vec_id
        |              JOIN embeddings e ON c.vec_id = e.vec_id)
-       |SELECT q_id, vec_id, rnk, cos_sim FROM (
-       |  SELECT q_id, vec_id, cos_sim,
-       |    row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cos_sim DESC, vec_id) AS rnk
-       |  FROM scored)
-       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+       |$annRankTail""".stripMargin
 
   private val v3Sql =
     s"""WITH bucketed AS (
@@ -872,12 +877,7 @@ object SimilarityQueries {
        |  SELECT q_id, vec_id,
        |    ${cosineSql("q_vec", "embedding")} AS cos_sim
        |  FROM assigned JOIN probes USING (cluster) WHERE q_id <> vec_id)
-       |SELECT q_id, vec_id, rnk, cos_sim FROM (
-       |  SELECT q_id, vec_id, cos_sim,
-       |    row_number() OVER (PARTITION BY q_id
-       |      ORDER BY cos_sim DESC, vec_id) AS rnk
-       |  FROM scored)
-       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+       |$annRankTail""".stripMargin
 
   /** v7 oracle: v4's unrolled deterministic k-means + cell assignment,
     * v6's int8 quantization + exact int64 candidate dot (cell-local, not
@@ -906,28 +906,14 @@ object SimilarityQueries {
        |qprobes AS (
        |  SELECT p.vec_id AS q_id, p.cluster, z.qv AS qa
        |  FROM pcells p JOIN qz z ON p.vec_id = z.vec_id),
-       |cand AS (
+       |scored AS (
        |  SELECT q_id, z.vec_id,
        |    CASE WHEN z.nv = 0 THEN 0.0 ELSE
        |      (CAST(list_reduce(list_transform(list_zip(qa, z.qv),
        |          p -> p[1] * p[2]), (x, y) -> x + y) AS DOUBLE)
        |        * (z.maxabs / 127.0)) / z.nv END AS r
        |  FROM qz z JOIN qprobes USING (cluster) WHERE q_id <> z.vec_id),
-       |top AS (
-       |  SELECT q_id, vec_id FROM (
-       |    SELECT q_id, vec_id,
-       |      row_number() OVER (PARTITION BY q_id
-       |        ORDER BY r DESC, vec_id) AS crnk
-       |    FROM cand)
-       |  WHERE crnk <= ${2 * TopK})
-       |SELECT q_id, vec_id, rnk, cos_sim FROM (
-       |  SELECT q_id, t.vec_id,
-       |    ${cosineSql("q.embedding", "e.embedding")} AS cos_sim,
-       |    row_number() OVER (PARTITION BY q_id
-       |      ORDER BY ${cosineSql("q.embedding", "e.embedding")} DESC, t.vec_id) AS rnk
-       |  FROM top t JOIN embeddings q ON t.q_id = q.vec_id
-       |             JOIN embeddings e ON t.vec_id = e.vec_id)
-       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
+       |${pqTailSql(2 * TopK)}""".stripMargin
 
   /** d5: 2-gram verify sets + two single-row minhash bands over 5-grams
     * (perms = the first two of the shared LCG family). */
@@ -962,25 +948,12 @@ object SimilarityQueries {
        |  SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0::VARCHAR)) AS sig FROM mh
        |  UNION ALL
        |  SELECT doc_id, 1 AS band, md5(concat_ws(',', mh1::VARCHAR)) AS sig FROM mh),
-       |bsz AS (SELECT band, sig, COUNT(*) AS c FROM bands GROUP BY band, sig),
-       |cand AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-       |  JOIN bsz ON l.band = bsz.band AND l.sig = bsz.sig
-       |  WHERE bsz.c <= 1000),
+       |$candCte,
        |sets AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id)""".stripMargin
 
   private val d5Sql =
     s"""$d5CteSql
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT doc_a, doc_b,
-       |    len(list_intersect(sa.l, sb.l))::DOUBLE
-       |      / (len(sa.l) + len(sb.l) - len(list_intersect(sa.l, sb.l)))::DOUBLE
-       |      AS jaccard
-       |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
-       |            JOIN sets sb ON doc_b = sb.doc_id)
-       |WHERE jaccard >= 0.5
+       |${jaccardSelect(0.5)}
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** d12: same candidates; containment in exact ppm (len() is BIGINT in

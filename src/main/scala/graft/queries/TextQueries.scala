@@ -1004,31 +1004,69 @@ object TextQueries {
        | + least($stopSql * 10.0 / $wcSql, 1.0) * 0.3
        | + (CASE WHEN $punctSql * 5 <= length(text) THEN 0.2 ELSE 0.0 END)""".stripMargin
 
+  // -- shared oracle CTE fragments (one definition per idiom, so a
+  //    tokenizer/shingle/langid fix lands in ONE place) -------------------
+
+  /** `toks` CTE: per-doc token ARRAY — the array-form tokenize every
+    * windowed oracle (shingles, chunks, bigrams) starts from. */
+  private val toksArrCte =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
+       |  FROM documents)""".stripMargin
+
+  /** `toks` CTE: the exploded (doc_id, token) stream — the oracle half
+    * of the tokenStream scaffold (t8/t9/t12). */
+  private val toksStreamCte =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS token
+       |  FROM documents)""".stripMargin
+
+  /** `sh` CTE: DISTINCT (`n`+1)-token shingles per doc, reading `toks`
+    * (the array form). `n` is the SLICE span (t[i:i+n]). */
+  private def shCte(n: Int): String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, array_to_string(t[i:i+$n], ' ') AS s
+       |    FROM (SELECT doc_id, t,
+       |            unnest(generate_series(1, len(t) - $n)) AS i
+       |          FROM toks)))""".stripMargin
+
+  /** The c2/c4 decontamination shape: rare-shingle guard, benchmark =
+    * every `mod`-th doc, flag docs sharing ≥ `minShared` shingles. */
+  private def decontamSql(span: Int, mod: Int, minShared: Int): String =
+    s"""WITH $toksArrCte,
+       |${shCte(span)},
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
+       |bench AS (
+       |  SELECT doc_id AS bench_id, s FROM sh JOIN rare USING (s)
+       |  WHERE doc_id % $mod = 0)
+       |SELECT sh.doc_id, bench_id, COUNT(*) AS shared_ngrams
+       |FROM sh JOIN bench USING (s)
+       |WHERE sh.doc_id <> bench_id
+       |GROUP BY sh.doc_id, bench_id
+       |HAVING COUNT(*) >= $minShared
+       |ORDER BY doc_id, bench_id""".stripMargin
+
+  /** The five per-language evidence columns (t1's scoring). */
+  private val langScoresSql =
+    s"""${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
+       |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
+       |  $cjkSql * 3 AS s_zh""".stripMargin
+
+  /** The argmax-language CASE over the five evidence columns — ONE
+    * definition shared by the t1, c1 and u6 oracles. */
+  private val langCaseSql =
+    """CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+      |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+      |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+      |      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+      |      ELSE 'zh' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "c4_bloom_decontaminate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
-         |  FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, s FROM (
-         |    SELECT doc_id, array_to_string(t[i:i+3], ' ') AS s
-         |    FROM (SELECT doc_id, t,
-         |            unnest(generate_series(1, len(t) - 3)) AS i
-         |          FROM toks))),
-         |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
-         |bench AS (
-         |  SELECT doc_id AS bench_id, s FROM sh JOIN rare USING (s)
-         |  WHERE doc_id % 29 = 0)
-         |SELECT sh.doc_id, bench_id, COUNT(*) AS shared_ngrams
-         |FROM sh JOIN bench USING (s)
-         |WHERE sh.doc_id <> bench_id
-         |GROUP BY sh.doc_id, bench_id
-         |HAVING COUNT(*) >= 2
-         |ORDER BY doc_id, bench_id""".stripMargin,
+    "c4_bloom_decontaminate" -> decontamSql(span = 3, mod = 29, minShared = 2),
     "t8_tfidf" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS token
-         |  FROM documents),
+      s"""WITH $toksStreamCte,
          |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
          |       FROM toks GROUP BY doc_id, token),
          |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
@@ -1041,9 +1079,7 @@ object TextQueries {
          |  FROM tf JOIN df USING (token))
          |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "t9_rarity" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS token
-         |  FROM documents),
+      s"""WITH $toksStreamCte,
          |cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
          |        FROM toks GROUP BY token),
          |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt)
@@ -1095,9 +1131,7 @@ object TextQueries {
          |  AND r.pos > q3.lo AND r.pos <= q3.lo + q3.quota
          |ORDER BY r.doc_id""".stripMargin,
     "u13_chunk" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
-         |  FROM documents),
+      s"""WITH $toksArrCte,
          |st AS (
          |  SELECT doc_id, t,
          |    unnest(generate_series(0, len(t) - 1, $ChunkStride)) AS start
@@ -1111,9 +1145,7 @@ object TextQueries {
          |    AS chunk_fp
          |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "t12_bm25" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array($normSql, '\\s+')) AS token
-         |  FROM documents),
+      s"""WITH $toksStreamCte,
          |lens AS (SELECT doc_id, $wcSql AS len FROM documents),
          |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
          |                 CAST(SUM(len) AS BIGINT) AS t_tokens FROM lens),
@@ -1132,9 +1164,7 @@ object TextQueries {
          |    ORDER BY score DESC, doc_id ASC) AS INT) AS rnk, doc_id, score
          |FROM scored QUALIFY rnk <= 5 ORDER BY token, rnk""".stripMargin,
     "t11_bigram_coherence" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
-         |  FROM documents),
+      s"""WITH $toksArrCte,
          |bi AS (
          |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg, t[i] AS w1
          |  FROM (SELECT doc_id, t,
@@ -1220,9 +1250,7 @@ object TextQueries {
       s"""WITH pairs AS (${SimilarityQueries.d3PairsCore}),
          |scored AS (
          | SELECT doc_id,
-         |  ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
-         |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
-         |  $cjkSql * 3 AS s_zh,
+         |  $langScoresSql,
          |  $qSql AS quality_score,
          |  $wcSql AS wc,
          |  md5($normSql) AS fp
@@ -1230,12 +1258,7 @@ object TextQueries {
          |canon AS (
          | SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canon_id FROM scored)
          |SELECT doc_id,
-         | CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
-         |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
-         |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
-         |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
-         |      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
-         |      ELSE 'zh' END AS pred_lang,
+         | $langCaseSql AS pred_lang,
          | quality_score
          |FROM canon
          |WHERE quality_score >= 0.5 AND wc >= 20 AND doc_id = canon_id
@@ -1249,18 +1272,11 @@ object TextQueries {
     "u6_top_tokens" ->
       s"""WITH sc AS (
          | SELECT doc_id, text,
-         |  ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
-         |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
-         |  $cjkSql * 3 AS s_zh
+         |  $langScoresSql
          | FROM documents),
          |lang AS (
          | SELECT text,
-         |  CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
-         |       WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
-         |       WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
-         |       WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
-         |       WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
-         |       ELSE 'zh' END AS pred_lang
+         |  $langCaseSql AS pred_lang
          | FROM sc),
          |c AS (
          | SELECT pred_lang, token, COUNT(*) AS c FROM (
@@ -1316,41 +1332,15 @@ object TextQueries {
          |FROM d CROSS JOIN tot CROSS JOIN cum
          |WHERE cum >= (decile * n + 9) // 10
          |GROUP BY decile ORDER BY decile""".stripMargin,
-    "c2_decontaminate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
-         |  FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, s FROM (
-         |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
-         |    FROM (SELECT doc_id, t,
-         |            unnest(generate_series(1, len(t) - 2)) AS i
-         |          FROM toks))),
-         |rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 1000),
-         |bench AS (
-         |  SELECT doc_id AS bench_id, s FROM sh JOIN rare USING (s)
-         |  WHERE doc_id % 37 = 0)
-         |SELECT sh.doc_id, bench_id, COUNT(*) AS shared_ngrams
-         |FROM sh JOIN bench USING (s)
-         |WHERE sh.doc_id <> bench_id
-         |GROUP BY sh.doc_id, bench_id
-         |HAVING COUNT(*) >= 3
-         |ORDER BY doc_id, bench_id""".stripMargin,
+    "c2_decontaminate" -> decontamSql(span = 2, mod = 37, minShared = 3),
     // c6: same 3-gram shingle frame as c2; hits counted against the
     // DISTINCT benchmark shingle set (each corpus shingle matches at
     // most once, so COUNT(b.s) over the left join is the hit count);
     // ppm via integer division — `//` floors but operands are >= 0, so
     // it equals Spark's truncating `div`
     "c6_contamination_rate" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
-         |  FROM documents),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, s FROM (
-         |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
-         |    FROM (SELECT doc_id, t,
-         |            unnest(generate_series(1, len(t) - 2)) AS i
-         |          FROM toks))),
+      s"""WITH $toksArrCte,
+         |${shCte(2)},
          |benchs AS (SELECT DISTINCT s FROM sh WHERE doc_id % 37 = 0),
          |rates AS (
          |  SELECT c.doc_id, COUNT(*) AS n_shingles,
@@ -1414,9 +1404,7 @@ object TextQueries {
          |WHERE token_ct * 1000 > n
          |ORDER BY token_ct DESC, token""".stripMargin,
     "t5_repetition" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_split_to_array($normSql, '\\s+') AS t
-         |  FROM documents),
+      s"""WITH $toksArrCte,
          |tri AS (
          |  SELECT doc_id, list(s) AS g FROM (
          |    SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
@@ -1444,17 +1432,10 @@ object TextQueries {
     "t1_langid" ->
       s"""WITH scored AS (
          | SELECT doc_id,
-         |  ${langScoreSql("en")} AS s_en, ${langScoreSql("de")} AS s_de,
-         |  ${langScoreSql("es")} AS s_es, ${langScoreSql("fr")} AS s_fr,
-         |  $cjkSql * 3 AS s_zh, $cjkSql AS cjk_chars
+         |  $langScoresSql, $cjkSql AS cjk_chars
          | FROM documents)
          |SELECT doc_id,
-         | CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
-         |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
-         |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
-         |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
-         |      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
-         |      ELSE 'zh' END AS pred_lang,
+         | $langCaseSql AS pred_lang,
          | s_en AS en_evidence, cjk_chars
          |FROM scored ORDER BY doc_id""".stripMargin,
     "t2_quality_score" ->
