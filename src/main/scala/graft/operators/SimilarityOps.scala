@@ -1011,4 +1011,63 @@ object SimilarityOps {
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
         coalesce(col("dup_distinct"), lit(0L)).as("dup_distinct"))
   }
+
+  /** Lexical retrieval arm: token-SET Jaccard of every corpus document
+    * against each probe, top-k per probe — the BM25-free exact-overlap
+    * baseline of a hybrid retrieval stack (the dense arm is
+    * [[annBruteForce]]). `docs` must carry `(doc_id, text)`.
+    *
+    * Same shape as [[annBruteForce]]: the probe set (tiny by contract)
+    * broadcasts, so the scan is one map-side pass over the corpus —
+    * |probes| set-intersections per document, no corpus-side shuffle
+    * before the per-probe rank. At 100 TB the row_number rank swaps for
+    * the bounded [[graft.functions.TopK]] aggregator exactly as v5 does
+    * for v1 (map-side partial top-k instead of shuffling the scored
+    * frame); the window form is kept here for oracle-exactness parity
+    * with the ANN family. */
+  def lexicalJaccardTopK(docs: DataFrame, isProbe: Column, topK: Int): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      array_distinct(TextFunctions.tokens(TextFunctions.normalized(col("text"))))
+        .as("tset"))
+    val probes = sets.filter(isProbe)
+      .select(col("doc_id").as("q_id"), col("tset").as("q_set"))
+    // |A∩B| once per pair; |A∪B| = |A|+|B|−|A∩B| avoids a second
+    // array walk (array_union would rescan both sets)
+    val scored = sets.crossJoin(broadcast(probes))
+      .filter(col("q_id") =!= col("doc_id"))
+      .withColumn("__i", size(array_intersect(col("q_set"), col("tset"))).cast("long"))
+      .withColumn("__u",
+        size(col("q_set")).cast("long") + size(col("tset")).cast("long") - col("__i"))
+      .withColumn("jaccard", when(col("__u") === 0, lit(0.0))
+        .otherwise(col("__i").cast("double") / col("__u")))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("jaccard").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("jaccard"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two ranked
+    * retrieval arms: score(q, d) = Σ_arms 1/(k0 + rank_arm(q, d)), with
+    * an arm that did not return the candidate contributing 0. Both arms
+    * must carry `(q_id, id, rank)`.
+    *
+    * A full-outer join keeps candidates surfaced by EITHER arm, and the
+    * fused score is one fixed-order expression (lexical term + dense
+    * term) so the float sum is deterministic — an N-arm groupBy-sum
+    * would add doubles in partition order and desync from the oracle.
+    * The fused frame is ≤ 2·armK rows per probe, so the final rank
+    * window is per-probe-constant work regardless of corpus size. */
+  def rrfFuse(armA: DataFrame, armB: DataFrame, k0: Int, topK: Int): DataFrame = {
+    val a = armA.select(col("q_id"), col("id"), col("rank").as("__ra"))
+    val b = armB.select(col("q_id"), col("id"), col("rank").as("__rb"))
+    a.join(b, Seq("q_id", "id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(k0) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("__rb")), lit(0.0)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rrf_score").desc, col("id"))))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("id"), col("rnk"), col("rrf_score"))
+  }
 }

@@ -66,6 +66,10 @@ object SimilarityQueries {
   // form probes one more cell than v7 (cell pruning's recall loss and
   // ADC's rank loss compound) and keeps v10's deep 20·topK rerank
   private val V12ProbeCells = 4
+  // v13 hybrid RRF: k0=60 is the Cormack et al. standard; each arm
+  // contributes its top-20 so fusion has depth beyond the final top-5
+  private val RrfK0 = 60
+  private val RrfArmK = 20
 
   // ---------------------------------------------------------------- queries
 
@@ -185,6 +189,28 @@ object SimilarityQueries {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     SimilarityOps.annBruteForce(probes, e, TopK)
       .select(col("q_id"), col("vec_id"), col("rank").as("rnk"), col("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** V13 — hybrid retrieval: a lexical token-Jaccard arm over
+    * `documents` and a dense cosine arm over `embeddings` (the tables
+    * share the 0..n id space), each top-20, fused by reciprocal-rank
+    * fusion (score = Σ 1/(60+rank); Cormack et al., SIGIR 2009). Both
+    * arms are broadcast-probe single scans; the fusion join and final
+    * rank act on ≤ 2·20 rows per probe, so the whole query is two
+    * corpus scans + per-probe-constant fusion at any scale. */
+  private val v13HybridRrf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val dense = SimilarityOps.annBruteForce(
+        e.filter(col("vec_id") < NProbes)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        e, RrfArmK)
+      .select(col("q_id"), col("vec_id").as("id"), col("rank"))
+    val lex = SimilarityOps.lexicalJaccardTopK(
+        Tables.documents(s, d), col("doc_id") < NProbes, RrfArmK)
+      .select(col("q_id"), col("doc_id").as("id"), col("rank"))
+    SimilarityOps.rrfFuse(lex, dense, RrfK0, TopK)
+      .select(col("q_id"), col("id").as("doc_id"), col("rnk"), col("rrf_score"))
       .orderBy("q_id", "rnk")
   }
 
@@ -426,6 +452,7 @@ object SimilarityQueries {
     "v6_ann_quantized" -> v6AnnQuantized,
     "v10_ann_pq" -> v10AnnPq,
     "v12_ann_ivfadc" -> v12AnnIvfPq,
+    "v13_hybrid_rrf" -> v13HybridRrf,
     "v7_ann_ivf_quantized" -> v7AnnIvfQuantized,
     "v8_ann_ivf_batch" -> v8AnnIvfBatch)
 
@@ -619,6 +646,58 @@ object SimilarityQueries {
        |    ${cosineSql("q_vec", "embedding")} AS cos_sim
        |  FROM embeddings CROSS JOIN probes WHERE q_id <> vec_id)
        |$annRankTail""".stripMargin
+
+  /** v13 oracle: both arms rebuilt verbatim — lexical token-set Jaccard
+    * (list_distinct + list_intersect mirror array_distinct +
+    * array_intersect; |A∪B| derived as |A|+|B|−|A∩B| in the same
+    * integer arithmetic) and v1's cosine — then the RRF sum in the same
+    * fixed term order (lex + dense) so the doubles match bit-for-bit.
+    * `1.0::DOUBLE` guards against DuckDB's DECIMAL literal division. */
+  private val v13Sql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array($normSql, '\\s+')) AS tset
+       |  FROM documents),
+       |lprobes AS (
+       |  SELECT doc_id AS q_id, tset AS q_set FROM tok WHERE doc_id < $NProbes),
+       |lscored AS (
+       |  SELECT q_id, doc_id AS id,
+       |    CASE WHEN u = 0 THEN 0.0 ELSE i::DOUBLE / u END AS jaccard
+       |  FROM (
+       |    SELECT q_id, doc_id, i,
+       |      CAST(len(q_set) AS BIGINT) + CAST(len(tset) AS BIGINT) - i AS u
+       |    FROM (
+       |      SELECT q_id, doc_id, q_set, tset,
+       |        CAST(len(list_intersect(q_set, tset)) AS BIGINT) AS i
+       |      FROM tok CROSS JOIN lprobes WHERE q_id <> doc_id))),
+       |lex AS (
+       |  SELECT q_id, id, rnk AS r_lex FROM (
+       |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY jaccard DESC, id) AS rnk FROM lscored)
+       |  WHERE rnk <= $RrfArmK),
+       |dprobes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+       |  WHERE vec_id < $NProbes),
+       |dscored AS (
+       |  SELECT q_id, vec_id AS id, ${cosineSql("q_vec", "embedding")} AS cos_sim
+       |  FROM embeddings CROSS JOIN dprobes WHERE q_id <> vec_id),
+       |dense AS (
+       |  SELECT q_id, id, rnk AS r_dense FROM (
+       |    SELECT q_id, id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_sim DESC, id) AS rnk FROM dscored)
+       |  WHERE rnk <= $RrfArmK),
+       |fused AS (
+       |  SELECT coalesce(lex.q_id, dense.q_id) AS q_id,
+       |    coalesce(lex.id, dense.id) AS id,
+       |    coalesce(1.0::DOUBLE / ($RrfK0 + r_lex), 0.0)
+       |      + coalesce(1.0::DOUBLE / ($RrfK0 + r_dense), 0.0) AS rrf_score
+       |  FROM lex FULL OUTER JOIN dense
+       |    ON lex.q_id = dense.q_id AND lex.id = dense.id)
+       |SELECT q_id, id AS doc_id, rnk, rrf_score FROM (
+       |  SELECT q_id, id, rrf_score,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf_score DESC, id) AS rnk
+       |  FROM fused)
+       |WHERE rnk <= $TopK ORDER BY q_id, rnk""".stripMargin
 
   /** v6 oracle: mirrors annQuantized exactly — int8 codes via
     * round(x·127/max|x|), exact int64 candidate dot, dequantized rank
@@ -1092,6 +1171,7 @@ object SimilarityQueries {
     "v6_ann_quantized" -> v6Sql,
     "v10_ann_pq" -> v10Sql,
     "v12_ann_ivfadc" -> v12Sql,
+    "v13_hybrid_rrf" -> v13Sql,
     "v7_ann_ivf_quantized" -> v7Sql,
     // v8 is v7 through the shuffled batch-probe plan — same semantics,
     // same oracle; the DIFFERENCE under test is the physical plan,

@@ -384,6 +384,60 @@ object TextQueries {
             / size(col("__g"))).otherwise(0.0).as("dup_trigram_frac"))
       .orderBy("doc_id")
 
+  /** T14 — Gopher-style COUNT-WEIGHTED repetition rules (Rae et al.,
+    * arXiv:2112.11446 §A1.1): the character mass of the single most
+    * frequent 2-gram as a fraction of the document's characters, and the
+    * character mass of duplicated 5-grams (count ≥ 2) as a fraction of
+    * all 5-gram occurrence mass. t5's distinct-ratio shape cannot
+    * express these — "most frequent" and "mass of duplicated grams"
+    * need PER-GRAM COUNTS, so this is the distributed two-phase form:
+    * explode grams → groupBy (doc, n, gram) count (map-side combine
+    * collapses within-doc repeats before the shuffle) → one per-doc
+    * pivot agg. Gram mass counts every occurrence's characters
+    * (overlaps included), a documented simplification of Gopher's
+    * position-distinct character coverage.
+    *
+    * Tie-break for the top 2-gram: highest count, then lexicographically
+    * LARGEST gram (Spark's struct max ⇔ the oracle's ORDER BY c DESC,
+    * gram DESC), deterministic on both engines. */
+  private val t14GopherRepetition: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .withColumn("__t", tokens(normalized(col("text"))))
+      .select(col("doc_id"),
+        length(array_join(col("__t"), " ")).cast("long").as("doc_chars"),
+        col("__t"))
+    val grams = base.select(col("doc_id"), col("doc_chars"),
+      explode(concat(
+        transform(TextFunctions.shinglesFromTokens(col("__t"), 2),
+          g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(TextFunctions.shinglesFromTokens(col("__t"), 5),
+          g => struct(lit(5).as("n"), g.as("gram"))))).as("g"))
+      .select(col("doc_id"), col("doc_chars"),
+        col("g.n").as("n"), col("g.gram").as("gram"))
+    val counts = grams.groupBy("doc_id", "doc_chars", "n", "gram")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w", length(col("gram")).cast("long"))
+    val perN = counts.groupBy("doc_id", "doc_chars", "n").agg(
+      max(struct(col("c"), col("gram"))).as("top"),
+      sum(col("c") * col("w")).as("mass"),
+      sum(when(col("c") >= 2, col("c") * col("w")).otherwise(lit(0L)))
+        .as("dup_mass"))
+    val perDoc = perN.groupBy("doc_id", "doc_chars").agg(
+      max(when(col("n") === 2, col("top"))).as("top2"),
+      max(when(col("n") === 5, col("dup_mass"))).as("dup5_mass"),
+      max(when(col("n") === 5, col("mass"))).as("mass5"))
+    // left join restores docs with < 2 tokens (no grams at all)
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top2.gram"), lit("")).as("top_2gram"),
+        coalesce((col("top2.c") * length(col("top2.gram")).cast("long"))
+          .cast("double") / col("doc_chars"), lit(0.0)).as("top2gram_frac"),
+        coalesce(col("dup5_mass").cast("double") / col("mass5"), lit(0.0))
+          .as("dup5gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** T6 — exact word-count deciles via the HISTOGRAM method: counts per
     * value (distributed groupBy, map-side combine) compress the corpus
     * to |distinct wc| rows; the cumulative-sum window then runs on that
@@ -953,6 +1007,7 @@ object TextQueries {
     "u4_hash_split" -> u4HashSplit,
     "u5_heavy_tokens" -> u5HeavyTokens,
     "t5_repetition" -> t5Repetition,
+    "t14_gopher_repetition" -> t14GopherRepetition,
     "t1_langid" -> t1LangId,
     "t2_quality_score" -> t2QualityScore,
     "t3_token_stats" -> t3TokenStats,
@@ -1419,6 +1474,47 @@ object TextQueries {
          |      ELSE 0.0 END AS dup_trigram_frac
          |FROM toks LEFT JOIN tri USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // t14: per-gram counts (2- and 5-grams), top-2-gram char mass over
+    // doc chars, duplicated-5-gram mass over all 5-gram mass — the
+    // count-weighted Gopher rules; tie-break c DESC, gram DESC mirrors
+    // Spark's max(struct(c, gram))
+    "t14_gopher_repetition" ->
+      s"""WITH $toksArrCte,
+         |base AS (
+         |  SELECT doc_id,
+         |    CAST(length(array_to_string(t, ' ')) AS BIGINT) AS doc_chars, t
+         |  FROM toks),
+         |grams AS (
+         |  SELECT doc_id, 2 AS n, array_to_string(t[i:i+1], ' ') AS gram
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM base)
+         |  UNION ALL
+         |  SELECT doc_id, 5 AS n, array_to_string(t[i:i+4], ' ') AS gram
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+         |        FROM base)),
+         |counts AS (
+         |  SELECT doc_id, n, gram, COUNT(*) AS c,
+         |    CAST(length(gram) AS BIGINT) AS w
+         |  FROM grams GROUP BY doc_id, n, gram),
+         |top2 AS (
+         |  SELECT doc_id, gram, c, w FROM (
+         |    SELECT doc_id, gram, c, w,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY c DESC, gram DESC) AS rn
+         |    FROM counts WHERE n = 2)
+         |  WHERE rn = 1),
+         |five AS (
+         |  SELECT doc_id, SUM(c * w) AS mass,
+         |    SUM(CASE WHEN c >= 2 THEN c * w ELSE 0 END) AS dup_mass
+         |  FROM counts WHERE n = 5 GROUP BY doc_id)
+         |SELECT b.doc_id,
+         |  coalesce(t2.gram, '') AS top_2gram,
+         |  coalesce((t2.c * t2.w)::DOUBLE / b.doc_chars, 0.0) AS top2gram_frac,
+         |  coalesce(f.dup_mass::DOUBLE / f.mass, 0.0) AS dup5gram_frac
+         |FROM base b
+         |LEFT JOIN top2 t2 ON b.doc_id = t2.doc_id
+         |LEFT JOIN five f ON b.doc_id = f.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
     "u3_cjk_tokens" -> {
       val t = "(text || ' 汉字分词测试')"
       val isolated = s"regexp_replace($t, '([\\x{4e00}-\\x{9fff}])', ' \\1 ', 'g')"
