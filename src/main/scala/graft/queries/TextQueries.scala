@@ -816,6 +816,52 @@ object TextQueries {
       .orderBy("token", "rnk")
   }
 
+  /** T15 — BM25 ranked retrieval: the first 10 documents act as QUERIES
+    * (their distinct tokens are the query terms) and every other
+    * document is scored by the sum of t12's per-term BM25 contributions
+    * over the terms it shares with the query — the full-text-search
+    * operator t12's fixed-term scoring generalizes to. Top-5 per query.
+    *
+    * Plan shape is inverted-index probing: the (doc, token, tf) frame IS
+    * the inverted index (at production scale it is materialized once,
+    * not rebuilt per query); the tiny probe term set broadcasts, so only
+    * the posting lists of query terms survive past the first join. The
+    * per-(query, doc) score sum is a FLOAT fold in sorted-token order
+    * (sort_array → aggregate), never a groupBy-sum whose partition
+    * order would desync the doubles from the oracle; list length is
+    * bounded by the query's term count. The 0.0 init is exact:
+    * 0.0 + s == s for the positive scores BM25 yields. */
+  private val t15Bm25Search: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val lens = docs.select(col("doc_id"), wordCount(col("text")).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("t_tokens"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("token"))
+    val contrib = tf.join(broadcast(qterms), "token")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(df, "token")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_scaled", expr("(n_docs * 1000000) div df"))
+      .withColumn("score",
+        col("idf_scaled") * (lit(44.0) * col("t_tokens") * col("tf")) /
+          (lit(20.0) * col("t_tokens") * col("tf") + lit(6.0) * col("t_tokens")
+            + lit(18.0) * col("len") * col("n_docs")))
+    contrib.groupBy("q_id", "doc_id")
+      .agg(aggregate(sort_array(collect_list(struct(col("token"), col("score")))),
+        lit(0.0), (acc, x) => acc + x.getField("score")).as("bm25"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("doc_id"), col("rnk"), col("bm25"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** U8 — stratified (per-source) hash sampling: each provenance source
     * gets its own deterministic keep-rate; a document survives iff its
     * content-hash bucket falls under the source's rate. This is the
@@ -982,6 +1028,7 @@ object TextQueries {
     "t9_rarity" -> t9Rarity,
     "t11_bigram_coherence" -> t11BigramCoherence,
     "t12_bm25" -> t12Bm25,
+    "t15_bm25_search" -> t15Bm25Search,
     "u13_chunk" -> u13Chunk,
     "u14_fixed_sample" -> u14FixedSample,
     "u15_quota_split" -> u15QuotaSplit,
@@ -1218,6 +1265,35 @@ object TextQueries {
          |SELECT token, CAST(ROW_NUMBER() OVER (PARTITION BY token
          |    ORDER BY score DESC, doc_id ASC) AS INT) AS rnk, doc_id, score
          |FROM scored QUALIFY rnk <= 5 ORDER BY token, rnk""".stripMargin,
+    // t15: t12's per-term score summed per (query, doc) in SORTED token
+    // order (list(... ORDER BY token) + left fold == Spark's sort_array
+    // + aggregate; DuckDB's init-less list_reduce starts at s1, Spark
+    // folds 0.0+s1 — identical, 0.0 + s == s for positive scores)
+    "t15_bm25_search" ->
+      s"""WITH $toksStreamCte,
+         |lens AS (SELECT doc_id, $wcSql AS len FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |                 CAST(SUM(len) AS BIGINT) AS t_tokens FROM lens),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM toks GROUP BY doc_id, token),
+         |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY token),
+         |qterms AS (SELECT doc_id AS q_id, token FROM tf WHERE doc_id < 10),
+         |contrib AS (
+         |  SELECT q.q_id, tf.doc_id, tf.token,
+         |    ((n_docs * 1000000 // df) * (44.0*t_tokens*tf))
+         |      / (20.0*t_tokens*tf + 6.0*t_tokens + 18.0*len*n_docs) AS score
+         |  FROM tf JOIN qterms q USING (token) JOIN df USING (token)
+         |  JOIN lens ON lens.doc_id = tf.doc_id
+         |  CROSS JOIN stats
+         |  WHERE tf.doc_id <> q.q_id),
+         |perdoc AS (
+         |  SELECT q_id, doc_id,
+         |    list_reduce(list(score ORDER BY token), (x, y) -> x + y) AS bm25
+         |  FROM contrib GROUP BY q_id, doc_id)
+         |SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rnk, bm25
+         |FROM perdoc QUALIFY rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "t11_bigram_coherence" ->
       s"""WITH $toksArrCte,
          |bi AS (

@@ -67,6 +67,30 @@ class HybridRrfSpec extends SparkSpec {
     }
   }
 
+  test("t15: rare shared term outscores common shared term (idf ordering)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("t15docs").toString
+    // doc 0 is the query ("rare common"); doc 1 shares the RARE term,
+    // doc 2 the COMMON one (tf=1 and equal length both sides, so only
+    // idf separates them); docs 3..8 inflate the common term's df
+    val filler = (3L to 8L).map(i => (i, s"common pad${i}a pad${i}b", "en", "s", 0L))
+    val rows = Seq(
+      (0L, "rare common", "en", "s", 0L),
+      (1L, "rare pad1a pad1b", "en", "s", 0L),
+      (2L, "common pad2a pad2b", "en", "s", 0L)) ++ filler
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextQueries.queries("t15_bm25_search")(spark, dir)
+      .filter(col("q_id") === 0L).orderBy("rnk").collect()
+    val ranked = out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("bm25")))
+    assert(ranked.head._1 == 1L, s"rare-term doc must rank first: ${ranked.toSeq}")
+    val byDoc = ranked.toMap
+    assert(byDoc(1L) > byDoc(2L), "idf(rare) > idf(common) at equal tf and len")
+    // every doc sharing a term is retrieved (7 share 'common', 1 'rare'
+    // → 8 candidates, capped at top-5) and scores are positive
+    assert(out.length == 5 && ranked.forall(_._2 > 0.0))
+  }
+
   test("t14: Gopher fractions exact on planted repetition") {
     import spark.implicits._
     val dir = Files.createTempDirectory("t14docs").toString
