@@ -1,0 +1,291 @@
+package graft.apps
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{StableHash, TextFunctions}
+import graft.queries.TextQueries
+
+/** PERSISTENT inverted text index — the serving form of t15's BM25
+  * retrieval, and the lexical twin of [[VectorIndexApp]]: build once,
+  * query many times, append incrementally, retract surgically.
+  *
+  * t15 demonstrates the right plan (broadcast query terms prune the
+  * scan to matching posting lists; the per-(query, doc) score is a
+  * sorted-token float fold) but rebuilds the (doc, token, tf) frame
+  * per query. Here that frame is the MATERIALIZED state:
+  *
+  *   - `postings/` — (token, doc_id, tf), PARTITIONED BY
+  *     `bucket = stableMod(token) % nBuckets`: a query's term set maps
+  *     to ≤ nBuckets literal bucket values, so the postings scan opens
+  *     only those directories — term-routed pruning enforced at
+  *     PLANNING time, the lexical analogue of the IVF cell prune.
+  *     Rows sort by (doc_id, token) INSIDE each bucket: queries read
+  *     whole bucket dirs anyway (the term match is a broadcast join,
+  *     not a pushable literal), so the in-file order serves the OTHER
+  *     access path — takedown discovery pushes a doc_id filter and
+  *     skips row-groups via min/max stats, exactly like the vector
+  *     index's vec_id clustering.
+  *   - `doclens/` — (doc_id, len). Corpus stats (n_docs, t_tokens) and
+  *     per-term df are NEVER stored: df aggregates from the probed
+  *     posting lists and stats from one doclens agg at query time, so
+  *     append and retract stay exact by construction — there is no
+  *     denormalized count to drift. (The stats agg is linear in the
+  *     DOCUMENT count — metadata-scale next to the corpus.)
+  *   - `meta/` — max doc_id indexed (watermark, replay guard);
+  *     `conf/` — nBuckets, frozen at build (the term router is the
+  *     index's one piece of trained-state-like geometry: changing it
+  *     moves every posting list, so appends must reuse it).
+  *
+  * Appends stage under `_staging` and publish through [[StagedCommit]]
+  * with the meta watermark last; `postings` and `doclens` are
+  * [[Snapshots]]-managed so serving reads plan against a pinned file
+  * list while [[Compaction]] keeps every directory at its file bound.
+  * Tokenize-and-count is a pure per-document function, so
+  * `append(build(A), B)` equals `build(A ∪ B)` row-for-row.
+  *
+  * The reference's only text surface is the keyword UDTF
+  * (`util/SplitKeywordUDTF.java:19-34`); this is the LLM-pipeline
+  * extension tier's retrieval serving layer (inverted files per the
+  * classic IR lineage; BM25 per Robertson/Spärck Jones). */
+object TextIndexApp {
+
+  /** Tokenize + per-doc term counts, the pure function whose purity
+    * makes append == rebuild. */
+  private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(TextFunctions.normalized(col("text"))))
+          .as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", StableHash.stableMod(col("token")) % nBuckets)
+
+  private def lensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextFunctions.wordCount(col("text")).as("len"))
+
+  /** One exchange on the bucket key, rows clustered by (doc_id, token)
+    * inside each bucket (see the header for why doc_id leads). */
+  private def writePostings(postings: DataFrame, dest: String): Unit =
+    postings
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"), col("token"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dest)
+
+  /** Build the full index. A crash mid-build heals by re-running (all
+    * writes overwrite). */
+  def build(spark: SparkSession, docs: DataFrame, indexDir: String,
+            nBuckets: Int): Unit = {
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging(indexDir), true) // superseded, not healed
+    spark.range(1).select(lit(nBuckets).as("n_buckets"))
+      .write.mode("overwrite").parquet(s"$indexDir/conf")
+    writePostings(postingsOf(docs, nBuckets), s"$indexDir/postings")
+    lensOf(docs).coalesce(1).sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$indexDir/doclens")
+    docs.agg(max(col("doc_id")).as("max_doc_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/meta")
+    Snapshots.commit(fs, new Path(s"$indexDir/postings"))
+    Snapshots.commit(fs, new Path(s"$indexDir/doclens"))
+    ()
+  }
+
+  private def nBucketsOf(spark: SparkSession, indexDir: String): Int =
+    spark.read.parquet(s"$indexDir/conf").head.getInt(0)
+
+  /** Append `delta` documents. Idempotent under replay; refuses a
+    * watermark-straddling delta; holds the single-writer lock across
+    * staging + publish + compaction ([[StagedCommit.withWriterLock]]). */
+  def append(spark: SparkSession, delta: DataFrame,
+             indexDir: String): Unit = {
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    StagedCommit.withWriterLock(fs, new Path(indexDir)) {
+      StagedCommit.heal(fs, staging(indexDir))
+      Snapshots.heal(fs, new Path(s"$indexDir/postings"))
+      Snapshots.heal(fs, new Path(s"$indexDir/doclens"))
+      if (delta.isEmpty) return
+      val maxBase = spark.read.parquet(s"$indexDir/meta")
+        .agg(max(col("max_doc_id"))).head.getLong(0)
+      val mm = delta.agg(min(col("doc_id")), max(col("doc_id"))).head
+      val (minDelta, maxDelta) = (mm.getLong(0), mm.getLong(1))
+      if (maxDelta <= maxBase) return // replayed, fully-applied batch
+      require(minDelta > maxBase,
+        s"delta doc_ids must exceed the indexed max ($minDelta <= $maxBase)")
+      val nBuckets = nBucketsOf(spark, indexDir)
+      val stg = staging(indexDir)
+      fs.delete(stg, true)
+      writePostings(postingsOf(delta, nBuckets), s"$stg/idx/postings")
+      lensOf(delta).coalesce(1).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$stg/idx/doclens")
+      delta.agg(max(col("doc_id")).as("max_doc_id"))
+        .write.mode("overwrite").parquet(s"$stg/idx/meta")
+      val touched = Compaction
+        .partitionDirs(fs, new Path(s"$stg/idx/postings")).map(_.getName)
+      StagedCommit.publish(fs, stg, Seq("idx" -> indexDir),
+        lastFragment = "/meta/")
+      Snapshots.commit(fs, new Path(s"$indexDir/postings"))
+      Snapshots.commit(fs, new Path(s"$indexDir/doclens"))
+      compactIndex(spark, fs, indexDir, Some(touched))
+    }
+  }
+
+  /** Merge bucket dirs an append grew past [[Compaction.DefaultMaxFiles]]
+    * (plus doclens and meta) down to one file each, preserving the
+    * in-file doc_id clustering. */
+  private[apps] def compactIndex(spark: SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 indexDir: String,
+                                 touched: Option[Seq[String]] = None): Unit =
+    Compaction.compact(spark, fs, staging(indexDir), Seq(
+      Compaction.Group(
+        touched match {
+          case Some(names) => names.map(n => new Path(s"$indexDir/postings/$n"))
+          case None =>
+            Compaction.partitionDirs(fs, new Path(s"$indexDir/postings"))
+        },
+        Seq(col("doc_id"), col("token")),
+        snapshotRoot = Some(new Path(s"$indexDir/postings"))),
+      Compaction.Group(Seq(new Path(s"$indexDir/doclens")),
+        Seq(col("doc_id")),
+        snapshotRoot = Some(new Path(s"$indexDir/doclens"))),
+      // meta: raw Del+Move — its only readers hold the writer lock
+      Compaction.Group(Seq(new Path(s"$indexDir/meta")),
+        Seq(col("max_doc_id")))))
+
+  /** Top-k BM25 search. `probes` carries `(q_id, text)` and is TINY by
+    * contract (its distinct terms broadcast — the serving contract is
+    * one bounded query batch per call). The postings scan is pruned at
+    * planning time to the probed TERM BUCKETS (collected as ≤ nBuckets
+    * distinct values — bounded by the router geometry, not the probe
+    * count); per-term df aggregates from exactly those posting lists
+    * and corpus stats from one doclens agg, so results equal t15's
+    * from-scratch query over the indexed corpus (spec-asserted). */
+  def query(spark: SparkSession, probes: DataFrame, indexDir: String,
+            topK: Int): DataFrame = {
+    val nBuckets = nBucketsOf(spark, indexDir)
+    val qterms = probes.select(col("q_id"),
+        explode(array_distinct(
+          TextFunctions.tokens(TextFunctions.normalized(col("text")))))
+          .as("token"))
+      .withColumn("bucket", StableHash.stableMod(col("token")) % nBuckets)
+    val buckets = qterms.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)) // ≤ nBuckets values, never per-probe
+    val postings = postingsFrame(spark, indexDir, Some(buckets.toSet))
+      .filter(col("bucket").isin(buckets.toSeq: _*))
+    // df over the FULL posting list of each probed term (a term's list
+    // lives entirely in its bucket, so the pruned scan sees all of it)
+    val df = postings
+      .join(broadcast(qterms.select(col("token")).distinct()), "token")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val lens = snapshotRead(spark, s"$indexDir/doclens")
+      .select(col("doc_id"), col("len"))
+    TextQueries.bm25Rank(
+        postings.select(col("doc_id"), col("token"), col("tf")),
+        qterms.select(col("q_id"), col("token")), df, lens, topK)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Retract documents (takedown): rewrites ONLY the files holding the
+    * targets' rows — postings discovery pushes a doc_id filter that
+    * skips row-groups via the in-file doc_id sort. df and corpus stats
+    * need no adjustment (never stored — recomputed from the surviving
+    * rows at query time), so a post-retraction query EQUALS a fresh
+    * build without the targets. The meta watermark is not lowered: a
+    * retracted id can never re-enter (monotone ingest). */
+  def retract(spark: SparkSession, docIds: Seq[Long],
+              indexDir: String): Unit = {
+    if (docIds.isEmpty) return
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    StagedCommit.withWriterLock(fs, new Path(indexDir)) {
+      StagedCommit.heal(fs, staging(indexDir))
+      Seq("postings", "doclens").foreach { t =>
+        val root = new Path(s"$indexDir/$t")
+        Snapshots.heal(fs, root)
+        // flush pending retirements: discovery below is a RAW scan
+        // (same documented takedown trade as the vector index)
+        Snapshots.commit(fs, root)
+        val tmpDir = s"$indexDir/_retract_$t"
+        if (fs.exists(new Path(tmpDir))) SurgicalRewrite.heal(fs, root)
+        val hit = SurgicalRewrite.hitFiles(
+          spark.read.parquet(root.toString), docIds, "doc_id")
+        val order = if (t == "postings") Seq(col("doc_id"), col("token"))
+                    else Seq(col("doc_id"))
+        SurgicalRewrite.rewrite(spark, hit, tmpDir,
+          SurgicalRewrite.excluding(_, docIds, "doc_id"), order)
+        Snapshots.commit(fs, root) // drop files that vanished entirely
+      }
+      ()
+    }
+  }
+
+  /** Streaming ingestion: each micro-batch of new documents appends
+    * incrementally; the index is valid, queryable state after every
+    * batch. Bootstrap with [[build]] over the backfill first. */
+  def stream(docs: DataFrame, indexDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        append(batch.sparkSession, batch, indexDir)
+      }
+      .start()
+
+  /** The postings table resolved through its [[Snapshots]] manifest
+    * (file list pinned at plan time — compaction can install/retire
+    * without invalidating a planned read), additionally pruned to the
+    * probed bucket directories before Spark lists anything. */
+  private[apps] def postingsFrame(spark: SparkSession, indexDir: String,
+                                  buckets: Option[Set[Long]] = None)
+      : DataFrame = {
+    val root = new Path(s"$indexDir/postings")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.currentFiles(fs, root) match {
+      case Some(files) if files.nonEmpty =>
+        val keep = buckets match {
+          case Some(bs) => files.filter { f =>
+            val dir = f.takeWhile(_ != '/')
+            !dir.startsWith("bucket=") ||
+              bs.contains(dir.stripPrefix("bucket=").toLong)
+          }
+          case None => files
+        }
+        val read = if (keep.nonEmpty) keep else files
+        spark.read.option("basePath", root.toString)
+          .parquet(read.map(p => new Path(root, p).toString): _*)
+      case _ => spark.read.parquet(root.toString)
+    }
+  }
+
+  private def snapshotRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Snapshots.currentFiles(fs, root) match {
+      case Some(files) if files.nonEmpty =>
+        spark.read.option("basePath", root.toString)
+          .parquet(files.map(p => new Path(root, p).toString): _*)
+      case _ => spark.read.parquet(dir)
+    }
+  }
+
+  private def staging(indexDir: String): Path =
+    new Path(s"$indexDir/_staging")
+
+  /** Usage: `runMain graft.apps.TextIndexApp <sfDir> <indexDir>` —
+    * builds over the documents table and smoke-queries it. */
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, indexDir) = args
+    val spark = graft.GraftSession.local("graft-text-index")
+    try {
+      val docs = graft.sources.Tables.documents(spark, sfDir)
+      build(spark, docs, indexDir, nBuckets = 16)
+      val probes = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("text"))
+      val n = query(spark, probes, indexDir, topK = 5).count()
+      println(s"[text-index] built at $indexDir; smoke query rows: $n")
+    } finally spark.stop()
+  }
+}

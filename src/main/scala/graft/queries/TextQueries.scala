@@ -832,17 +832,32 @@ object TextQueries {
     * bounded by the query's term count. The 0.0 init is exact:
     * 0.0 + s == s for the positive scores BM25 yields. */
   private val t15Bm25Search: Q = (s, d) => {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val lens = docs.select(col("doc_id"), wordCount(col("text")).as("len"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("t_tokens"))
     val tf = docs
       .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val qterms = tf.filter(col("doc_id") < 10)
       .select(col("doc_id").as("q_id"), col("token"))
-    val contrib = tf.join(broadcast(qterms), "token")
+    bm25Rank(tf, qterms, df, lens, topK = 5)
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The BM25 scoring tail shared by t15 and the persistent
+    * [[graft.apps.TextIndexApp]] — ONE definition of the per-term score
+    * (t12's exact-rational algebra over tf/df/len and the corpus
+    * stats), the sorted-token float fold, and the per-query rank, so
+    * the served index can never drift from the oracle-gated query.
+    * `postings` = (doc_id, token, tf); `qterms` = (q_id, token), tiny
+    * by contract (broadcast); `df` = (token, df); `lens` =
+    * (doc_id, len) — corpus stats derive from `lens` in one agg. */
+  private[graft] def bm25Rank(postings: DataFrame, qterms: DataFrame,
+                              df: DataFrame, lens: DataFrame,
+                              topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("t_tokens"))
+    val contrib = postings.join(broadcast(qterms), "token")
       .filter(col("doc_id") =!= col("q_id"))
       .join(df, "token")
       .join(lens, "doc_id")
@@ -857,9 +872,8 @@ object TextQueries {
         lit(0.0), (acc, x) => acc + x.getField("score")).as("bm25"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("bm25").desc, col("doc_id"))))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= topK)
       .select(col("q_id"), col("doc_id"), col("rnk"), col("bm25"))
-      .orderBy("q_id", "rnk")
   }
 
   /** U8 — stratified (per-source) hash sampling: each provenance source
