@@ -71,6 +71,40 @@ private[apps] object Snapshots {
   def currentFiles(fs: FileSystem, root: Path): Option[Seq[String]] =
     currentManifest(fs, root).map(_.data)
 
+  /** Read `root` through its newest manifest — the file list is pinned
+    * at PLAN time, so a compaction committing between plan and
+    * execution cannot make the scan reference a deleted file (retired
+    * files live one further commit, the grace window). `pruneDirs =
+    * (column, keep)` additionally drops `column=value` partition dirs
+    * whose value is outside `keep` BEFORE Spark lists anything — the
+    * snapshot twin of partition-directory pruning (an empty pruned
+    * list falls back to the full snapshot; the caller's value filter
+    * still drops the rows). Falls back to a raw directory read for
+    * tables without a snapshot (foreign/legacy layouts). ONE
+    * definition shared by the vector index's cell-pruned codes scan
+    * and the text index's bucket-pruned postings scan — the serving
+    * read path must not fork per index. */
+  def readTable(spark: org.apache.spark.sql.SparkSession, root: Path,
+                pruneDirs: Option[(String, Set[Long])] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    currentFiles(fs, root) match {
+      case Some(files) if files.nonEmpty =>
+        val keep = pruneDirs match {
+          case Some((column, vals)) => files.filter { f =>
+            val dir = f.takeWhile(_ != '/')
+            !dir.startsWith(s"$column=") ||
+              vals.contains(dir.stripPrefix(s"$column=").toLong)
+          }
+          case None => files
+        }
+        val read = if (keep.nonEmpty) keep else files
+        spark.read.option("basePath", root.toString)
+          .parquet(read.map(p => new Path(root, p).toString): _*)
+      case _ => spark.read.parquet(root.toString)
+    }
+  }
+
   /** All visible parquet data files under `root` (its partition dirs
     * plus the root itself), as root-relative paths. */
   private def visible(fs: FileSystem, root: Path): Seq[String] = {

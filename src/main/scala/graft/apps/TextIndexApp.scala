@@ -162,7 +162,14 @@ object TextIndexApp {
     * distinct values — bounded by the router geometry, not the probe
     * count); per-term df aggregates from exactly those posting lists
     * and corpus stats from one doclens agg, so results equal t15's
-    * from-scratch query over the indexed corpus (spec-asserted). */
+    * from-scratch query over the indexed corpus (spec-asserted).
+    *
+    * CONTRACT: `probes` must be DETERMINISTIC (no `rand()` sampling) —
+    * the term derivation is evaluated more than once (the bucket list
+    * and the scoring join), and a nondeterministic probe set could
+    * surface a term whose bucket the other evaluation pruned,
+    * silently truncating results. Materialize a sampled frame first
+    * (same contract as [[VectorIndexApp.query]]). */
   def query(spark: SparkSession, probes: DataFrame, indexDir: String,
             topK: Int): DataFrame = {
     val nBuckets = nBucketsOf(spark, indexDir)
@@ -180,7 +187,7 @@ object TextIndexApp {
     val df = postings
       .join(broadcast(qterms.select(col("token")).distinct()), "token")
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val lens = snapshotRead(spark, s"$indexDir/doclens")
+    val lens = Snapshots.readTable(spark, new Path(s"$indexDir/doclens"))
       .select(col("doc_id"), col("len"))
     TextQueries.bm25Rank(
         postings.select(col("doc_id"), col("token"), col("tf")),
@@ -234,42 +241,13 @@ object TextIndexApp {
       }
       .start()
 
-  /** The postings table resolved through its [[Snapshots]] manifest
-    * (file list pinned at plan time — compaction can install/retire
-    * without invalidating a planned read), additionally pruned to the
+  /** The postings table through [[Snapshots.readTable]], pruned to the
     * probed bucket directories before Spark lists anything. */
   private[apps] def postingsFrame(spark: SparkSession, indexDir: String,
                                   buckets: Option[Set[Long]] = None)
-      : DataFrame = {
-    val root = new Path(s"$indexDir/postings")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Snapshots.currentFiles(fs, root) match {
-      case Some(files) if files.nonEmpty =>
-        val keep = buckets match {
-          case Some(bs) => files.filter { f =>
-            val dir = f.takeWhile(_ != '/')
-            !dir.startsWith("bucket=") ||
-              bs.contains(dir.stripPrefix("bucket=").toLong)
-          }
-          case None => files
-        }
-        val read = if (keep.nonEmpty) keep else files
-        spark.read.option("basePath", root.toString)
-          .parquet(read.map(p => new Path(root, p).toString): _*)
-      case _ => spark.read.parquet(root.toString)
-    }
-  }
-
-  private def snapshotRead(spark: SparkSession, dir: String): DataFrame = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Snapshots.currentFiles(fs, root) match {
-      case Some(files) if files.nonEmpty =>
-        spark.read.option("basePath", root.toString)
-          .parquet(files.map(p => new Path(root, p).toString): _*)
-      case _ => spark.read.parquet(dir)
-    }
-  }
+      : DataFrame =
+    Snapshots.readTable(spark, new Path(s"$indexDir/postings"),
+      buckets.map(("bucket", _)))
 
   private def staging(indexDir: String): Path =
     new Path(s"$indexDir/_staging")

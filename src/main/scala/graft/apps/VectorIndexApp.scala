@@ -198,27 +198,9 @@ object VectorIndexApp {
     * tables without a snapshot (never written by this app, which
     * commits v1 at build — but a foreign/legacy layout still reads). */
   private[apps] def codesFrame(spark: SparkSession, indexDir: String,
-                               cells: Option[Set[Long]] = None): DataFrame = {
-    val root = new Path(s"$indexDir/codes")
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Snapshots.currentFiles(fs, root) match {
-      case Some(files) if files.nonEmpty =>
-        val keep = cells match {
-          case Some(cs) => files.filter { f =>
-            val dir = f.takeWhile(_ != '/')
-            !dir.startsWith("cluster=") ||
-              cs.contains(dir.stripPrefix("cluster=").toLong)
-          }
-          case None => files
-        }
-        // an empty pruned list cannot feed parquet(); fall back to the
-        // full snapshot list — the cluster filter still drops the rows
-        val read = if (keep.nonEmpty) keep else files
-        spark.read.option("basePath", root.toString)
-          .parquet(read.map(p => new Path(root, p).toString): _*)
-      case _ => spark.read.parquet(root.toString)
-    }
-  }
+                               cells: Option[Set[Long]] = None): DataFrame =
+    Snapshots.readTable(spark, new Path(s"$indexDir/codes"),
+      cells.map(("cluster", _)))
 
   /** Append `delta` vectors against the frozen codebook. Idempotent
     * under replay; refuses a watermark-straddling delta. Holds the
