@@ -65,6 +65,14 @@ object TextIndexApp {
     docs.select(col("doc_id"),
       TextFunctions.wordCount(col("text")).as("len"))
 
+  /** doclens stays write-parallel (a `coalesce(1)` would funnel a
+    * corpus-sized row set through ONE task at scale); rows sort by
+    * doc_id within each file so takedown discovery's pushed filter
+    * skips row-groups, and [[Compaction]] bounds the file count. */
+  private def writeLens(lens: DataFrame, dest: String): Unit =
+    lens.sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(dest)
+
   /** One exchange on the bucket key, rows clustered by (doc_id, token)
     * inside each bucket (see the header for why doc_id leads). */
   private def writePostings(postings: DataFrame, dest: String): Unit =
@@ -83,8 +91,7 @@ object TextIndexApp {
     spark.range(1).select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$indexDir/conf")
     writePostings(postingsOf(docs, nBuckets), s"$indexDir/postings")
-    lensOf(docs).coalesce(1).sortWithinPartitions("doc_id")
-      .write.mode("overwrite").parquet(s"$indexDir/doclens")
+    writeLens(lensOf(docs), s"$indexDir/doclens")
     docs.agg(max(col("doc_id")).as("max_doc_id"))
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     Snapshots.commit(fs, new Path(s"$indexDir/postings"))
@@ -118,8 +125,7 @@ object TextIndexApp {
       val stg = staging(indexDir)
       fs.delete(stg, true)
       writePostings(postingsOf(delta, nBuckets), s"$stg/idx/postings")
-      lensOf(delta).coalesce(1).sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(s"$stg/idx/doclens")
+      writeLens(lensOf(delta), s"$stg/idx/doclens")
       delta.agg(max(col("doc_id")).as("max_doc_id"))
         .write.mode("overwrite").parquet(s"$stg/idx/meta")
       val touched = Compaction
@@ -164,6 +170,14 @@ object TextIndexApp {
     * and corpus stats from one doclens agg, so results equal t15's
     * from-scratch query over the indexed corpus (spec-asserted).
     *
+    * `broadcastTerms = false` is the BATCH mode (v8's trade, lexical
+    * flavor): a probe set the size of a table would not fit a driver
+    * broadcast build AND its terms would touch every bucket anyway, so
+    * the batch mode skips the bucket collect (no planning-time prune —
+    * correct, the prune would keep everything) and joins the term
+    * stream shuffled. Results are identical in both modes
+    * (spec-asserted).
+    *
     * CONTRACT: `probes` must be DETERMINISTIC (no `rand()` sampling) —
     * the term derivation is evaluated more than once (the bucket list
     * and the scoring join), and a nondeterministic probe set could
@@ -171,27 +185,33 @@ object TextIndexApp {
     * silently truncating results. Materialize a sampled frame first
     * (same contract as [[VectorIndexApp.query]]). */
   def query(spark: SparkSession, probes: DataFrame, indexDir: String,
-            topK: Int): DataFrame = {
+            topK: Int, broadcastTerms: Boolean = true): DataFrame = {
     val nBuckets = nBucketsOf(spark, indexDir)
     val qterms = probes.select(col("q_id"),
         explode(array_distinct(
           TextFunctions.tokens(TextFunctions.normalized(col("text")))))
           .as("token"))
       .withColumn("bucket", StableHash.stableMod(col("token")) % nBuckets)
-    val buckets = qterms.select(col("bucket")).distinct()
-      .collect().map(_.getLong(0)) // ≤ nBuckets values, never per-probe
-    val postings = postingsFrame(spark, indexDir, Some(buckets.toSet))
-      .filter(col("bucket").isin(buckets.toSeq: _*))
+    val postings = if (broadcastTerms) {
+      val buckets = qterms.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)) // ≤ nBuckets values, never per-probe
+      postingsFrame(spark, indexDir, Some(buckets.toSet))
+        .filter(col("bucket").isin(buckets.toSeq: _*))
+    } else postingsFrame(spark, indexDir)
+    val termSide =
+      if (broadcastTerms) (df: DataFrame) => broadcast(df)
+      else (df: DataFrame) => df.hint("shuffle_hash")
     // df over the FULL posting list of each probed term (a term's list
     // lives entirely in its bucket, so the pruned scan sees all of it)
     val df = postings
-      .join(broadcast(qterms.select(col("token")).distinct()), "token")
+      .join(termSide(qterms.select(col("token")).distinct()), "token")
       .groupBy("token").agg(count(lit(1)).as("df"))
     val lens = Snapshots.readTable(spark, new Path(s"$indexDir/doclens"))
       .select(col("doc_id"), col("len"))
     TextQueries.bm25Rank(
         postings.select(col("doc_id"), col("token"), col("tf")),
-        qterms.select(col("q_id"), col("token")), df, lens, topK)
+        qterms.select(col("q_id"), col("token")), df, lens, topK,
+        broadcastTerms)
       .orderBy("q_id", "rnk")
   }
 

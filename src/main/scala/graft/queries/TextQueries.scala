@@ -850,14 +850,20 @@ object TextQueries {
     * stats), the sorted-token float fold, and the per-query rank, so
     * the served index can never drift from the oracle-gated query.
     * `postings` = (doc_id, token, tf); `qterms` = (q_id, token), tiny
-    * by contract (broadcast); `df` = (token, df); `lens` =
-    * (doc_id, len) — corpus stats derive from `lens` in one agg. */
+    * by contract in the default broadcast mode (`broadcastTerms =
+    * false` is the table-sized-probe batch mode — the term join runs
+    * shuffled, v8's trade in lexical form); `df` = (token, df);
+    * `lens` = (doc_id, len) — corpus stats derive from `lens` in one
+    * agg. */
   private[graft] def bm25Rank(postings: DataFrame, qterms: DataFrame,
                               df: DataFrame, lens: DataFrame,
-                              topK: Int): DataFrame = {
+                              topK: Int,
+                              broadcastTerms: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val termSide = if (broadcastTerms) broadcast(qterms)
+      else qterms.hint("shuffle_hash") // never a driver broadcast build
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("t_tokens"))
-    val contrib = postings.join(broadcast(qterms), "token")
+    val contrib = postings.join(termSide, "token")
       .filter(col("doc_id") =!= col("q_id"))
       .join(df, "token")
       .join(lens, "doc_id")

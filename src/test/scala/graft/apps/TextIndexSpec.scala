@@ -48,6 +48,12 @@ class TextIndexSpec extends SparkSpec {
     val want = TextQueries.queries("t15_bm25_search")(spark, sf)
     assert(rows(got) == rows(want), "persisted index diverged from t15")
 
+    // batch (shuffled-term) mode == serving (broadcast) mode — the
+    // table-sized-probe path must not shift a rank
+    val batch = TextIndexApp.query(spark, probesOf(docs), idx, topK,
+      broadcastTerms = false)
+    assert(rows(batch) == rows(want), "batch term mode diverged")
+
     // the composed serving plan satisfies the mechanical invariants
     val vs = graft.plans.PlanAudit.violations(got)
     assert(vs.isEmpty, vs.mkString("\n"))
