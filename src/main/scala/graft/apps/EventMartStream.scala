@@ -245,16 +245,37 @@ object EventMartStream {
         col("high"), col("low"), col("c.value").as("close"), col("n"))
       .orderBy("cur_date", "event_type")
 
+  /** A combined-table read that tolerates the table not existing yet:
+    * `trans_counts` and `sess_grid` are only CREATED by the first
+    * micro-batch whose delta is non-empty — which can lag the first
+    * batch arbitrarily (no user has a second event yet / no session
+    * has closed yet) — so their views must read as EMPTY, not throw,
+    * while the sibling marts already serve. `empty` supplies the
+    * schema. */
+  private def combinedOrEmpty(spark: SparkSession, path: String,
+                              empty: => DataFrame): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Sinks.readCombined(spark, path) else empty
+  }
+
   /** a19's mart: the pair counts are the mart. */
   def transitions(spark: SparkSession, martDir: String): DataFrame =
-    Sinks.readCombined(spark, s"$martDir/trans_counts")
+    combinedOrEmpty(spark, s"$martDir/trans_counts",
+        spark.range(0).select(lit(null).cast("string").as("prev_type"),
+          lit(null).cast("string").as("curr_type"),
+          lit(null).cast("long").as("n")))
       .select(col("prev_type"), col("curr_type"), col("n"))
       .orderBy("prev_type", "curr_type")
 
   /** a24's mart: closed-session grid + the still-open sessions (the
     * batch function counts trailing sessions too). */
   def sessionPaths(spark: SparkSession, martDir: String): DataFrame = {
-    val closed = Sinks.readCombined(spark, s"$martDir/sess_grid")
+    val closed = combinedOrEmpty(spark, s"$martDir/sess_grid",
+        spark.range(0).select(lit(null).cast("string").as("entry_type"),
+          lit(null).cast("string").as("exit_type"),
+          lit(null).cast("long").as("n_sessions"),
+          lit(null).cast("long").as("n_events")))
       .select(col("entry_type"), col("exit_type"),
         col("n_sessions"), col("n_events"))
     val open = readState(spark, s"$martDir/sess_state")

@@ -71,6 +71,22 @@ private[apps] object Snapshots {
   def currentFiles(fs: FileSystem, root: Path): Option[Seq[String]] =
     currentManifest(fs, root).map(_.data)
 
+  /** Commit ONLY if visible files exist that the current manifest does
+    * not list — the replay / empty-batch heal path: a torn append that
+    * crashed between its StagedCommit publish (files live, watermark
+    * advanced) and its snapshot commit leaves its files UNLISTED, and
+    * the appender's watermark guard returns before the normal
+    * end-of-append commit would adopt them — without this, serving
+    * reads omit the appended rows until some unrelated later write
+    * happens to commit. Guarded (not an unconditional commit) so no-op
+    * replays and empty batches neither churn versions nor end the
+    * previous grace window early. */
+  def adoptUnlisted(fs: FileSystem, root: Path): Unit =
+    currentManifest(fs, root).foreach { m =>
+      val listed = (m.data ++ m.retired).toSet
+      if (visible(fs, root).exists(f => !listed(f))) { commit(fs, root); () }
+    }
+
   /** Read `root` through its newest manifest — the file list is pinned
     * at PLAN time, so a compaction committing between plan and
     * execution cannot make the scan reference a deleted file (retired

@@ -52,6 +52,12 @@ import graft.queries.TextQueries
   * classic IR lineage; BM25 per Robertson/Spärck Jones). */
 object TextIndexApp {
 
+  /** The term router — ONE definition (build/append and query must
+    * route identically forever; the geometry is frozen at build).
+    * [[StableHash.bucket60]] is the engine's canonical bucket id. */
+  private def termBucket(nBuckets: Int) =
+    StableHash.bucket60(col("token"), nBuckets).as("bucket")
+
   /** Tokenize + per-doc term counts, the pure function whose purity
     * makes append == rebuild. */
   private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
@@ -59,7 +65,7 @@ object TextIndexApp {
         explode(TextFunctions.tokens(TextFunctions.normalized(col("text"))))
           .as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", StableHash.stableMod(col("token")) % nBuckets)
+      .withColumn("bucket", termBucket(nBuckets))
 
   private def lensOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -113,6 +119,10 @@ object TextIndexApp {
       StagedCommit.heal(fs, staging(indexDir))
       Snapshots.heal(fs, new Path(s"$indexDir/postings"))
       Snapshots.heal(fs, new Path(s"$indexDir/doclens"))
+      // adopt files a torn append published but never snapshot-committed
+      // BEFORE the early returns below (see VectorIndexApp.append)
+      Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/postings"))
+      Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/doclens"))
       if (delta.isEmpty) return
       val maxBase = spark.read.parquet(s"$indexDir/meta")
         .agg(max(col("max_doc_id"))).head.getLong(0)
@@ -191,7 +201,7 @@ object TextIndexApp {
         explode(array_distinct(
           TextFunctions.tokens(TextFunctions.normalized(col("text")))))
           .as("token"))
-      .withColumn("bucket", StableHash.stableMod(col("token")) % nBuckets)
+      .withColumn("bucket", termBucket(nBuckets))
     val postings = if (broadcastTerms) {
       val buckets = qterms.select(col("bucket")).distinct()
         .collect().map(_.getLong(0)) // ≤ nBuckets values, never per-probe

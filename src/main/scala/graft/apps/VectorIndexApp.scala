@@ -69,6 +69,13 @@ object VectorIndexApp {
     // training frames — otherwise the codes job re-runs the whole
     // training inside its own plan (the write is the materialization)
     val cents = spark.read.parquet(s"$indexDir/centroids")
+    // a rebuild WITHOUT pq over a dir that previously held the IVFADC
+    // flavor must drop the stale frozen books — pqState would otherwise
+    // find them and silently rebuild as PQ against the OLD training
+    if (pq.isEmpty) {
+      fs.delete(new Path(s"$indexDir/pqbook"), true)
+      fs.delete(new Path(s"$indexDir/pqmeta"), true)
+    }
     pq.foreach { g =>
       SimilarityOps.pqCodebookEntries(
           SimilarityOps.pqCodebook(corpus, g.m, g.subDim, g.k, g.iters))
@@ -214,6 +221,12 @@ object VectorIndexApp {
     StagedCommit.withWriterLock(fs, new Path(indexDir)) {
       StagedCommit.heal(fs, staging(indexDir))
       Snapshots.heal(fs, new Path(s"$indexDir/codes"))
+      // a torn PREVIOUS append may have published (watermark advanced)
+      // but crashed before its snapshot commit — its files are visible
+      // yet unlisted, and the early returns below would otherwise skip
+      // the commit that adopts them, leaving serving reads blind to
+      // the appended vectors until an unrelated later write
+      Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/codes"))
       if (delta.isEmpty) return // nothing to apply (and min/max would be null)
       val maxBase = spark.read.parquet(s"$indexDir/meta")
         .agg(max(col("max_vec_id"))).head.getLong(0)

@@ -611,9 +611,11 @@ object SimilarityOps {
     * just stops short), and an empty corpus must fail with the contract
     * message, not a bare NoSuchElementException. */
   private def requirePqGeometry(corpus: DataFrame, m: Int,
-                                subDim: Int): Unit = {
+                                subDim: Int,
+                                allowEmpty: Boolean = false): Unit = {
     val dims = corpus.agg(min(size(col("embedding"))).as("lo"),
       max(size(col("embedding"))).as("hi")).head()
+    if (allowEmpty && dims.isNullAt(0)) return // empty probe batch: legal
     require(!dims.isNullAt(0), "PQ requires a non-empty corpus")
     val (lo, hi) = (dims.getInt(0), dims.getInt(1))
     require(lo == hi, s"PQ requires uniform embedding lengths (min $lo, max $hi)")
@@ -773,17 +775,26 @@ object SimilarityOps {
     * reconstruction norm — 16× smaller than v7's int8 codes. What a
     * persistent PQ index materializes, partitioned by `cluster`. */
   def ivfPqCodes(corpus: DataFrame, centroids: DataFrame, cb: DataFrame,
-                 m: Int, subDim: Int): DataFrame =
+                 m: Int, subDim: Int): DataFrame = {
+    // loaded-codebook path (append encodes against FROZEN books): the
+    // training-time guard never saw this frame, so re-validate here —
+    // a delta whose embeddings outgrew m·subDim (upstream model change)
+    // would otherwise slice-truncate silently
+    requirePqGeometry(corpus, m, subDim)
     pqEncode(assignCells(corpus, centroids, nprobe = 1), cb, m, subDim,
         carry = Seq("cluster"))
       .select(col("vec_id") +: col("cluster") +:
         (0 until m).map(s => col(s"__c$s")) :+ col("__vnorm"): _*)
+  }
 
   /** The IVFADC probe side: one row per (probe, probed cell) carrying
     * the probe's ADC lookup table. Probes are few — this broadcasts. */
   def ivfPqProbes(corpus: DataFrame, centroids: DataFrame, cb: DataFrame,
                   isProbe: Column, nprobe: Int, m: Int, subDim: Int,
                   k: Int): DataFrame = {
+    // same loaded-codebook re-validation as ivfPqCodes; an EMPTY probe
+    // batch is legal serving input (yields an empty result, not a throw)
+    requirePqGeometry(corpus.filter(isProbe), m, subDim, allowEmpty = true)
     val probeCells = assignCells(corpus.filter(isProbe), centroids, nprobe)
       .select(col("vec_id").as("q_id"), col("cluster"))
     probeCells.join(pqLuts(corpus.filter(isProbe), cb, m, subDim, k), "q_id")

@@ -96,6 +96,16 @@ class EventMartStreamSpec extends SparkSpec {
     }
   }
 
+  test("transition/session views read EMPTY before their first non-empty delta") {
+    // trans_counts / sess_grid are created by the first batch whose
+    // DELTA is non-empty — which can lag indefinitely (no user has a
+    // second event yet, no session has closed). The views must serve
+    // empty frames, not throw PATH_NOT_FOUND, while sibling marts work.
+    val dir = Files.createTempDirectory("mart-young").toString
+    assert(EventMartStream.transitions(spark, dir).collect().isEmpty)
+    assert(EventMartStream.sessionPaths(spark, dir).collect().isEmpty)
+  }
+
   test("the foreachBatch wiring runs the same pipeline") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

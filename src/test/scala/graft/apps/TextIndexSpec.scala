@@ -162,6 +162,35 @@ class TextIndexSpec extends SparkSpec {
       "retracted index diverged from a build that never saw the targets")
   }
 
+  test("a published-but-uncommitted file is adopted by the next heal path") {
+    // the torn-append window: StagedCommit.publish completed (files
+    // visible, watermark advanced) but the crash hit before
+    // Snapshots.commit — the file is live yet UNLISTED, and the replay
+    // path's early return used to skip the commit that adopts it,
+    // leaving serving reads blind to it forever
+    val docs = Tables.documents(spark, sf)
+    val idx = Files.createTempDirectory("tidx_adopt").toString
+    TextIndexApp.build(spark, docs, idx, nBuckets)
+    val before = TextIndexApp.postingsFrame(spark, idx).count()
+
+    // simulate the torn state: a valid-content file that is visible in
+    // a bucket dir but absent from the snapshot manifest
+    val bucketDir = Files.list(Paths.get(s"$idx/postings")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("bucket=")).get
+    val src = Files.list(bucketDir).iterator().asScala
+      .find(_.toString.endsWith(".parquet")).get
+    Files.copy(src, src.resolveSibling("part-torn-append.parquet"))
+
+    // snapshot reads must NOT see the unlisted file (pinned list)...
+    assert(TextIndexApp.postingsFrame(spark, idx).count() == before,
+      "snapshot read leaked an uncommitted file")
+    // ...and the next writer entry (here: an empty heal-only batch)
+    // must ADOPT it
+    TextIndexApp.append(spark, docs.limit(0), idx)
+    assert(TextIndexApp.postingsFrame(spark, idx).count() > before,
+      "heal path failed to adopt the published-but-uncommitted file")
+  }
+
   test("streaming ingest: per-batch appends equal the batch rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -67,6 +67,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(vs.isEmpty, vs.mkString("\n"))
   }
 
+  test("rebuild with pq = None over a PQ-flavored dir drops the stale books") {
+    val corpus = Tables.embeddings(spark, sf)
+    val idx = Files.createTempDirectory("vidx-downgrade").toString
+    VectorIndexApp.build(spark, corpus, idx, kCells, iters,
+      pq = Some(VectorIndexApp.PqGeometry(m = 4, subDim = 16, k = 8, iters = 2)))
+    // downgrade to the int8 default: the stale frozen books must go,
+    // or pqState finds them and silently rebuilds as PQ against the
+    // OLD training (and queries serve the flavor nobody asked for)
+    VectorIndexApp.build(spark, corpus, idx, kCells, iters, pq = None)
+    assert(!Files.exists(Paths.get(s"$idx/pqbook")) &&
+      !Files.exists(Paths.get(s"$idx/pqmeta")), "stale PQ books survived")
+    val codeCols = spark.read.parquet(s"$idx/codes").columns.toSet
+    assert(codeCols.contains("qv") && !codeCols.contains("__c0"),
+      s"rebuild wrote PQ codes, not int8: $codeCols")
+    val got = VectorIndexApp.query(spark, corpus, idx, col("vec_id") < 5,
+      topK, nprobe, rerankK)
+    val cents = spark.read.parquet(s"$idx/centroids")
+    val want = SimilarityOps.ivfQuantizedAnn(corpus, cents,
+      col("vec_id") < 5, topK, nprobe, rerankK)
+    assert(rows(got) == rows(want), "downgraded index diverged from v7")
+  }
+
   test("IVFADC flavor: query == ivfPqAnn, cell-pruned scan, append == rebuild") {
     val corpus = Tables.embeddings(spark, sf)
     val g = VectorIndexApp.PqGeometry(m = 4, subDim = 16, k = 8, iters = 2)
