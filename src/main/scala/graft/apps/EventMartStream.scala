@@ -256,7 +256,14 @@ object EventMartStream {
                               empty: => DataFrame): DataFrame = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Sinks.readCombined(spark, path) else empty
+    // "exists" is not enough: during the first swap the table dir can
+    // exist while still holding zero bucket dirs / zero data files,
+    // and a raw read would then throw UNABLE_TO_INFER_SCHEMA — probe
+    // for at least one visible data file before planning the read
+    val hasData = fs.exists(p) &&
+      (Compaction.partitionDirs(fs, p) :+ p)
+        .exists(d => Compaction.visibleFiles(fs, d).nonEmpty)
+    if (hasData) Sinks.readCombined(spark, path) else empty
   }
 
   /** a19's mart: the pair counts are the mart. */

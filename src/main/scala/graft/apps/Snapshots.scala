@@ -80,11 +80,17 @@ private[apps] object Snapshots {
     * reads omit the appended rows until some unrelated later write
     * happens to commit. Guarded (not an unconditional commit) so no-op
     * replays and empty batches neither churn versions nor end the
-    * previous grace window early. */
-  def adoptUnlisted(fs: FileSystem, root: Path): Unit =
-    currentManifest(fs, root).foreach { m =>
+    * previous grace window early. Returns whether an adoption commit
+    * fired — a true means a TORN append was just completed, and the
+    * caller should restore the at-rest compaction bound over the whole
+    * table (the torn append never reached its own compaction step, and
+    * later appends only check THEIR touched directories). */
+  def adoptUnlisted(fs: FileSystem, root: Path): Boolean =
+    currentManifest(fs, root).exists { m =>
       val listed = (m.data ++ m.retired).toSet
-      if (visible(fs, root).exists(f => !listed(f))) { commit(fs, root); () }
+      val adopt = visible(fs, root).exists(f => !listed(f))
+      if (adopt) { commit(fs, root); () }
+      adopt
     }
 
   /** Read `root` through its newest manifest — the file list is pinned
@@ -109,8 +115,12 @@ private[apps] object Snapshots {
         val keep = pruneDirs match {
           case Some((column, vals)) => files.filter { f =>
             val dir = f.takeWhile(_ != '/')
+            // a non-numeric partition value (__HIVE_DEFAULT_PARTITION__,
+            // a foreign layout) stays IN the scan — the caller's value
+            // filter decides; pruning here is best-effort only
             !dir.startsWith(s"$column=") ||
-              vals.contains(dir.stripPrefix(s"$column=").toLong)
+              scala.util.Try(dir.stripPrefix(s"$column=").toLong)
+                .toOption.forall(vals.contains)
           }
           case None => files
         }

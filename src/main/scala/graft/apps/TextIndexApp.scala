@@ -120,9 +120,16 @@ object TextIndexApp {
       Snapshots.heal(fs, new Path(s"$indexDir/postings"))
       Snapshots.heal(fs, new Path(s"$indexDir/doclens"))
       // adopt files a torn append published but never snapshot-committed
-      // BEFORE the early returns below (see VectorIndexApp.append)
-      Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/postings"))
-      Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/doclens"))
+      // BEFORE the early returns below (see VectorIndexApp.append).
+      // An adoption means that append also never ran ITS compaction —
+      // and later appends only check their own touched buckets, so a
+      // bucket the torn append grew past the file bound would stay
+      // over it indefinitely: restore the at-rest bound table-wide
+      // ( `|` not `||` — both tables must be adopted, no short-circuit)
+      val adopted =
+        Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/postings")) |
+        Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/doclens"))
+      if (adopted) compactIndex(spark, fs, indexDir, touched = None)
       if (delta.isEmpty) return
       val maxBase = spark.read.parquet(s"$indexDir/meta")
         .agg(max(col("max_doc_id"))).head.getLong(0)
@@ -196,6 +203,17 @@ object TextIndexApp {
     * (same contract as [[VectorIndexApp.query]]). */
   def query(spark: SparkSession, probes: DataFrame, indexDir: String,
             topK: Int, broadcastTerms: Boolean = true): DataFrame = {
+    // the documented determinism contract, ENFORCED (the mirror of
+    // VectorIndexApp.query's guard): the whole probe frame is
+    // re-derived per consumer here, so every expression in its
+    // analyzed plan must be deterministic — a rand() sample could
+    // surface a term whose bucket the other evaluation pruned
+    probes.queryExecution.analyzed.foreach { p =>
+      p.expressions.foreach(e => require(e.deterministic,
+        s"probes must be deterministic (got: ${e.sql}) — the term " +
+          "derivation is evaluated more than once (bucket collect + " +
+          "scoring join); materialize a sampled frame first"))
+    }
     val nBuckets = nBucketsOf(spark, indexDir)
     val qterms = probes.select(col("q_id"),
         explode(array_distinct(

@@ -226,7 +226,11 @@ object VectorIndexApp {
       // yet unlisted, and the early returns below would otherwise skip
       // the commit that adopts them, leaving serving reads blind to
       // the appended vectors until an unrelated later write
-      Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/codes"))
+      // an adoption means that torn append never ran ITS compaction —
+      // later appends only check their own touched cells, so restore
+      // the at-rest file bound table-wide (same fix as TextIndexApp)
+      if (Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/codes")))
+        compactIndex(spark, fs, indexDir, touched = None)
       if (delta.isEmpty) return // nothing to apply (and min/max would be null)
       val maxBase = spark.read.parquet(s"$indexDir/meta")
         .agg(max(col("max_vec_id"))).head.getLong(0)

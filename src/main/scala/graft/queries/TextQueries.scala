@@ -179,7 +179,19 @@ object TextQueries {
       .select(col("__id").as("doc_id"),
         explode(array_distinct(col("__sh"))).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    decontaminationOverlapFrom(sh, benchMod, minOverlap, overlapJoin)
+    val res = decontaminationOverlapFrom(sh, benchMod, minOverlap, overlapJoin)
+    // the persisted shingle frame serves three consumers inside ONE
+    // returned plan (df-guard, benchmark side, corpus side), so a lazy
+    // return has no safe unpersist point and the cache would leak
+    // across a 119-query harness run (the g1 leak, c2/c4 flavor).
+    // Same release shape as g1's fix: the RESULT is the contamination
+    // report — pairs over the threshold, metadata-scale next to the
+    // corpus — so eagerly materialize it (localCheckpoint blocks are
+    // ContextCleaner-collected once unreferenced, unlike CacheManager
+    // entries) and drop the shingle cache before returning
+    val out = res.localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** [[decontaminationOverlap]] over a PREBUILT (ideally persisted)
