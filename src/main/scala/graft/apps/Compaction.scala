@@ -94,7 +94,7 @@ object Compaction {
     * non-partition underscore/dot entries are metadata. For an
     * unpartitioned index (totals/meta) pass the root itself as the
     * single dir. */
-  private[apps] def partitionDirs(fs: FileSystem, root: Path): Seq[Path] = {
+  private[graft] def partitionDirs(fs: FileSystem, root: Path): Seq[Path] = {
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).toSeq.filter { s =>
       val n = s.getPath.getName
@@ -105,7 +105,7 @@ object Compaction {
 
   /** Visible data files directly inside `dir` (what a parquet reader
     * sees): no dot/underscore names, no subdirectories. */
-  private[apps] def visibleFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
+  private[graft] def visibleFiles(fs: FileSystem, dir: Path): Seq[FileStatus] = {
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq.filter(s => s.isFile &&
       !s.getPath.getName.startsWith("_") &&

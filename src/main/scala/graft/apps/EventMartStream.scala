@@ -40,10 +40,59 @@ import graft.sinks.Sinks
   * [[graft.streaming.StatefulOps]]): within a batch rows are ordered
   * explicitly; ACROSS batches per-user (ts, event_id) must be
   * non-decreasing (watermarked, key-partitioned delivery). The
-  * order-independent marts (uv/ohlc/decay) do not need it. */
+  * order-independent marts (uv/ohlc/decay) do not need it.
+  *
+  * Every mart table is SNAPSHOT-MANAGED (`snapshotted = true` on each
+  * [[Sinks]] mutation): writes journal + install + commit through the
+  * [[Snapshots]] manifest tier, so a reader that plans mid-batch sees
+  * the PRE-batch table (its pinned files outlive the commit by one
+  * more commit — the grace window) and one that plans after the
+  * commit sees the post-batch table — never a mix of swapped and
+  * unswapped buckets, never a just-deleted file.
+  *
+  * [[Retention]] bounds the keyed state (the reference bounds every
+  * keyed state with TTL — 1 d UV, 5 s dedup; W7 in SURVEY §2):
+  * `decay_weeks` buckets aged ≥ 63 weeks fold into a per-user carry
+  * at their FROZEN contribution (`shiftright(bfp, 63)` — constant
+  * under further aging by the shift cap, so [[decayScores]] stays
+  * EXACT forever), and the optional session/transition TTLs expire
+  * idle per-user state with the reference's W7 semantics. */
 object EventMartStream {
 
   private val GapUs = 30L * 60 * 1000 * 1000 // a24's 30-minute session gap
+
+  /** State-retention policy for the mart tier's keyed state.
+    *
+    *  - `decaySweepEveryN`: every N batches, `decay_weeks` rows aged
+    *    ≥ 63 weeks (vs the table's max week) fold into `decay_carry`
+    *    (per user: Σn and Σ`shiftright(bfp, 63)`, the contribution the
+    *    shift cap froze) and are deleted. EXACT at any later reference
+    *    week by the operator's own algebra — a ≥ 63-week-old bucket's
+    *    contribution can never change again. The sweep scans the state
+    *    table (expired rows hash across all buckets), which is why it
+    *    is PERIODIC maintenance, not per-batch work — and retention
+    *    itself keeps that table bounded at ~63 weeks × active users.
+    *  - `sessTtlUs`: open sessions idle ≥ ttl CLOSE — they fold into
+    *    `sess_grid` and leave `sess_state`. Provided ttl ≥ the 30-min
+    *    session gap + the pipeline's cross-user event-time skew, this
+    *    is exact vs the batch recompute (an idle-≥-gap session is
+    *    closed there too; the skew term is the usual watermark bound —
+    *    idleness is measured against the batch's global max event
+    *    time).
+    *  - `transTtlUs`: last-event rows idle ≥ ttl are DROPPED — a user
+    *    returning after the ttl starts a fresh transition chain (the
+    *    reference's W7 state-TTL semantics, e.g. its 1 d UV TTL:
+    *    `DwsTrafficVcChArIsNewPageViewWindow.java:87`); the
+    *    cross-expiry transition is deliberately not counted.
+    *
+    * All three are replay-exact: folds are batch-stamped (negative
+    * stamp series, disjoint from the main mutations'), deletes are
+    * idempotent, and a crash between fold and delete replays into
+    * stamped buckets (no double count) before completing the delete. */
+  final case class Retention(decaySweepEveryN: Int = 64,
+                             sessTtlUs: Option[Long] = None,
+                             transTtlUs: Option[Long] = None)
+  object Retention { val default: Retention = Retention() }
 
   /** TEST-ONLY crash injection: throw after the Nth table mutation of a
     * batch (0-based), exercising the replay-exactness contract. */
@@ -53,7 +102,8 @@ object EventMartStream {
 
   /** Apply one micro-batch. Idempotent under replay with the same
     * (content, batchId) — the foreachBatch contract. */
-  def processBatch(batch: DataFrame, batchId: Long, martDir: String): Unit = {
+  def processBatch(batch: DataFrame, batchId: Long, martDir: String,
+                   retention: Retention = Retention.default): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(martDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -73,7 +123,8 @@ object EventMartStream {
         .as("cur_date"), col("user_id"))
       .agg(count(lit(1)).as("pv"))
     mutate(Sinks.upsertCombine(spark, uvDelta, Seq("cur_date", "user_id"),
-      Seq(sum(col("pv")).as("pv")), batchId, s"$martDir/uv_days"))
+      Seq(sum(col("pv")).as("pv")), batchId, s"$martDir/uv_days",
+      snapshotted = true))
 
     val ohlcDelta = ev
       .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd")
@@ -87,7 +138,7 @@ object EventMartStream {
       Seq(min(col("o")).as("o"), max(col("high")).as("high"),
         min(col("low")).as("low"), max(col("c")).as("c"),
         sum(col("n")).as("n")),
-      batchId, s"$martDir/ohlc"))
+      batchId, s"$martDir/ohlc", snapshotted = true))
 
     val decayDelta = ev
       .groupBy(col("user_id"),
@@ -96,7 +147,7 @@ object EventMartStream {
         sum(floor(col("value") * lit(1048576L)).cast("long")).as("bfp"))
     mutate(Sinks.upsertCombine(spark, decayDelta, Seq("user_id", "__w"),
       Seq(sum(col("n")).as("n"), sum(col("bfp")).as("bfp")),
-      batchId, s"$martDir/decay_weeks"))
+      batchId, s"$martDir/decay_weeks", snapshotted = true))
 
     // ---- transitions: pairs from (pre-batch last-event state ∪ batch) ----
     // state reads are BUCKET-PRUNED to the batch's users (readKeyedFor)
@@ -122,7 +173,7 @@ object EventMartStream {
     }
     mutate(Sinks.upsertCombine(spark, transDelta,
       Seq("prev_type", "curr_type"), Seq(sum(col("n")).as("n")),
-      batchId, s"$martDir/trans_counts"))
+      batchId, s"$martDir/trans_counts", snapshotted = true))
     val lastPerUser = ev
       .groupBy(col("user_id"))
       .agg(max(struct(unix_micros(col("ts")).as("us"),
@@ -130,7 +181,7 @@ object EventMartStream {
       .select(col("user_id"), col("m.us").as("us"), col("m.eid").as("eid"),
         col("m.typ").as("typ"))
     mutate(Sinks.upsertKeyed(spark, lastPerUser, Seq("user_id"),
-      Seq("us", "eid"), s"$martDir/trans_state"))
+      Seq("us", "eid"), s"$martDir/trans_state", snapshotted = true))
 
     // ---- sessions: fold (open-session state ∪ batch) per user ----------
     // Closed sessions AND the new open states both derive from
@@ -176,11 +227,64 @@ object EventMartStream {
       Seq("entry_type", "exit_type"),
       Seq(sum(col("n_sessions")).as("n_sessions"),
         sum(col("n_events")).as("n_events")),
-      batchId, s"$martDir/sess_grid"))
+      batchId, s"$martDir/sess_grid", snapshotted = true))
     val open = sessDelta.filter(col("open"))
       .select("user_id", "entry_type", "exit_type", "last_us", "last_eid", "ne")
     mutate(Sinks.upsertKeyed(spark, open, Seq("user_id"),
-      Seq("last_us", "last_eid"), s"$martDir/sess_state"))
+      Seq("last_us", "last_eid"), s"$martDir/sess_state",
+      snapshotted = true))
+
+    // ---- state retention (see [[Retention]] for the exactness story) ----
+    // runs AFTER the main mutations so this batch's own activity has
+    // refreshed the state rows it touches (an active user can never be
+    // expired by the batch that carries their events)
+    if (batchId % math.max(1, retention.decaySweepEveryN) == 0) {
+      val wkPath = s"$martDir/decay_weeks"
+      val wk = Sinks.readCombined(spark, wkPath)
+      val refW = wk.agg(max(col("__w"))).head.getLong(0)
+      // age >= 63 ⇔ contribution frozen at shiftright(bfp, 63) forever
+      val cut = refW - 63
+      val folded = wk.filter(col("__w") <= cut)
+        .groupBy("user_id")
+        .agg(sum(col("n")).as("n"),
+          sum(expr("shiftright(bfp, 63)")).as("dec"))
+      if (!folded.isEmpty) {
+        // fold FIRST (stamped — a replay after a crash here skips the
+        // stamped carry buckets), delete second (idempotent; the fold's
+        // source rows are still present on any replay that needs them)
+        mutate(Sinks.upsertCombine(spark, folded, Seq("user_id"),
+          Seq(sum(col("n")).as("n"), sum(col("dec")).as("dec")),
+          -(batchId * 2 + 1), s"$martDir/decay_carry", snapshotted = true))
+        mutate(Sinks.deleteWhere(spark, wkPath, col("__w") <= cut,
+          snapshotted = true))
+      }
+    }
+    if (retention.sessTtlUs.isDefined || retention.transTtlUs.isDefined) {
+      val maxSeenUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      retention.sessTtlUs.foreach { ttl =>
+        val statePath = s"$martDir/sess_state"
+        val idle = col("last_us") <= maxSeenUs - ttl
+        val foldedS = Sinks.readKeyed(spark, statePath).filter(idle)
+          .groupBy("entry_type", "exit_type")
+          .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).as("n_events"))
+        if (!foldedS.isEmpty) {
+          // an idle-≥-ttl (≥ gap) open session is CLOSED in the batch
+          // view too — moving it from state to grid keeps sessionPaths
+          // exact while the state row count stays bounded
+          mutate(Sinks.upsertCombine(spark, foldedS,
+            Seq("entry_type", "exit_type"),
+            Seq(sum(col("n_sessions")).as("n_sessions"),
+              sum(col("n_events")).as("n_events")),
+            -(batchId * 2 + 2), s"$martDir/sess_grid", snapshotted = true))
+          mutate(Sinks.deleteWhere(spark, statePath, idle,
+            snapshotted = true))
+        }
+      }
+      retention.transTtlUs.foreach { ttl =>
+        mutate(Sinks.deleteWhere(spark, s"$martDir/trans_state",
+          col("us") <= maxSeenUs - ttl, snapshotted = true))
+      }
+    }
 
     // retire deltas old enough that no replay can need them (streaming
     // replays at most the LAST batch after a restart)
@@ -299,15 +403,26 @@ object EventMartStream {
   /** a26's mart: re-age the (user, week) fixed-point partials to the
     * CURRENT reference week — arithmetic shifts compose, so stored
     * buckets re-age to any later reference with no drift (the property
-    * a26 chose its algebra for). */
+    * a26 chose its algebra for). Weeks the retention sweep retired
+    * live in `decay_carry` at their FROZEN contribution
+    * (`shiftright(bfp, 63)` — the shift cap makes it constant under
+    * any further aging), so the union below equals the full-history
+    * recompute EXACTLY, not just within a window. */
   def decayScores(spark: SparkSession, martDir: String): DataFrame = {
     val wk = Sinks.readCombined(spark, s"$martDir/decay_weeks")
     val ref = wk.agg(max(col("__w")).as("__refw"))
-    wk.crossJoin(broadcast(ref))
+    val live = wk.crossJoin(broadcast(ref))
       .withColumn("__dec",
         expr("shiftright(bfp, cast(least(__refw - __w, 63L) as int))"))
       .groupBy("user_id")
-      .agg(sum(col("n")).as("n_events"), sum(col("__dec")).as("decayed_fp20"))
+      .agg(sum(col("n")).as("n"), sum(col("__dec")).as("dec"))
+    val carry = combinedOrEmpty(spark, s"$martDir/decay_carry",
+        spark.range(0).select(col("id").as("user_id"),
+          lit(null).cast("long").as("n"), lit(null).cast("long").as("dec")))
+      .select(col("user_id"), col("n"), col("dec"))
+    live.unionByName(carry)
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n_events"), sum(col("dec")).as("decayed_fp20"))
       .select(col("user_id"), col("n_events"), col("decayed_fp20"),
         (col("decayed_fp20").cast("double") / lit(1048576.0)).as("score"))
       .orderBy("user_id")
@@ -316,12 +431,13 @@ object EventMartStream {
   // ------------------------------------------------------------- streaming
 
   /** Run the mart tier continuously over an events stream. */
-  def stream(events: DataFrame, martDir: String, checkpoint: String)
+  def stream(events: DataFrame, martDir: String, checkpoint: String,
+             retention: Retention = Retention.default)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, martDir)
+        processBatch(batch, batchId, martDir, retention)
       }
       .start()
 }

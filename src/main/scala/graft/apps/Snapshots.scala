@@ -40,8 +40,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * The reference has no file-layout tier at all; the shape here is the
   * log-structured-table lineage (Iceberg/Delta snapshot + expiry),
-  * scoped to exactly what a serving index needs. */
-private[apps] object Snapshots {
+  * scoped to exactly what a serving index needs. (`private[graft]`:
+  * the keyed-sink tier in [[graft.sinks.Sinks]] shares this manifest
+  * machinery for its snapshot-managed mart tables.) */
+private[graft] object Snapshots {
 
   private def snapDir(root: Path) = new Path(root, "_snap")
   private def pendingPath(root: Path) = new Path(snapDir(root), "pending")
@@ -110,8 +112,16 @@ private[apps] object Snapshots {
                 pruneDirs: Option[(String, Set[Long])] = None)
       : org.apache.spark.sql.DataFrame = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    currentFiles(fs, root) match {
-      case Some(files) if files.nonEmpty =>
+    currentManifest(fs, root) match {
+      case Some(m) if m.data.isEmpty && m.retired.nonEmpty =>
+        // every row deleted: the retired files survive only for the
+        // grace window and carry the schema — serve an EMPTY frame; a
+        // raw-directory fallback here would RESURRECT the deleted rows
+        spark.read.option("basePath", root.toString)
+          .parquet(m.retired.map(p => new Path(root, p).toString): _*)
+          .limit(0)
+      case Some(m) if m.data.nonEmpty =>
+        val files = m.data
         val keep = pruneDirs match {
           case Some((column, vals)) => files.filter { f =>
             val dir = f.takeWhile(_ != '/')

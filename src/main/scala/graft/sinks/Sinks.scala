@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
 
+import graft.apps.{Compaction, Snapshots, StagedCommit}
 import graft.functions.StableHash
 import graft.operators.DedupOps
 
@@ -100,9 +101,10 @@ object Sinks {
   def upsertKeyed(spark: SparkSession, incoming: DataFrame, keys: Seq[String],
                   order: Seq[String], path: String,
                   dropCols: Seq[String] = Nil,
-                  nBuckets: Int = DefaultUpsertBuckets): Unit = {
+                  nBuckets: Int = DefaultUpsertBuckets,
+                  snapshotted: Boolean = false): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healBuckets(fs, path)
+    val snap = snapEnter(fs, path, snapshotted)
     // the layout is self-describing: the bucket count is recorded at
     // table creation and every later merge USES THE RECORDED VALUE — a
     // caller passing a different nBuckets would otherwise hash keys into
@@ -112,18 +114,96 @@ object Sinks {
     val touched = withB.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted // ≤ nBuckets values, driver-safe
     if (touched.isEmpty) return
-    val liveDirs = touched.map(b => new Path(path, s"__bucket=$b"))
-      .filter(fs.exists).map(_.toString)
-    val current =
-      if (liveDirs.isEmpty) None
-      else Some(spark.read.option("basePath", path).parquet(liveDirs: _*))
+    val current = liveTouched(spark, fs, path, touched.toIndexedSeq, snap)
     val merged = current match {
       case Some(cur) => cur.unionByName(withB, allowMissingColumns = true)
       case None => withB
     }
     val deduped = DedupOps.keepLast(merged, keys.map(col), order.map(col))
       .drop(dropCols: _*)
-    stageAndSwap(fs, path, deduped, touched)
+    if (snap) stageAndInstall(spark, fs, path, deduped, touched.toIndexedSeq)
+    else stageAndSwap(fs, path, deduped, touched.toIndexedSeq)
+  }
+
+  /** Writer-entry heal + mode detection for the keyed-table machinery.
+    * A table is SNAPSHOT-MANAGED once it has a committed [[Snapshots]]
+    * manifest — detected, not just requested: after the first manifest
+    * commit every write MUST stay on the snapshot path (a raw bucket
+    * swap would leave the previous commit's retired grace-window files
+    * visible to raw readers, duplicating their rows). Requesting
+    * `snapshotted` on an existing raw table upgrades it with one
+    * bootstrap commit adopting the current files as version 1. */
+  private def snapEnter(fs: FileSystem, path: String,
+                        requested: Boolean): Boolean = {
+    healBuckets(fs, path) // legacy `.old` leftovers (pre-snapshot crashes)
+    val root = new Path(path)
+    val managed = Snapshots.currentFiles(fs, root).isDefined
+    if (managed || requested) {
+      // same discipline as the index writers: complete or discard a torn
+      // install FIRST (its journaled files must be all-present-or-none
+      // before the snapshot heal can adjudicate the pending journal)
+      StagedCommit.heal(fs, new Path(path + ".staging"))
+      Snapshots.heal(fs, root)
+      if (!managed && fs.exists(root)) { Snapshots.commit(fs, root); () }
+      true
+    } else false
+  }
+
+  /** The current rows of `path`'s touched buckets. Snapshot mode reads
+    * through the manifest — never the raw directories, which may also
+    * hold the previous commit's retired (grace-window) files. */
+  private def liveTouched(spark: SparkSession, fs: FileSystem, path: String,
+                          touched: Seq[Int], snap: Boolean)
+      : Option[DataFrame] = {
+    val root = new Path(path)
+    val dirs =
+      if (snap) {
+        val names = touched.map(b => s"__bucket=$b").toSet
+        Snapshots.currentFiles(fs, root).getOrElse(Nil)
+          .filter(f => names.contains(f.takeWhile(_ != '/')))
+          .map(p => new Path(root, p).toString)
+      } else touched.map(b => new Path(path, s"__bucket=$b"))
+        .filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", path).parquet(dirs: _*))
+  }
+
+  /** Snapshot-mode twin of [[stageAndSwap]]: stage `df` partitioned by
+    * bucket, journal the intent, install the staged files ALONGSIDE the
+    * live ones (all-or-nothing through a [[StagedCommit]] manifest —
+    * staged part-file names carry a per-job UUID, so they never collide
+    * with live files), then snapshot-commit: the staged files become
+    * the touched buckets' data and the replaced originals RETIRE,
+    * outliving the commit by one more commit (the readers' grace
+    * window, same contract as [[graft.apps.Compaction]]'s snapshot
+    * groups). A reader that planned before the commit keeps every file
+    * it resolved; one that plans after sees exactly the post-batch
+    * table — pre- or post-batch state, never a mix, never a deleted
+    * file. Crash-safe via [[snapEnter]]'s heal-first discipline: the
+    * pending journal is either aborted (nothing installed) or
+    * completed (everything installed) on the next writer entry. */
+  private def stageAndInstall(spark: SparkSession, fs: FileSystem,
+                              path: String, df: DataFrame,
+                              buckets: Seq[Int]): Unit = {
+    val root = new Path(path)
+    val staging = new Path(path + ".staging")
+    df.write.mode("overwrite").partitionBy("__bucket")
+      .parquet(staging.toString)
+    val names = buckets.map(b => s"__bucket=$b")
+    val nameSet = names.toSet
+    val replaced = Snapshots.currentFiles(fs, root).getOrElse(Nil)
+      .filter(f => nameSet.contains(f.takeWhile(_ != '/')))
+    val moves = names.flatMap { n =>
+      Compaction.visibleFiles(fs, new Path(staging, n)).map { st =>
+        (s"$n/${st.getPath.getName}",
+          StagedCommit.Move(st.getPath, new Path(root, s"$n/${st.getPath.getName}")))
+      }
+    }
+    if (replaced.isEmpty && moves.isEmpty) { fs.delete(staging, true); return }
+    fs.mkdirs(root)
+    Snapshots.writePending(fs, root, replaced, moves.map(_._1))
+    StagedCommit.publishOps(fs, staging, moves.map(_._2))
+    Snapshots.commitPending(fs, root)
   }
 
   /** [[upsertKeyed]]'s ADDITIVE sibling — the incremental bucket merge
@@ -149,9 +229,10 @@ object Sinks {
     * identical content — the foreachBatch contract). */
   def upsertCombine(spark: SparkSession, delta: DataFrame, keys: Seq[String],
                     combine: Seq[Column], batchId: Long, path: String,
-                    nBuckets: Int = DefaultUpsertBuckets): Unit = {
+                    nBuckets: Int = DefaultUpsertBuckets,
+                    snapshotted: Boolean = false): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healBuckets(fs, path)
+    val snap = snapEnter(fs, path, snapshotted)
     val effectiveBuckets = readOrWriteBucketCount(fs, path, nBuckets)
     val withB = delta
       .withColumn("__bucket", bucketOf(keys, effectiveBuckets))
@@ -159,17 +240,15 @@ object Sinks {
     val touched = withB.select("__bucket").distinct()
       .collect().map(_.getInt(0)).sorted // ≤ nBuckets values, driver-safe
     if (touched.isEmpty) return
-    val liveDirs = touched.map(b => new Path(path, s"__bucket=$b"))
-      .filter(fs.exists).map(_.toString)
     val (skip, current) =
-      if (liveDirs.isEmpty) (Array.empty[Int], None)
-      else {
-        val live = spark.read.option("basePath", path).parquet(liveDirs: _*)
-        // buckets already stamped with this batch id are fully merged
-        // (their swap completed before the crash) — replay skips them
-        (live.filter(col("__mart_batch") === batchId)
-          .select("__bucket").distinct().collect().map(_.getInt(0)),
-          Some(live))
+      liveTouched(spark, fs, path, touched.toIndexedSeq, snap) match {
+        case Some(live) =>
+          // buckets already stamped with this batch id are fully merged
+          // (their swap completed before the crash) — replay skips them
+          (live.filter(col("__mart_batch") === batchId)
+            .select("__bucket").distinct().collect().map(_.getInt(0)),
+            Some(live))
+        case None => (Array.empty[Int], None)
       }
     val todo = touched.filterNot(skip.contains)
     if (todo.isEmpty) return
@@ -184,13 +263,18 @@ object Sinks {
       .groupBy((keys :+ "__bucket").map(col): _*)
       .agg(combine.head, combine.tail :+
         max(col("__mart_batch")).as("__mart_batch"): _*)
-    stageAndSwap(fs, path, combined, todo.toIndexedSeq)
+    if (snap) stageAndInstall(spark, fs, path, combined, todo.toIndexedSeq)
+    else stageAndSwap(fs, path, combined, todo.toIndexedSeq)
   }
 
   /** Read a table written by [[upsertCombine]] without its layout and
-    * replay-stamp columns. */
+    * replay-stamp columns. Snapshot-managed tables are read through
+    * their newest manifest (file list pinned at PLAN time — a writer
+    * committing mid-query cannot tear the read or delete a referenced
+    * file inside the grace window); raw tables read as before. */
   def readCombined(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("__bucket", "__mart_batch")
+    Snapshots.readTable(spark, new Path(path))
+      .drop("__bucket", "__mart_batch")
 
   /** Stage `df` (which must carry `__bucket`) partitioned by bucket, then
     * swap exactly the `buckets` dirs into the live table. A targeted
@@ -214,31 +298,44 @@ object Sinks {
 
   /** K4 compaction — drop tombstones older than `olderThan` (the
     * pipeline's out-of-orderness bound: a tombstone only needs to outlive
-    * the latest event that could still try to resurrect its key). Only
-    * buckets CONTAINING qualifying tombstones are rewritten; the rest of
-    * the table is untouched — same incremental cost model as the merge
-    * itself. */
+    * the latest event that could still try to resurrect its key). The
+    * tombstone-flavored [[deleteWhere]]. */
   def purgeTombstones(spark: SparkSession, path: String, tsCol: String,
                       olderThan: Long,
-                      tombstoneCol: String = "__tombstone"): Unit = {
+                      tombstoneCol: String = "__tombstone"): Unit =
+    deleteWhere(spark, path, col(tombstoneCol) && col(tsCol) <= olderThan)
+
+  /** Delete every row of an [[upsertKeyed]]/[[upsertCombine]] table
+    * matching `predicate` — the state-retention primitive (W7's TTL
+    * expiry, the decay tier's retired-bucket sweep). Only buckets
+    * CONTAINING matching rows are rewritten; the rest of the table is
+    * untouched — same incremental cost model as the merge itself (the
+    * DISCOVERY pass scans the table once; callers run it as periodic
+    * maintenance, not per batch). A null predicate row is treated as
+    * NOT matching and kept. Idempotent: re-running after a crash finds
+    * the already-deleted rows gone and rewrites nothing. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: Column,
+                  snapshotted: Boolean = false): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
-    healBuckets(fs, path)
-    val table = spark.read.parquet(path)
-    val purgeable = col(tombstoneCol) && col(tsCol) <= olderThan
-    val affected = table.filter(purgeable)
+    val snap = snapEnter(fs, path, snapshotted)
+    val table = if (snap) Snapshots.readTable(spark, new Path(path))
+                else spark.read.parquet(path)
+    val hit = coalesce(predicate, lit(false))
+    val affected = table.filter(hit)
       .select("__bucket").distinct().collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) return
-    val affectedDirs = affected.map(b => s"$path/__bucket=$b")
-    val kept = spark.read.option("basePath", path)
-      .parquet(affectedDirs.toIndexedSeq: _*)
-      .filter(!purgeable)
-    stageAndSwap(fs, path, kept, affected.toIndexedSeq)
+    val kept = liveTouched(spark, fs, path, affected.toIndexedSeq, snap)
+      .getOrElse(return).filter(!hit)
+    if (snap) stageAndInstall(spark, fs, path, kept, affected.toIndexedSeq)
+    else stageAndSwap(fs, path, kept, affected.toIndexedSeq)
   }
 
-  /** Read a table written by [[upsertKeyed]] without its layout column. */
+  /** Read a table written by [[upsertKeyed]] without its layout column
+    * (snapshot-pinned when managed — see [[readCombined]]). */
   def readKeyed(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("__bucket")
+    Snapshots.readTable(spark, new Path(path)).drop("__bucket")
 
   /** Rows of an [[upsertKeyed]] table whose key MAY be in `forKeys` —
     * reads ONLY the bucket dirs `forKeys` hashes into (callers still
@@ -253,11 +350,9 @@ object Sinks {
     val n = readOrWriteBucketCount(fs, path, DefaultUpsertBuckets)
     val touched = forKeys.select(bucketOf(keys, n).as("__b"))
       .distinct().collect().map(_.getInt(0))
-    val dirs = touched.map(b => new Path(path, s"__bucket=$b"))
-      .filter(fs.exists).map(_.toString)
-    if (dirs.isEmpty) None
-    else Some(spark.read.option("basePath", path).parquet(dirs.toIndexedSeq: _*)
-      .drop("__bucket"))
+    val snap = Snapshots.currentFiles(fs, new Path(path)).isDefined
+    liveTouched(spark, fs, path, touched.toIndexedSeq, snap)
+      .map(_.drop("__bucket"))
   }
 
   /** The table's recorded bucket count, creating the marker on first
