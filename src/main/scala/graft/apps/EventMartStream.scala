@@ -85,8 +85,8 @@ object EventMartStream {
     *    `DwsTrafficVcChArIsNewPageViewWindow.java:87`); the
     *    cross-expiry transition is deliberately not counted.
     *
-    * All three are replay-exact: folds are batch-stamped (negative
-    * stamp series, disjoint from the main mutations'), deletes are
+    * All three are replay-exact: folds are batch-stamped (the odd
+    * slot of the doubled stamp series — see `foldStamp`), deletes are
     * idempotent, and a crash between fold and delete replays into
     * stamped buckets (no double count) before completing the delete. */
   final case class Retention(decaySweepEveryN: Int = 64,
@@ -97,6 +97,16 @@ object EventMartStream {
   /** TEST-ONLY crash injection: throw after the Nth table mutation of a
     * batch (0-based), exercising the replay-exactness contract. */
   private[apps] var crashAfterStage: Int = Int.MaxValue
+
+  /** [[Sinks.upsertCombine]] keeps the MAX stamp per bucket, so every
+    * stamp series on one table must be strictly increasing over time —
+    * a retention fold landing on a table after that batch's main
+    * mutation therefore takes the odd slot of a doubled series (main
+    * 2b, then fold 2b+1, then main 2b+2 …); a non-monotone scheme
+    * would let an older stamp mask the fold and a crash replay
+    * double-apply it. */
+  private def mainStamp(batchId: Long): Long = batchId * 2
+  private def foldStamp(batchId: Long): Long = batchId * 2 + 1
 
   // ------------------------------------------------------------ batch step
 
@@ -123,7 +133,7 @@ object EventMartStream {
         .as("cur_date"), col("user_id"))
       .agg(count(lit(1)).as("pv"))
     mutate(Sinks.upsertCombine(spark, uvDelta, Seq("cur_date", "user_id"),
-      Seq(sum(col("pv")).as("pv")), batchId, s"$martDir/uv_days",
+      Seq(sum(col("pv")).as("pv")), mainStamp(batchId), s"$martDir/uv_days",
       snapshotted = true))
 
     val ohlcDelta = ev
@@ -138,7 +148,7 @@ object EventMartStream {
       Seq(min(col("o")).as("o"), max(col("high")).as("high"),
         min(col("low")).as("low"), max(col("c")).as("c"),
         sum(col("n")).as("n")),
-      batchId, s"$martDir/ohlc", snapshotted = true))
+      mainStamp(batchId), s"$martDir/ohlc", snapshotted = true))
 
     val decayDelta = ev
       .groupBy(col("user_id"),
@@ -147,7 +157,7 @@ object EventMartStream {
         sum(floor(col("value") * lit(1048576L)).cast("long")).as("bfp"))
     mutate(Sinks.upsertCombine(spark, decayDelta, Seq("user_id", "__w"),
       Seq(sum(col("n")).as("n"), sum(col("bfp")).as("bfp")),
-      batchId, s"$martDir/decay_weeks", snapshotted = true))
+      mainStamp(batchId), s"$martDir/decay_weeks", snapshotted = true))
 
     // ---- transitions: pairs from (pre-batch last-event state ∪ batch) ----
     // state reads are BUCKET-PRUNED to the batch's users (readKeyedFor)
@@ -173,7 +183,7 @@ object EventMartStream {
     }
     mutate(Sinks.upsertCombine(spark, transDelta,
       Seq("prev_type", "curr_type"), Seq(sum(col("n")).as("n")),
-      batchId, s"$martDir/trans_counts", snapshotted = true))
+      mainStamp(batchId), s"$martDir/trans_counts", snapshotted = true))
     val lastPerUser = ev
       .groupBy(col("user_id"))
       .agg(max(struct(unix_micros(col("ts")).as("us"),
@@ -227,7 +237,7 @@ object EventMartStream {
       Seq("entry_type", "exit_type"),
       Seq(sum(col("n_sessions")).as("n_sessions"),
         sum(col("n_events")).as("n_events")),
-      batchId, s"$martDir/sess_grid", snapshotted = true))
+      mainStamp(batchId), s"$martDir/sess_grid", snapshotted = true))
     val open = sessDelta.filter(col("open"))
       .select("user_id", "entry_type", "exit_type", "last_us", "last_eid", "ne")
     mutate(Sinks.upsertKeyed(spark, open, Seq("user_id"),
@@ -254,7 +264,7 @@ object EventMartStream {
         // source rows are still present on any replay that needs them)
         mutate(Sinks.upsertCombine(spark, folded, Seq("user_id"),
           Seq(sum(col("n")).as("n"), sum(col("dec")).as("dec")),
-          -(batchId * 2 + 1), s"$martDir/decay_carry", snapshotted = true))
+          foldStamp(batchId), s"$martDir/decay_carry", snapshotted = true))
         mutate(Sinks.deleteWhere(spark, wkPath, col("__w") <= cut,
           snapshotted = true))
       }
@@ -275,7 +285,7 @@ object EventMartStream {
             Seq("entry_type", "exit_type"),
             Seq(sum(col("n_sessions")).as("n_sessions"),
               sum(col("n_events")).as("n_events")),
-            -(batchId * 2 + 2), s"$martDir/sess_grid", snapshotted = true))
+            foldStamp(batchId), s"$martDir/sess_grid", snapshotted = true))
           mutate(Sinks.deleteWhere(spark, statePath, idle,
             snapshotted = true))
         }

@@ -243,9 +243,13 @@ object Sinks {
     val (skip, current) =
       liveTouched(spark, fs, path, touched.toIndexedSeq, snap) match {
         case Some(live) =>
-          // buckets already stamped with this batch id are fully merged
-          // (their swap completed before the crash) — replay skips them
-          (live.filter(col("__mart_batch") === batchId)
+          // buckets stamped with this batch id OR LATER are fully merged
+          // (stamps apply in strictly increasing order per table, and the
+          // stored stamp is the bucket's max — so a later stamp proves
+          // this one landed; `===` would let a same-batch follow-up
+          // mutation, e.g. a retention fold, mask the main stamp and
+          // make a crash replay double-apply it) — replay skips them
+          (live.filter(col("__mart_batch") >= batchId)
             .select("__bucket").distinct().collect().map(_.getInt(0)),
             Some(live))
         case None => (Array.empty[Int], None)

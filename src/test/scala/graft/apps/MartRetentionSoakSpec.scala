@@ -1,0 +1,178 @@
+package graft.apps
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.CoreQueries
+import graft.sinks.Sinks
+
+/** The mart tier's state-retention gate (the r9 verdict's task #3 —
+  * "the mart tier's keyed state has no retention policy"): under a
+  * LONG stream with a rotating user population and event time crossing
+  * the 63-week decay horizon,
+  *
+  *  - every keyed state table PLATEAUS: `trans_state` / `sess_state`
+  *    hold only users active within the TTL, `decay_weeks` only weeks
+  *    inside the 63-week contribution window — instead of one row per
+  *    user / (user, week) forever;
+  *  - every mart output stays EQUAL to the full-history batch
+  *    recompute at every checkpoint. Decay is exact unconditionally
+  *    (retired weeks fold into `decay_carry` at their shift-frozen
+  *    contribution); sessions are exact because an idle-≥-gap session
+  *    is closed in the batch view too; transitions are exact within
+  *    the retention window — this soak's users never return after
+  *    their TTL, the documented W7 semantics.
+  *
+  * Data shape: user-step s owns users [sU, (s+1)U), active in batches
+  * s and s+1; batch i's events sit in week 4i (three events, minutes
+  * apart — one session per user per batch; consecutive active batches
+  * are 4 weeks apart, far beyond the 30-min session gap). TTLs are 6
+  * weeks (= 1.5 batch periods): state expires two-three batches after
+  * a user's last activity, never while active. */
+class MartRetentionSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val U = 3          // users per rotation step
+  private val NB = 36        // batches; weeks reach 4*35 = 140 > 63
+  private val WeekUs = 7L * 86400 * 1000 * 1000
+  private val ttlUs = 6L * WeekUs
+
+  private val retention = EventMartStream.Retention(
+    decaySweepEveryN = 1,
+    sessTtlUs = Some(ttlUs),
+    transTtlUs = Some(ttlUs))
+
+  /** Batch i: users of steps i-1 and i, three events each in week 4i. */
+  private def batchRows(i: Int): Seq[(Long, Long, Long, String, Double)] = {
+    val users = (math.max(0, i - 1) * U until (i + 1) * U).map(_.toLong)
+    users.flatMap { u =>
+      (0 until 3).map { j =>
+        val us = 4L * i * WeekUs + u * 60L * 1000000 * 17 +
+          j * 5L * 60 * 1000000
+        val eid = (i.toLong * 1000 + u) * 10 + j
+        val typ = s"t${(u + j) % 3}"
+        (u, us, eid, typ, 1.0 + (u % 7) * 0.25)
+      }
+    }
+  }
+
+  private def frame(rows: Seq[(Long, Long, Long, String, Double)]): DataFrame =
+    rows.toDF("user_id", "us", "event_id", "event_type", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_id"), col("event_type"), col("value"))
+
+  private def rowsOf(df: DataFrame): Set[Seq[Any]] =
+    df.collect().toSet.map((r: Row) => r.toSeq)
+
+  private def assertMartsEqual(dir: String,
+                               prefix: Seq[(Long, Long, Long, String, Double)],
+                               where: String): Unit = {
+    val ev = frame(prefix)
+    val checks = Seq(
+      ("daily_uv", EventMartStream.dailyUv(spark, dir),
+        CoreQueries.dailyUvFrom(ev)),
+      ("transitions", EventMartStream.transitions(spark, dir),
+        CoreQueries.transitionsFrom(ev)),
+      ("ohlc", EventMartStream.ohlc(spark, dir),
+        CoreQueries.ohlcFrom(ev)),
+      ("session_paths", EventMartStream.sessionPaths(spark, dir),
+        CoreQueries.sessionPathsFrom(ev)),
+      ("decay_scores", EventMartStream.decayScores(spark, dir),
+        CoreQueries.decayScoresFrom(ev)))
+    checks.foreach { case (name, got, want) =>
+      assert(rowsOf(got) == rowsOf(want), s"$where: mart $name != batch")
+    }
+  }
+
+  private def stateCount(dir: String, table: String): Long = {
+    val p = new Path(s"$dir/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else Sinks.readKeyed(spark, s"$dir/$table").count()
+  }
+
+  test("state plateaus under a rotating stream while every mart stays exact") {
+    val dir = Files.createTempDirectory("mart-ret").toString
+    var consumed = Seq.empty[(Long, Long, Long, String, Double)]
+    val counts = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long)]
+    (0 until NB).foreach { i =>
+      val rows = batchRows(i)
+      EventMartStream.processBatch(frame(rows), i.toLong, dir, retention)
+      consumed ++= rows
+      counts += ((i, stateCount(dir, "trans_state"),
+        stateCount(dir, "sess_state"),
+        Sinks.readCombined(spark, s"$dir/decay_weeks").count()))
+      // full-history equality at periodic checkpoints + the last batch
+      if (i % 8 == 0 || i == NB - 1)
+        assertMartsEqual(dir, consumed, s"after batch $i")
+    }
+    val totalUsers = (NB + 1) * U // steps 0..NB
+    val totalUserWeeks = consumed.map(r => (r._1, r._2 / WeekUs)).distinct.size
+    val (_, transEnd, sessEnd, decayEnd) = counts.last
+
+    // TTL plateau: only users active within ~2 batch periods survive —
+    // steps i-2..i at most (3 steps × U users), far below the 100+ users
+    // ever seen. Bound loosely at 5 steps' worth.
+    assert(transEnd <= 5L * U,
+      s"trans_state must plateau (got $transEnd rows of $totalUsers users)")
+    assert(sessEnd <= 5L * U,
+      s"sess_state must plateau (got $sessEnd rows of $totalUsers users)")
+    // decay plateau: only weeks inside the 63-week window stay live —
+    // ~16 batches' worth of (user, week) rows vs 36 batches ever
+    assert(decayEnd < totalUserWeeks * 2 / 3,
+      s"decay_weeks must retire old weeks (got $decayEnd of " +
+        s"$totalUserWeeks user-weeks ever)")
+    assert(Sinks.readCombined(spark, s"$dir/decay_carry").count() > 0,
+      "the retired weeks must have folded into the carry")
+    // plateau, not just "smaller": the last quarter's max state size is
+    // no bigger than the steady state reached by mid-run
+    val steady = counts.slice(NB / 2, NB * 3 / 4)
+    val tail = counts.drop(NB * 3 / 4)
+    assert(tail.map(_._2).max <= steady.map(_._2).max,
+      "trans_state keeps growing in the tail")
+    assert(tail.map(_._3).max <= steady.map(_._3).max,
+      "sess_state keeps growing in the tail")
+  }
+
+  test("a crash at any retention stage replays to the exact batch answer") {
+    // drive to a batch where ALL retention arms fire (decay sweep with
+    // expired weeks needs refW ≥ 63 → batch ≥ 16; TTLs fire from batch
+    // 2), then inject a crash at every mutation stage of the NEXT batch
+    // and replay. Stages: 7 main + 2 decay (fold, delete) + 2 sess
+    // (fold, delete) + 1 trans delete = 12.
+    val dir = Files.createTempDirectory("mart-ret-crash").toString
+    val warm = 18
+    var consumed = Seq.empty[(Long, Long, Long, String, Double)]
+    (0 until warm).foreach { i =>
+      val rows = batchRows(i)
+      EventMartStream.processBatch(frame(rows), i.toLong, dir, retention)
+      consumed ++= rows
+    }
+    // a replayed batch has no pending retention work (its folds are
+    // stamped, its deletes done), so each stage injection gets a FRESH
+    // batch — past batch 18 every retention arm fires every batch (4
+    // new weeks cross the decay horizon, one rotation step's users
+    // cross both TTLs), so all 12 stages exist in every batch
+    (0 until 12).foreach { s =>
+      val i = warm + s
+      val rows = batchRows(i)
+      EventMartStream.crashAfterStage = s
+      val crashed =
+        try {
+          EventMartStream.processBatch(frame(rows), i.toLong, dir, retention)
+          false
+        } catch { case _: IllegalStateException => true }
+        finally EventMartStream.crashAfterStage = Int.MaxValue
+      assert(crashed, s"stage $s never ran — the injection tested nothing")
+      // the streaming replay: same content, same batch id, no injection
+      EventMartStream.processBatch(frame(rows), i.toLong, dir, retention)
+      consumed ++= rows
+      assertMartsEqual(dir, consumed, s"crash at stage $s")
+    }
+  }
+}
