@@ -1,0 +1,134 @@
+package graft.apps
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.SimilarityOps
+import graft.queries.TextQueries
+
+/** The hybrid tier's COMPOSITION under concurrent maintenance (the r9
+  * verdict's task #4): both persistent indexes ingest streaming
+  * appends — two writer locks, two snapshot tiers, compaction firing
+  * whenever a bucket/cell crosses its file bound — while
+  * [[HybridSearchApp.query]] serves between every batch and takedowns
+  * interleave on BOTH indexes. At every checkpoint the fused result
+  * must equal the RRF of the two FROM-SCRATCH arms over the live
+  * corpus — i.e. nothing in the interleaving (append == rebuild,
+  * retract == build-without-targets, snapshot-pinned reads) shifts a
+  * single fused rank. The single-index soaks ([[StreamingSoakSpec]],
+  * [[SnapshotIsolationSpec]]) cover each arm alone; this is the
+  * composed surface.
+  *
+  * Also pinned: a hybrid query PLANNED mid-maintenance (both arms'
+  * file lists resolved, then both indexes appended) still executes
+  * against its pinned pre-append snapshots — the plan-time isolation
+  * contract composed across the two manifest tiers. */
+class HybridServingSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val (topK, armK, k0, nprobe, rerankK) = (5, 20, 60, 2, 40)
+  private val probeIds = (0L until 4L).toSeq
+
+  private def notFast(): Unit =
+    assume(!sys.env.contains("GRAFT_FAST"), "soak skipped under GRAFT_FAST=1")
+
+  // deterministic shared-id corpus: overlapping small vocabulary so
+  // BM25 is nontrivial; 4-dim embeddings as id-hash rays (the
+  // SnapshotIsolationSpec shape)
+  private def textOf(id: Long): String = {
+    val a = id % 7; val b = (id / 7) % 7; val c = id % 13; val d = id % 5
+    s"alpha w$a w$b w$c common w$d w$a tail${id % 3}"
+  }
+  private def docsOf(ids: Seq[Long]): DataFrame =
+    ids.map(i => (i, textOf(i))).toDF("doc_id", "text")
+  private def vecsOf(ids: Seq[Long]): DataFrame =
+    ids.toDF("vec_id").select(col("vec_id"),
+      array((0 until 4).map(i =>
+        (pmod(col("vec_id") * (7 * i + 3), lit(997)).cast("float") / lit(997f))
+          + lit(0.01f)): _*).cast("array<float>").as("embedding"))
+
+  /** The two from-scratch arms fused — the oracle for every checkpoint. */
+  private def fromScratch(live: Seq[Long], vecIdx: String): DataFrame = {
+    val docs = docsOf(live)
+    val corpus = vecsOf(live)
+    val lens = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.wordCount(col("text")).as("len"))
+    val tf = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(
+          graft.functions.TextFunctions.normalized(col("text")))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("doc_id").isin(probeIds: _*))
+      .select(col("doc_id").as("q_id"), col("token"))
+    val lexWant = TextQueries.bm25Rank(tf, qterms, df, lens, armK)
+      .select(col("q_id"), col("doc_id").as("id"), col("rnk").as("rank"))
+    val cents = spark.read.parquet(s"$vecIdx/centroids")
+    val denseWant = SimilarityOps.ivfQuantizedAnn(corpus, cents,
+        col("vec_id").isin(probeIds: _*), armK, nprobe, rerankK)
+      .select(col("q_id"), col("vec_id").as("id"), col("rank"))
+    SimilarityOps.rrfFuse(lexWant, denseWant, k0, topK)
+      .select(col("q_id"), col("id").as("doc_id"), col("rnk"), col("rrf_score"))
+  }
+
+  private def rows(d: DataFrame): Set[(Long, Long, Int, Double)] =
+    d.as[(Long, Long, Int, Double)].collect().toSet
+
+  test("hybrid serving stays exact while both indexes append, compact and retract") {
+    notFast()
+    val work = Files.createTempDirectory("hybrid-soak").toString
+    val (textIdx, vecIdx) = (s"$work/text", s"$work/vec")
+    var hi = 120L
+    var retracted = Set.empty[Long]
+    def live: Seq[Long] = (0L until hi).filterNot(retracted)
+
+    TextIndexApp.build(spark, docsOf(0L until hi), textIdx, nBuckets = 16)
+    VectorIndexApp.build(spark, vecsOf(0L until hi), vecIdx,
+      kCells = 8, iters = 2)
+
+    def checkpoint(where: String): Unit = {
+      val got = HybridSearchApp.query(spark, probeIds,
+        docsOf(live), vecsOf(live), textIdx, vecIdx,
+        topK, armK, k0, nprobe, rerankK)
+      assert(rows(got) == rows(fromScratch(live, vecIdx)),
+        s"$where: fused serving diverged from the from-scratch fusion")
+    }
+    checkpoint("after build")
+
+    // plan-time isolation composed across BOTH manifest tiers: resolve
+    // the hybrid plan now, mutate both indexes, execute the stale plan
+    val preLive = live
+    val planned = HybridSearchApp.query(spark, probeIds,
+      docsOf(preLive), vecsOf(preLive), textIdx, vecIdx,
+      topK, armK, k0, nprobe, rerankK)
+    val wantPre = rows(fromScratch(preLive, vecIdx))
+    TextIndexApp.append(spark, docsOf(hi until hi + 20L), textIdx)
+    VectorIndexApp.append(spark, vecsOf(hi until hi + 20L), vecIdx)
+    hi += 20
+    assert(rows(planned) == wantPre,
+      "a hybrid query planned before the appends must serve the " +
+        "pre-append corpus from its pinned snapshots")
+    checkpoint("after the planned-reader batch")
+
+    // the soak proper: streaming appends to both indexes, a takedown on
+    // both every third batch, a serving query between every batch
+    (0 until 9).foreach { i =>
+      TextIndexApp.append(spark, docsOf(hi until hi + 20L), textIdx)
+      VectorIndexApp.append(spark, vecsOf(hi until hi + 20L), vecIdx)
+      hi += 20
+      if (i % 3 == 2) {
+        // retract a stripe from the middle of the id space (never a
+        // probe), from BOTH indexes — the interleaved-takedown surface
+        val victims = (hi - 50 until hi - 45).filterNot(retracted)
+          .filterNot(probeIds.contains)
+        TextIndexApp.retract(spark, victims, textIdx)
+        VectorIndexApp.retract(spark, victims, vecIdx)
+        retracted ++= victims
+      }
+      checkpoint(s"after batch $i (hi=$hi, retracted=${retracted.size})")
+    }
+    assert(retracted.nonEmpty && hi == 320L, "soak shape drifted")
+  }
+}
