@@ -48,12 +48,13 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, destDir) = args.take(2)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = GraftSession.local("graft-scale-probe")
     try {
       val fs = new Path(destDir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(new Path(s"$destDir/_GENERATED"))) {
-        gen(spark, srcDir, destDir, factor = 10)
+        gen(spark, srcDir, destDir, factor)
         fs.create(new Path(s"$destDir/_GENERATED"), true).close()
       }
       // warm both scales' page cache the way Bench does, so the first
@@ -126,12 +127,18 @@ object ScaleProbe {
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     for (_ <- 1 to 2; name <- ProbeQueries) {
-      val t = time {
-        qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
-      }
-      spark.catalog.clearCache()
-      samples(name) = t :: samples(name)
-      println(f"[scale-probe] $dir $name%-20s ${t}%8.2f s")
+      // failure-tolerant like Verify: one blown query (a guard sized
+      // for the organic corpus, say) must not kill the whole probe
+      try {
+        val t = time {
+          qs(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        }
+        samples(name) = t :: samples(name)
+        println(f"[scale-probe] $dir $name%-20s ${t}%8.2f s")
+      } catch { case e: Throwable =>
+        println(s"[scale-probe] $dir $name FAILED: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      } finally spark.catalog.clearCache()
     }
     samples.map { case (k, v) => k -> v.min }.toMap
   }
@@ -186,14 +193,18 @@ object ScaleProbe {
       : Unit = {
     def fmt(k: String, a: Double, b: Double): String =
       f"| $k%-20s | ${a}%8.2f | ${b}%8.2f | ${b / a}%6.2fx |"
-    println("| probe                |   sf0.1 s |    x10 s |  slope |")
+    def both(ks: Seq[String], a: Map[String, Double], b: Map[String, Double]) =
+      ks.filter(k => a.contains(k) && b.contains(k))
+    println("| probe                |     1x s |   big s |  slope |")
     println("|----------------------|----------|----------|--------|")
-    ProbeQueries.foreach(k => println(fmt(k, t1(k), t10(k))))
-    i1.keys.toSeq.sorted.foreach(k => println(fmt(k, i1(k), i10(k))))
+    both(ProbeQueries, t1, t10).foreach(k => println(fmt(k, t1(k), t10(k))))
+    both(i1.keys.toSeq.sorted, i1, i10)
+      .foreach(k => println(fmt(k, i1(k), i10(k))))
     val js = (ks: Seq[String], a: Map[String, Double], b: Map[String, Double]) =>
-      ks.map(k => f""""$k":[${a(k)}%.2f,${b(k)}%.2f,${b(k) / a(k)}%.2f]""")
+      both(ks, a, b)
+        .map(k => f""""$k":[${a(k)}%.2f,${b(k)}%.2f,${b(k) / a(k)}%.2f]""")
         .mkString(",")
-    println(s"""{"scale_probe":{"factor":10,${js(ProbeQueries, t1, t10)},${
+    println(s"""{"scale_probe":{${js(ProbeQueries, t1, t10)},${
       js(i1.keys.toSeq.sorted, i1, i10)}}}""")
   }
 }
