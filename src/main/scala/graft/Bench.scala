@@ -5,15 +5,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
-    // Warm-up MATERIALIZES every column of every table (noop write):
-    // count() reads only parquet footers/metadata, which left the first
-    // queries paying the page-cache fill and showing as phantom
-    // regressions in earlier rounds.
-    graft.sources.Tables.all.foreach { t =>
-      try graft.sources.Tables.load(spark, sfDir, t)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
+    graft.sources.Tables.warm(spark, sfDir)
     // (name, per-run seconds, error) — a failed query is REPORTED, never
     // silently timed as near-zero success. Each query runs `Runs` times
     // and reports the MEDIAN: single-shot timings swung 3× round-to-round

@@ -59,13 +59,7 @@ object ScaleProbe {
       }
       // warm both scales' page cache the way Bench does, so the first
       // timed query is not a disk-fill artifact
-      Seq(srcDir, destDir).foreach { d =>
-        Tables.all.foreach { t =>
-          try Tables.load(spark, d, t)
-            .write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
-        }
-      }
+      Seq(srcDir, destDir).foreach(d => Tables.warm(spark, d))
       val t1 = runQueries(spark, srcDir)
       val t10 = runQueries(spark, destDir)
       val i1 = indexCycle(spark, srcDir, destDir + "-idx1")
@@ -165,18 +159,26 @@ object ScaleProbe {
     val probes = docs.filter(col("doc_id") < 8)
       .select(col("doc_id").as("q_id"), col("text")).localCheckpoint(true)
     val out = scala.collection.mutable.Map[String, Double]()
-    out("text_build") = time(
+    // same failure policy as runQueries: a blown index step at one
+    // scale must not discard everything already measured
+    def step(name: String)(body: => Unit): Unit =
+      try out(name) = time(body)
+      catch { case e: Throwable =>
+        println(s"[scale-probe] $dir index $name FAILED: " +
+          Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+    step("text_build")(
       TextIndexApp.build(spark, docs, s"$work/text", nBuckets = 64))
-    out("text_append") = time(
+    step("text_append")(
       TextIndexApp.append(spark, docDelta, s"$work/text"))
-    out("text_query") = time(
+    step("text_query")(
       TextIndexApp.query(spark, probes, s"$work/text", topK = 10)
         .write.format("noop").mode("overwrite").save())
-    out("vec_build") = time(
+    step("vec_build")(
       VectorIndexApp.build(spark, vecs, s"$work/vec", kCells = 64, iters = 2))
-    out("vec_append") = time(
+    step("vec_append")(
       VectorIndexApp.append(spark, vecDelta, s"$work/vec"))
-    out("vec_query") = time(
+    step("vec_query")(
       VectorIndexApp.query(spark, vecs, s"$work/vec",
           col("vec_id") < 8, topK = 10, nprobe = 4, rerankK = 40)
         .write.format("noop").mode("overwrite").save())
@@ -203,8 +205,10 @@ object ScaleProbe {
     val js = (ks: Seq[String], a: Map[String, Double], b: Map[String, Double]) =>
       both(ks, a, b)
         .map(k => f""""$k":[${a(k)}%.2f,${b(k)}%.2f,${b(k) / a(k)}%.2f]""")
-        .mkString(",")
-    println(s"""{"scale_probe":{${js(ProbeQueries, t1, t10)},${
-      js(i1.keys.toSeq.sorted, i1, i10)}}}""")
+    // one flat joined list: an empty group must not leave a dangling
+    // comma (all queries failing at one scale is a REPORTABLE outcome)
+    val fields = js(ProbeQueries, t1, t10) ++
+      js(i1.keys.toSeq.sorted, i1, i10)
+    println(s"""{"scale_probe":{${fields.mkString(",")}}}""")
   }
 }

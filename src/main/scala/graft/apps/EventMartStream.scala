@@ -64,13 +64,17 @@ object EventMartStream {
   /** State-retention policy for the mart tier's keyed state.
     *
     *  - `decaySweepEveryN`: every N batches, `decay_weeks` rows aged
-    *    ≥ 63 weeks (vs the table's max week) fold into `decay_carry`
-    *    (per user: Σn and Σ`shiftright(bfp, 63)`, the contribution the
-    *    shift cap froze) and are deleted. EXACT at any later reference
-    *    week by the operator's own algebra — a ≥ 63-week-old bucket's
-    *    contribution can never change again. The sweep scans the state
-    *    table (expired rows hash across all buckets), which is why it
-    *    is PERIODIC maintenance, not per-batch work — and retention
+    *    ≥ 63 weeks (vs the table's max week) MIGRATE into a per-user
+    *    carry row of the SAME table (week = [[SentinelWeek]], holding
+    *    Σn and Σ`shiftright(bfp, 63)` — the contribution the shift cap
+    *    froze, constant under any further aging, so [[decayScores]]
+    *    stays EXACT forever). One [[Sinks.migrateWhere]] call = ONE
+    *    snapshot commit: a concurrent reader sees the table before or
+    *    after the whole sweep, never a torn middle, and a crash heals
+    *    to exactly one of those states (replay finds nothing expired —
+    *    idempotent with no stamp). The sweep scans the state table
+    *    (expired rows hash across all buckets), which is why it is
+    *    PERIODIC maintenance, not per-batch work — and retention
     *    itself keeps that table bounded at ~63 weeks × active users.
     *  - `sessTtlUs`: open sessions idle ≥ ttl CLOSE — they fold into
     *    `sess_grid` and leave `sess_state`. Provided ttl ≥ the 30-min
@@ -78,21 +82,43 @@ object EventMartStream {
     *    is exact vs the batch recompute (an idle-≥-gap session is
     *    closed there too; the skew term is the usual watermark bound —
     *    idleness is measured against the batch's global max event
-    *    time).
+    *    time, carried forward across sweep batches).
     *  - `transTtlUs`: last-event rows idle ≥ ttl are DROPPED — a user
     *    returning after the ttl starts a fresh transition chain (the
     *    reference's W7 state-TTL semantics, e.g. its 1 d UV TTL:
     *    `DwsTrafficVcChArIsNewPageViewWindow.java:87`); the
     *    cross-expiry transition is deliberately not counted.
+    *  - `ttlSweepEveryN` gates both TTL arms the way `decaySweepEveryN`
+    *    gates the decay sweep: each is a full state-table scan, so it
+    *    runs as periodic maintenance, never per batch.
     *
-    * All three are replay-exact: folds are batch-stamped (the odd
-    * slot of the doubled stamp series — see `foldStamp`), deletes are
-    * idempotent, and a crash between fold and delete replays into
-    * stamped buckets (no double count) before completing the delete. */
+    * All arms are replay-exact: the decay migration is idempotent by
+    * construction, the session fold is batch-stamped (the odd slot of
+    * the doubled stamp series — see `foldStamp`) and its delete
+    * idempotent. The session fold spans TWO tables, so between its two
+    * commits a concurrently-planned sessionPaths can count an expiring
+    * session twice — the same cross-table commit boundary the text
+    * index's postings/doclens pair has; per-table reads stay exact.
+    *
+    * UPGRADE NOTE: the doubled stamp series means a mart table written
+    * by a pre-retention build must not have an in-flight (crashed,
+    * unreplayed) batch when upgrading — its replay would check `>=
+    * 2b` against stamps stored as `b` and re-apply. Drain (complete
+    * the last batch) before swapping the code; fresh tables and
+    * completed checkpoints are unaffected. */
   final case class Retention(decaySweepEveryN: Int = 64,
                              sessTtlUs: Option[Long] = None,
-                             transTtlUs: Option[Long] = None)
+                             transTtlUs: Option[Long] = None,
+                             ttlSweepEveryN: Int = 8)
   object Retention { val default: Retention = Retention() }
+
+  /** The week value carrying a user's retired-decay carry inside
+    * `decay_weeks` itself (single-table ⇒ the sweep is one atomic
+    * commit). Its `bfp` holds the already-frozen contribution, not a
+    * fixed-point sum — [[decayScores]] branches on it. -1 can collide
+    * only with genuine pre-1970 event time, which the decay mart does
+    * not support. */
+  private val SentinelWeek = -1L
 
   /** TEST-ONLY crash injection: throw after the Nth table mutation of a
     * batch (0-based), exercising the replay-exactness contract. */
@@ -247,36 +273,45 @@ object EventMartStream {
     // ---- state retention (see [[Retention]] for the exactness story) ----
     // runs AFTER the main mutations so this batch's own activity has
     // refreshed the state rows it touches (an active user can never be
-    // expired by the batch that carries their events)
+    // expired by the batch that carries their events). Each arm is a
+    // full state-table scan, gated on its cadence knob — periodic
+    // maintenance, never per-batch cost.
     if (batchId % math.max(1, retention.decaySweepEveryN) == 0) {
       val wkPath = s"$martDir/decay_weeks"
       val wk = Sinks.readCombined(spark, wkPath)
-      val refW = wk.agg(max(col("__w"))).head.getLong(0)
-      // age >= 63 ⇔ contribution frozen at shiftright(bfp, 63) forever
-      val cut = refW - 63
-      val folded = wk.filter(col("__w") <= cut)
-        .groupBy("user_id")
-        .agg(sum(col("n")).as("n"),
-          sum(expr("shiftright(bfp, 63)")).as("dec"))
-      if (!folded.isEmpty) {
-        // fold FIRST (stamped — a replay after a crash here skips the
-        // stamped carry buckets), delete second (idempotent; the fold's
-        // source rows are still present on any replay that needs them)
-        mutate(Sinks.upsertCombine(spark, folded, Seq("user_id"),
-          Seq(sum(col("n")).as("n"), sum(col("dec")).as("dec")),
-          foldStamp(batchId), s"$martDir/decay_carry", snapshotted = true))
-        mutate(Sinks.deleteWhere(spark, wkPath, col("__w") <= cut,
-          snapshotted = true))
-      }
+      val refW = wk.filter(col("__w") =!= SentinelWeek)
+        .agg(max(col("__w"))).head.getLong(0)
+      // age >= 63 ⇔ contribution frozen at shiftright(bfp, 63) forever.
+      // Rows merged by THIS batch are excluded (stamp = mainStamp):
+      // migrating them would strip the bucket stamps a crash replay of
+      // this batch's main merge still needs — a late ≥63-week-old
+      // event simply waits for the next sweep.
+      val expired = col("__w") =!= SentinelWeek &&
+        col("__w") <= refW - 63 &&
+        col("__mart_batch") < mainStamp(batchId)
+      mutate(Sinks.migrateWhere(spark, wkPath, expired,
+        rows => rows.groupBy("user_id")
+          .agg(sum(col("n")).as("n"),
+            sum(expr("shiftright(bfp, 63)")).as("bfp"),
+            max(col("__mart_batch")).as("__mart_batch"))
+          .withColumn("__w", lit(SentinelWeek)),
+        keys = Seq("user_id", "__w"),
+        combine = Seq(sum(col("n")).as("n"), sum(col("bfp")).as("bfp"),
+          max(col("__mart_batch")).as("__mart_batch")),
+        snapshotted = true))
     }
-    if (retention.sessTtlUs.isDefined || retention.transTtlUs.isDefined) {
+    if ((retention.sessTtlUs.isDefined || retention.transTtlUs.isDefined)
+        && batchId % math.max(1, retention.ttlSweepEveryN) == 0) {
       val maxSeenUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
       retention.sessTtlUs.foreach { ttl =>
         val statePath = s"$martDir/sess_state"
         val idle = col("last_us") <= maxSeenUs - ttl
+        // materialized ONCE (it is consulted for emptiness and merged
+        // into the grid; bounded by the entry×exit type grid)
         val foldedS = Sinks.readKeyed(spark, statePath).filter(idle)
           .groupBy("entry_type", "exit_type")
           .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).as("n_events"))
+          .localCheckpoint(true)
         if (!foldedS.isEmpty) {
           // an idle-≥-ttl (≥ gap) open session is CLOSED in the batch
           // view too — moving it from state to grid keeps sessionPaths
@@ -414,25 +449,21 @@ object EventMartStream {
     * CURRENT reference week — arithmetic shifts compose, so stored
     * buckets re-age to any later reference with no drift (the property
     * a26 chose its algebra for). Weeks the retention sweep retired
-    * live in `decay_carry` at their FROZEN contribution
-    * (`shiftright(bfp, 63)` — the shift cap makes it constant under
-    * any further aging), so the union below equals the full-history
-    * recompute EXACTLY, not just within a window. */
+    * live as per-user [[SentinelWeek]] rows whose `bfp` already IS the
+    * frozen contribution (`Σ shiftright(bfp, 63)` — the shift cap
+    * makes it constant under any further aging), so the branch below
+    * equals the full-history recompute EXACTLY, not just within a
+    * window. */
   def decayScores(spark: SparkSession, martDir: String): DataFrame = {
     val wk = Sinks.readCombined(spark, s"$martDir/decay_weeks")
-    val ref = wk.agg(max(col("__w")).as("__refw"))
-    val live = wk.crossJoin(broadcast(ref))
-      .withColumn("__dec",
-        expr("shiftright(bfp, cast(least(__refw - __w, 63L) as int))"))
+    val ref = wk.filter(col("__w") =!= SentinelWeek)
+      .agg(max(col("__w")).as("__refw"))
+    wk.crossJoin(broadcast(ref))
+      .withColumn("__dec", when(col("__w") === SentinelWeek, col("bfp"))
+        .otherwise(
+          expr("shiftright(bfp, cast(least(__refw - __w, 63L) as int))")))
       .groupBy("user_id")
-      .agg(sum(col("n")).as("n"), sum(col("__dec")).as("dec"))
-    val carry = combinedOrEmpty(spark, s"$martDir/decay_carry",
-        spark.range(0).select(col("id").as("user_id"),
-          lit(null).cast("long").as("n"), lit(null).cast("long").as("dec")))
-      .select(col("user_id"), col("n"), col("dec"))
-    live.unionByName(carry)
-      .groupBy("user_id")
-      .agg(sum(col("n")).as("n_events"), sum(col("dec")).as("decayed_fp20"))
+      .agg(sum(col("n")).as("n_events"), sum(col("__dec")).as("decayed_fp20"))
       .select(col("user_id"), col("n_events"), col("decayed_fp20"),
         (col("decayed_fp20").cast("double") / lit(1048576.0)).as("score"))
       .orderBy("user_id")

@@ -12,7 +12,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   *  - `<table>/_snap/v<N>` — an immutable text manifest: the table's
   *    current data files (relative paths) plus the files RETIRED at
-  *    this version (replaced by a compaction merge, still on disk);
+  *    this version (replaced by a compaction merge, still on disk)
+  *    and the files EXPIRING (retired one version earlier, still on
+  *    disk for one last commit);
   *  - the current version is simply the highest `v<N>` present — a
   *    commit is ONE atomic rename (create-new-name), so there is no
   *    pointer file to non-atomically overwrite;
@@ -21,11 +23,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    `basePath`), so a file replaced by a later commit is simply not
   *    in their list;
   *  - physical deletion of version N's retired files happens at commit
-  *    N+1 — the GRACE window: a reader that resolved version N can
-  *    plan and execute against files that provably exist until the
-  *    NEXT commit lands, instead of racing a delete inside the same
-  *    commit. (Iceberg calls the identical mechanism snapshot
-  *    expiration; this is the one-file version of it.)
+  *    N+2 — a TWO-COMMIT grace window: a reader that resolved version
+  *    N keeps every resolved file until two further commits land.
+  *    One commit is not enough because a writer step can legitimately
+  *    commit the same table twice back-to-back (an index append's
+  *    publish + compaction; a mart batch's merge + retention sweep) —
+  *    with single-commit grace the second commit would delete files a
+  *    reader planned against moments before the first. (Iceberg calls
+  *    the mechanism snapshot expiration; this is the one-file version
+  *    of it.)
   *
   * Writers are serialized by [[StagedCommit.withWriterLock]] (the
   * snapshot layer never writes outside it). Crash-safety: a compaction
@@ -49,7 +55,8 @@ private[graft] object Snapshots {
   private def pendingPath(root: Path) = new Path(snapDir(root), "pending")
 
   private final case class Manifest(version: Int, data: Seq[String],
-                                    retired: Seq[String])
+                                    retired: Seq[String],
+                                    expiring: Seq[String])
 
   /** Highest committed version under `root`, if any. */
   private def currentManifest(fs: FileSystem, root: Path): Option[Manifest] = {
@@ -62,9 +69,12 @@ private[graft] object Snapshots {
     else {
       val n = vs.max
       val lines = readLines(fs, new Path(dir, f"v$n%08d"))
+      // a pre-expiring-generation manifest simply has no `expiring`
+      // lines — its retirees get one extra commit of grace, never less
       Some(Manifest(n,
         lines.collect { case s if s.startsWith("data ") => s.drop(5) },
-        lines.collect { case s if s.startsWith("retired ") => s.drop(8) }))
+        lines.collect { case s if s.startsWith("retired ") => s.drop(8) },
+        lines.collect { case s if s.startsWith("expiring ") => s.drop(9) }))
     }
   }
 
@@ -89,7 +99,7 @@ private[graft] object Snapshots {
     * later appends only check THEIR touched directories). */
   def adoptUnlisted(fs: FileSystem, root: Path): Boolean =
     currentManifest(fs, root).exists { m =>
-      val listed = (m.data ++ m.retired).toSet
+      val listed = (m.data ++ m.retired ++ m.expiring).toSet
       val adopt = visible(fs, root).exists(f => !listed(f))
       if (adopt) { commit(fs, root); () }
       adopt
@@ -113,12 +123,13 @@ private[graft] object Snapshots {
       : org.apache.spark.sql.DataFrame = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     currentManifest(fs, root) match {
-      case Some(m) if m.data.isEmpty && m.retired.nonEmpty =>
+      case Some(m) if m.data.isEmpty && (m.retired ++ m.expiring).nonEmpty =>
         // every row deleted: the retired files survive only for the
         // grace window and carry the schema — serve an EMPTY frame; a
         // raw-directory fallback here would RESURRECT the deleted rows
         spark.read.option("basePath", root.toString)
-          .parquet(m.retired.map(p => new Path(root, p).toString): _*)
+          .parquet((m.retired ++ m.expiring)
+            .map(p => new Path(root, p).toString): _*)
           .limit(0)
       case Some(m) if m.data.nonEmpty =>
         val files = m.data
@@ -156,32 +167,36 @@ private[graft] object Snapshots {
 
   /** Commit the next snapshot version under the writer lock:
     * data = (all visible files) − `replaced` − (files already retired
-    * at the current version); retired = `replaced`. Then physically
-    * delete the PREVIOUS version's retired files (their grace window
-    * ends here) and drop manifests older than the previous one.
-    * Returns the committed version. Unlisted visible files are adopted
-    * as data — which is exactly right for files a torn append
-    * published before its snapshot commit (the meta watermark makes
-    * the replay a no-op, so adoption here is their only way in);
-    * compaction's merged files are never unlisted at commit time
-    * because [[heal]] resolves the pending journal first. */
+    * or expiring at the current version); retired = `replaced`;
+    * expiring = the current version's retired set (one commit old).
+    * Then physically delete the current version's EXPIRING files —
+    * their two-commit grace window ends here — and drop manifests
+    * older than the previous one. Returns the committed version.
+    * Unlisted visible files are adopted as data — which is exactly
+    * right for files a torn append published before its snapshot
+    * commit (the meta watermark makes the replay a no-op, so adoption
+    * here is their only way in); compaction's merged files are never
+    * unlisted at commit time because [[heal]] resolves the pending
+    * journal first. */
   def commit(fs: FileSystem, root: Path,
              replaced: Seq[String] = Nil): Int = {
     val cur = currentManifest(fs, root)
     val n = cur.map(_.version).getOrElse(0) + 1
-    val retiredPrev = cur.map(_.retired).getOrElse(Nil)
-    val gone = (replaced ++ retiredPrev).toSet
+    val expiring = cur.map(_.retired).getOrElse(Nil) // one commit old
+    val dying = cur.map(_.expiring).getOrElse(Nil)   // two commits old
+    val gone = (replaced ++ expiring ++ dying).toSet
     val data = visible(fs, root).filterNot(gone)
     val dir = snapDir(root)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-v$n")
     write(fs, tmp,
       (data.sorted.map(p => s"data $p") ++
-        replaced.sorted.map(p => s"retired $p")).mkString("\n"))
+        replaced.sorted.map(p => s"retired $p") ++
+        expiring.sorted.map(p => s"expiring $p")).mkString("\n"))
     require(fs.rename(tmp, new Path(dir, f"v$n%08d")),
       s"snapshot commit v$n lost a rename race — writer lock violated?")
-    // grace ends for the PREVIOUS version's retired files
-    retiredPrev.foreach(p => fs.delete(new Path(root, p), false))
+    // the two-commit grace ends for files retired at version n-2
+    dying.foreach(p => fs.delete(new Path(root, p), false))
     // keep the previous manifest (a reader between list and open may
     // still grab it); everything older is unreachable
     if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>

@@ -104,7 +104,17 @@ object Sinks {
                   nBuckets: Int = DefaultUpsertBuckets,
                   snapshotted: Boolean = false): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = snapEnter(fs, path, snapshotted)
+    locked(fs, path, snapMode(fs, path, snapshotted)) { snap =>
+      upsertKeyedBody(spark, fs, incoming, keys, order, path, dropCols,
+        nBuckets, snap)
+    }
+  }
+
+  private def upsertKeyedBody(spark: SparkSession, fs: FileSystem,
+                              incoming: DataFrame, keys: Seq[String],
+                              order: Seq[String], path: String,
+                              dropCols: Seq[String], nBuckets: Int,
+                              snap: Boolean): Unit = {
     // the layout is self-describing: the bucket count is recorded at
     // table creation and every later merge USES THE RECORDED VALUE — a
     // caller passing a different nBuckets would otherwise hash keys into
@@ -125,28 +135,39 @@ object Sinks {
     else stageAndSwap(fs, path, deduped, touched.toIndexedSeq)
   }
 
-  /** Writer-entry heal + mode detection for the keyed-table machinery.
-    * A table is SNAPSHOT-MANAGED once it has a committed [[Snapshots]]
+  /** A table is SNAPSHOT-MANAGED once it has a committed [[Snapshots]]
     * manifest — detected, not just requested: after the first manifest
     * commit every write MUST stay on the snapshot path (a raw bucket
     * swap would leave the previous commit's retired grace-window files
     * visible to raw readers, duplicating their rows). Requesting
     * `snapshotted` on an existing raw table upgrades it with one
     * bootstrap commit adopting the current files as version 1. */
-  private def snapEnter(fs: FileSystem, path: String,
-                        requested: Boolean): Boolean = {
+  private def snapMode(fs: FileSystem, path: String,
+                       requested: Boolean): Boolean =
+    requested || Snapshots.currentFiles(fs, new Path(path)).isDefined
+
+  /** Run a mutation in the detected mode. Snapshot mode takes the
+    * table's single-writer lock first (the [[Snapshots]] contract —
+    * "the snapshot layer never writes outside it": a second concurrent
+    * writer must fail loudly, not interleave pending journals and
+    * manifest versions), then heals any torn previous write —
+    * staged-install first (its journaled files must be
+    * all-present-or-none before the snapshot heal can adjudicate the
+    * pending journal), then the journal, then the bootstrap commit if
+    * the table predates its management. Legacy mode only heals `.old`
+    * bucket leftovers, as before. */
+  private def locked(fs: FileSystem, path: String, snap: Boolean)(
+      body: Boolean => Unit): Unit = {
     healBuckets(fs, path) // legacy `.old` leftovers (pre-snapshot crashes)
-    val root = new Path(path)
-    val managed = Snapshots.currentFiles(fs, root).isDefined
-    if (managed || requested) {
-      // same discipline as the index writers: complete or discard a torn
-      // install FIRST (its journaled files must be all-present-or-none
-      // before the snapshot heal can adjudicate the pending journal)
+    if (snap) StagedCommit.withWriterLock(fs, new Path(path)) {
+      val root = new Path(path)
       StagedCommit.heal(fs, new Path(path + ".staging"))
       Snapshots.heal(fs, root)
-      if (!managed && fs.exists(root)) { Snapshots.commit(fs, root); () }
-      true
-    } else false
+      if (Snapshots.currentFiles(fs, root).isEmpty && fs.exists(root)) {
+        Snapshots.commit(fs, root); ()
+      }
+      body(true)
+    } else body(false)
   }
 
   /** The current rows of `path`'s touched buckets. Snapshot mode reads
@@ -232,7 +253,17 @@ object Sinks {
                     nBuckets: Int = DefaultUpsertBuckets,
                     snapshotted: Boolean = false): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = snapEnter(fs, path, snapshotted)
+    locked(fs, path, snapMode(fs, path, snapshotted)) { snap =>
+      upsertCombineBody(spark, fs, delta, keys, combine, batchId, path,
+        nBuckets, snap)
+    }
+  }
+
+  private def upsertCombineBody(spark: SparkSession, fs: FileSystem,
+                                delta: DataFrame, keys: Seq[String],
+                                combine: Seq[Column], batchId: Long,
+                                path: String, nBuckets: Int,
+                                snap: Boolean): Unit = {
     val effectiveBuckets = readOrWriteBucketCount(fs, path, nBuckets)
     val withB = delta
       .withColumn("__bucket", bucketOf(keys, effectiveBuckets))
@@ -323,17 +354,64 @@ object Sinks {
                   snapshotted: Boolean = false): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
-    val snap = snapEnter(fs, path, snapshotted)
-    val table = if (snap) Snapshots.readTable(spark, new Path(path))
-                else spark.read.parquet(path)
-    val hit = coalesce(predicate, lit(false))
-    val affected = table.filter(hit)
-      .select("__bucket").distinct().collect().map(_.getInt(0)).sorted
-    if (affected.isEmpty) return
-    val kept = liveTouched(spark, fs, path, affected.toIndexedSeq, snap)
-      .getOrElse(return).filter(!hit)
-    if (snap) stageAndInstall(spark, fs, path, kept, affected.toIndexedSeq)
-    else stageAndSwap(fs, path, kept, affected.toIndexedSeq)
+    locked(fs, path, snapMode(fs, path, snapshotted)) { snap =>
+      val table = if (snap) Snapshots.readTable(spark, new Path(path))
+                  else spark.read.parquet(path)
+      val hit = coalesce(predicate, lit(false))
+      val affected = table.filter(hit)
+        .select("__bucket").distinct().collect().map(_.getInt(0)).sorted
+      if (affected.nonEmpty)
+        liveTouched(spark, fs, path, affected.toIndexedSeq, snap)
+          .foreach { live =>
+            val kept = live.filter(!hit)
+            if (snap) stageAndInstall(spark, fs, path, kept,
+              affected.toIndexedSeq)
+            else stageAndSwap(fs, path, kept, affected.toIndexedSeq)
+          }
+    }
+  }
+
+  /** The atomic move-rows cousin of [[deleteWhere]] — the retention
+    * primitive for folding expired rows into carry rows OF THE SAME
+    * TABLE in ONE commit: rows matching `predicate` are removed and
+    * `migrate(matching)` rows (same schema, keys included — they may
+    * hash into OTHER buckets) are merged in, re-aggregating every
+    * touched bucket by `keys` with the caller's associative `combine`.
+    * Because source removal and carry merge land in one
+    * [[stageAndInstall]] (one staged manifest, one snapshot commit), a
+    * concurrent reader sees the table before OR after the whole
+    * migration — never the torn middle where rows exist twice or not
+    * at all — and a crash heals to exactly one of those two states,
+    * which also makes the operation replay-idempotent with no batch
+    * stamp: once applied, `predicate` matches nothing. */
+  def migrateWhere(spark: SparkSession, path: String, predicate: Column,
+                   migrate: DataFrame => DataFrame,
+                   keys: Seq[String], combine: Seq[Column],
+                   snapshotted: Boolean = false): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return
+    locked(fs, path, snapMode(fs, path, snapshotted)) { snap =>
+      val n = readOrWriteBucketCount(fs, path, DefaultUpsertBuckets)
+      val table = if (snap) Snapshots.readTable(spark, new Path(path))
+                  else spark.read.parquet(path)
+      val hit = coalesce(predicate, lit(false))
+      val srcBuckets = table.filter(hit)
+        .select("__bucket").distinct().collect().map(_.getInt(0))
+      if (srcBuckets.nonEmpty) {
+        val moved = migrate(table.filter(hit).drop("__bucket"))
+          .withColumn("__bucket", bucketOf(keys, n))
+        val dstBuckets = moved
+          .select("__bucket").distinct().collect().map(_.getInt(0))
+        val touched = (srcBuckets ++ dstBuckets).distinct.sorted.toIndexedSeq
+        val kept = liveTouched(spark, fs, path, touched, snap)
+          .map(_.filter(!hit)).getOrElse(moved.limit(0))
+        val merged = kept.unionByName(moved, allowMissingColumns = true)
+          .groupBy((keys :+ "__bucket").map(col): _*)
+          .agg(combine.head, combine.tail: _*)
+        if (snap) stageAndInstall(spark, fs, path, merged, touched)
+        else stageAndSwap(fs, path, merged, touched)
+      }
+    }
   }
 
   /** Read a table written by [[upsertKeyed]] without its layout column

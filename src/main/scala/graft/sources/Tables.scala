@@ -40,4 +40,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Page-cache warm-up shared by the timing harnesses (Bench, the
+    * scale probe): MATERIALIZE every column of every table via a noop
+    * write — count() reads only parquet footers, which left the first
+    * timed queries paying the disk fill and showing as phantom
+    * regressions in earlier rounds. Missing tables are skipped. */
+  def warm(spark: SparkSession, dir: String): Unit =
+    all.foreach { t =>
+      try load(spark, dir, t)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 }

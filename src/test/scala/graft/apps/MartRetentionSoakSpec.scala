@@ -22,8 +22,9 @@ import graft.sinks.Sinks
   *    user / (user, week) forever;
   *  - every mart output stays EQUAL to the full-history batch
   *    recompute at every checkpoint. Decay is exact unconditionally
-  *    (retired weeks fold into `decay_carry` at their shift-frozen
-  *    contribution); sessions are exact because an idle-≥-gap session
+  *    (retired weeks migrate into per-user sentinel rows holding their
+  *    shift-frozen contribution, one atomic commit per sweep);
+  *    sessions are exact because an idle-≥-gap session
   *    is closed in the batch view too; transitions are exact within
   *    the retention window — this soak's users never return after
   *    their TTL, the documented W7 semantics.
@@ -45,7 +46,8 @@ class MartRetentionSoakSpec extends SparkSpec {
   private val retention = EventMartStream.Retention(
     decaySweepEveryN = 1,
     sessTtlUs = Some(ttlUs),
-    transTtlUs = Some(ttlUs))
+    transTtlUs = Some(ttlUs),
+    ttlSweepEveryN = 1)
 
   /** Batch i: users of steps i-1 and i, three events each in week 4i. */
   private def batchRows(i: Int): Seq[(Long, Long, Long, String, Double)] = {
@@ -122,13 +124,18 @@ class MartRetentionSoakSpec extends SparkSpec {
       s"trans_state must plateau (got $transEnd rows of $totalUsers users)")
     assert(sessEnd <= 5L * U,
       s"sess_state must plateau (got $sessEnd rows of $totalUsers users)")
-    // decay plateau: only weeks inside the 63-week window stay live —
-    // ~16 batches' worth of (user, week) rows vs 36 batches ever
-    assert(decayEnd < totalUserWeeks * 2 / 3,
-      s"decay_weeks must retire old weeks (got $decayEnd of " +
+    // decay plateau: only weeks inside the 63-week window stay live as
+    // REAL rows (~16 batches' worth); retired weeks collapse to ONE
+    // sentinel row per user inside the same table
+    val wkEnd = Sinks.readCombined(spark, s"$dir/decay_weeks")
+    val realEnd = wkEnd.filter(col("__w") =!= -1L).count()
+    val sentinels = wkEnd.filter(col("__w") === -1L).count()
+    assert(realEnd < totalUserWeeks * 2 / 3,
+      s"decay_weeks must retire old weeks (got $realEnd real rows of " +
         s"$totalUserWeeks user-weeks ever)")
-    assert(Sinks.readCombined(spark, s"$dir/decay_carry").count() > 0,
-      "the retired weeks must have folded into the carry")
+    assert(sentinels > 0, "the retired weeks must have folded into sentinels")
+    assert(decayEnd < totalUserWeeks,
+      s"the table as a whole must shrink (got $decayEnd rows)")
     // plateau, not just "smaller": the last quarter's max state size is
     // no bigger than the steady state reached by mid-run
     val steady = counts.slice(NB / 2, NB * 3 / 4)
@@ -142,9 +149,9 @@ class MartRetentionSoakSpec extends SparkSpec {
   test("a crash at any retention stage replays to the exact batch answer") {
     // drive to a batch where ALL retention arms fire (decay sweep with
     // expired weeks needs refW ≥ 63 → batch ≥ 16; TTLs fire from batch
-    // 2), then inject a crash at every mutation stage of the NEXT batch
-    // and replay. Stages: 7 main + 2 decay (fold, delete) + 2 sess
-    // (fold, delete) + 1 trans delete = 12.
+    // 2), then inject a crash at every mutation stage of a fresh batch
+    // and replay. Stages: 7 main + 1 decay migrate + 2 sess (fold,
+    // delete) + 1 trans delete = 11.
     val dir = Files.createTempDirectory("mart-ret-crash").toString
     val warm = 18
     var consumed = Seq.empty[(Long, Long, Long, String, Double)]
@@ -158,7 +165,7 @@ class MartRetentionSoakSpec extends SparkSpec {
     // batch — past batch 18 every retention arm fires every batch (4
     // new weeks cross the decay horizon, one rotation step's users
     // cross both TTLs), so all 12 stages exist in every batch
-    (0 until 12).foreach { s =>
+    (0 until 11).foreach { s =>
       val i = warm + s
       val rows = batchRows(i)
       EventMartStream.crashAfterStage = s

@@ -125,6 +125,27 @@ class MartSnapshotSpec extends SparkSpec {
       "keep-last must not duplicate keys across generations")
   }
 
+  test("a second concurrent snapshot-mode writer fails loudly, table untouched") {
+    val dir = Files.createTempDirectory("mart-snap-lock").toString + "/t"
+    combineInto(delta(0 until 20, 1), dir, 0L)
+    val pre = rows(Sinks.readCombined(spark, dir))
+    // simulate a live concurrent writer: a fresh heartbeat lock on the
+    // TABLE root (the unit the keyed sinks lock on)
+    StagedCommit.withWriterLock(fs, new Path(dir)) {
+      val e = intercept[IllegalStateException] {
+        combineInto(delta(0 until 20, 10), dir, 1L)
+      }
+      assert(e.getMessage.contains("another writer"),
+        s"wrong failure: ${e.getMessage}")
+    }
+    assert(rows(Sinks.readCombined(spark, dir)) == pre,
+      "the refused writer must not have touched the table")
+    // the lock released: the same mutation now applies
+    combineInto(delta(0 until 20, 10), dir, 1L)
+    assert(rows(Sinks.readCombined(spark, dir)) ==
+      (0 until 20).map(k => k.toLong -> 11L).toMap)
+  }
+
   test("an existing raw table upgrades in place with one bootstrap commit") {
     val dir = Files.createTempDirectory("mart-snap-up").toString + "/t"
     // legacy (raw bucket swap) writes
