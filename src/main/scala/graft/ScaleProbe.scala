@@ -160,25 +160,33 @@ object ScaleProbe {
       .select(col("doc_id").as("q_id"), col("text")).localCheckpoint(true)
     val out = scala.collection.mutable.Map[String, Double]()
     // same failure policy as runQueries: a blown index step at one
-    // scale must not discard everything already measured
-    def step(name: String)(body: => Unit): Unit =
-      try out(name) = time(body)
-      catch { case e: Throwable =>
-        println(s"[scale-probe] $dir index $name FAILED: " +
-          Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-      }
-    step("text_build")(
+    // scale must not discard everything already measured — but a step
+    // whose PREREQUISITE failed is skipped, not run: timing an append
+    // against a half-built index would report a flattering garbage
+    // slope, the exact phantom the probe exists to catch
+    def step(name: String, after: Boolean = true)(body: => Unit): Boolean =
+      if (!after) {
+        println(s"[scale-probe] $dir index $name SKIPPED (upstream failed)")
+        false
+      } else
+        try { out(name) = time(body); true }
+        catch { case e: Throwable =>
+          println(s"[scale-probe] $dir index $name FAILED: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          false
+        }
+    val tb = step("text_build")(
       TextIndexApp.build(spark, docs, s"$work/text", nBuckets = 64))
-    step("text_append")(
+    val ta = step("text_append", after = tb)(
       TextIndexApp.append(spark, docDelta, s"$work/text"))
-    step("text_query")(
+    step("text_query", after = ta)(
       TextIndexApp.query(spark, probes, s"$work/text", topK = 10)
         .write.format("noop").mode("overwrite").save())
-    step("vec_build")(
+    val vb = step("vec_build")(
       VectorIndexApp.build(spark, vecs, s"$work/vec", kCells = 64, iters = 2))
-    step("vec_append")(
+    val va = step("vec_append", after = vb)(
       VectorIndexApp.append(spark, vecDelta, s"$work/vec"))
-    step("vec_query")(
+    step("vec_query", after = va)(
       VectorIndexApp.query(spark, vecs, s"$work/vec",
           col("vec_id") < 8, topK = 10, nprobe = 4, rerankK = 40)
         .write.format("noop").mode("overwrite").save())

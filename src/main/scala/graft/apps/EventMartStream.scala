@@ -45,10 +45,11 @@ import graft.sinks.Sinks
   * Every mart table is SNAPSHOT-MANAGED (`snapshotted = true` on each
   * [[Sinks]] mutation): writes journal + install + commit through the
   * [[Snapshots]] manifest tier, so a reader that plans mid-batch sees
-  * the PRE-batch table (its pinned files outlive the commit by one
-  * more commit — the grace window) and one that plans after the
-  * commit sees the post-batch table — never a mix of swapped and
-  * unswapped buckets, never a just-deleted file.
+  * the PRE-batch table (its pinned files outlive the commit by two
+  * more commits — the grace window, wide enough to cover a batch that
+  * commits a table twice: merge + retention sweep) and one that plans
+  * after the commit sees the post-batch table — never a mix of
+  * swapped and unswapped buckets, never a just-deleted file.
   *
   * [[Retention]] bounds the keyed state (the reference bounds every
   * keyed state with TTL — 1 d UV, 5 s dedup; W7 in SURVEY §2):
@@ -81,8 +82,9 @@ object EventMartStream {
     *    session gap + the pipeline's cross-user event-time skew, this
     *    is exact vs the batch recompute (an idle-≥-gap session is
     *    closed there too; the skew term is the usual watermark bound —
-    *    idleness is measured against the batch's global max event
-    *    time, carried forward across sweep batches).
+    *    idleness is measured against the SWEEP batch's own global max
+    *    event time, so a sweep batch with unusually old events expires
+    *    conservatively late, never early).
     *  - `transTtlUs`: last-event rows idle ≥ ttl are DROPPED — a user
     *    returning after the ttl starts a fresh transition chain (the
     *    reference's W7 state-TTL semantics, e.g. its 1 d UV TTL:

@@ -186,17 +186,28 @@ private[graft] object Snapshots {
     val dying = cur.map(_.expiring).getOrElse(Nil)   // two commits old
     val gone = (replaced ++ expiring ++ dying).toSet
     val data = visible(fs, root).filterNot(gone)
+    // the two-commit grace ends for files retired at version n-2 —
+    // deleted BEFORE the manifest rename, while the current manifest
+    // still lists them as expiring: a crash mid-delete leaves every
+    // survivor tracked (deleting after the rename left crash survivors
+    // listed NOWHERE, and the next commit's visible-minus-gone scan
+    // would have adopted the deleted rows back as data). A file whose
+    // delete fails but still exists stays in the expiring list for a
+    // later commit to retry, for the same reason.
+    val stubborn = dying.filter { p =>
+      val f = new Path(root, p)
+      !fs.delete(f, false) && fs.exists(f)
+    }
     val dir = snapDir(root)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-v$n")
     write(fs, tmp,
       (data.sorted.map(p => s"data $p") ++
         replaced.sorted.map(p => s"retired $p") ++
-        expiring.sorted.map(p => s"expiring $p")).mkString("\n"))
+        (expiring ++ stubborn).sorted.map(p => s"expiring $p"))
+        .mkString("\n"))
     require(fs.rename(tmp, new Path(dir, f"v$n%08d")),
       s"snapshot commit v$n lost a rename race — writer lock violated?")
-    // the two-commit grace ends for files retired at version n-2
-    dying.foreach(p => fs.delete(new Path(root, p), false))
     // keep the previous manifest (a reader between list and open may
     // still grab it); everything older is unreachable
     if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>

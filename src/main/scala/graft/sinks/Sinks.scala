@@ -195,12 +195,12 @@ object Sinks {
     * staged part-file names carry a per-job UUID, so they never collide
     * with live files), then snapshot-commit: the staged files become
     * the touched buckets' data and the replaced originals RETIRE,
-    * outliving the commit by one more commit (the readers' grace
+    * outliving the commit by two more commits (the readers' grace
     * window, same contract as [[graft.apps.Compaction]]'s snapshot
     * groups). A reader that planned before the commit keeps every file
     * it resolved; one that plans after sees exactly the post-batch
     * table — pre- or post-batch state, never a mix, never a deleted
-    * file. Crash-safe via [[snapEnter]]'s heal-first discipline: the
+    * file. Crash-safe via [[locked]]'s heal-first discipline: the
     * pending journal is either aborted (nothing installed) or
     * completed (everything installed) on the next writer entry. */
   private def stageAndInstall(spark: SparkSession, fs: FileSystem,
@@ -398,8 +398,14 @@ object Sinks {
       val srcBuckets = table.filter(hit)
         .select("__bucket").distinct().collect().map(_.getInt(0))
       if (srcBuckets.nonEmpty) {
+        // materialized ONCE: `moved` is consulted for its destination
+        // buckets and merged into the staged write — recomputing it
+        // would re-run the discovery scan and the caller's aggregation
+        // per consumer (it is carry-row-sized: bounded by the source
+        // table's key space, ContextCleaner-collected after)
         val moved = migrate(table.filter(hit).drop("__bucket"))
           .withColumn("__bucket", bucketOf(keys, n))
+          .localCheckpoint(true)
         val dstBuckets = moved
           .select("__bucket").distinct().collect().map(_.getInt(0))
         val touched = (srcBuckets ++ dstBuckets).distinct.sorted.toIndexedSeq

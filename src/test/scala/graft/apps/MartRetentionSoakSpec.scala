@@ -164,7 +164,7 @@ class MartRetentionSoakSpec extends SparkSpec {
     // stamped, its deletes done), so each stage injection gets a FRESH
     // batch — past batch 18 every retention arm fires every batch (4
     // new weeks cross the decay horizon, one rotation step's users
-    // cross both TTLs), so all 12 stages exist in every batch
+    // cross both TTLs), so all 11 stages exist in every batch
     (0 until 11).foreach { s =>
       val i = warm + s
       val rows = batchRows(i)
