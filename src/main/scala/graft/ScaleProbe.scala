@@ -5,7 +5,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.apps.{TextIndexApp, VectorIndexApp}
+import graft.apps.{EventMartStream, HybridSearchApp, Snapshots,
+  TextIndexApp, VectorIndexApp}
+import graft.sinks.Sinks
 import graft.sources.Tables
 
 /** The 10× scaling probe (r9 verdict task #1): measure the wall-time
@@ -47,6 +49,33 @@ object ScaleProbe {
     "s3_cdc_extract", "q3_top_revenue")
 
   def main(args: Array[String]): Unit = {
+    // round-11 probe modes (verdict tasks #3/#5/#6), selected by a
+    // leading keyword so the original `<src> <dst> [factor]` query
+    // contract is untouched:
+    //   `mart <workDir> [stateFactor]`    — mart per-batch/per-sweep
+    //                                       wall vs a scaled state base
+    //   `manifest <workDir>`              — Snapshots commit/resolve
+    //                                       wall vs synthetic file count
+    //   `hybrid <src> <big> <workDir>`    — fused-query serving latency
+    //                                       (cold vs warm, 1× vs big)
+    args.headOption match {
+      case Some("mart") =>
+        val spark = GraftSession.local("graft-scale-probe")
+        try martProbe(spark, args(1), args.lift(2).map(_.toInt).getOrElse(100))
+        finally spark.stop()
+        return
+      case Some("manifest") =>
+        val spark = GraftSession.local("graft-scale-probe")
+        try manifestProbe(spark, args(1))
+        finally spark.stop()
+        return
+      case Some("hybrid") =>
+        val spark = GraftSession.local("graft-scale-probe")
+        try hybridLatencyProbe(spark, args(1), args(2), args(3))
+        finally spark.stop()
+        return
+      case _ => ()
+    }
     val Array(srcDir, destDir) = args.take(2)
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = GraftSession.local("graft-scale-probe")
@@ -90,8 +119,12 @@ object ScaleProbe {
       df.withColumn("o_orderkey", col("o_orderkey") + k * Off)
         .withColumn("o_custkey", col("o_custkey") + k * Off) }
     widen("lineitem") { (df, k) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + k * Off)
-        .withColumn("l_suppkey", col("l_suppkey") + k * Off) }
+      // l_suppkey is NOT shifted: supplier is copied as-is (a shared
+      // dimension, like part/region/nation), so every copy's lineitems
+      // must keep referencing the shared s_suppkey space — shifting it
+      // would point ~90% of rows at nonexistent suppliers and skew any
+      // probe query that joins supplier
+      df.withColumn("l_orderkey", col("l_orderkey") + k * Off) }
     widen("events") { (df, k) =>
       df.withColumn("event_id", col("event_id") + k * Off)
         .withColumn("user_id", col("user_id") + k * Off) }
@@ -194,6 +227,165 @@ object ScaleProbe {
     out.foreach { case (k, v) =>
       println(f"[scale-probe] $dir index $k%-12s ${v}%8.2f s") }
     out.toMap
+  }
+
+  // ------------------------------------------------ round-11 probe modes
+
+  /** Task #5 — the mart tier's per-batch and per-sweep wall against a
+    * scaled STATE BASE (the soaks assert exactness, this measures
+    * cost): seed `2000` vs `2000·factor` users of keyed state spread
+    * over 70 weeks, then time (a) fixed 100-user batches at the stock
+    * 64-bucket layout, (b) the same after an ONLINE REBUCKET to
+    * 64·factor buckets (task #2's enabler: per-batch state I/O is
+    * touchedBuckets × bucketSize, so widening the layout with the
+    * table keeps bucketSize — and the per-batch cost — tied to the
+    * BATCH, not the base), and (c) one full retention sweep, whose
+    * cost is linear in STATE (never history) by design. */
+  private def martProbe(spark: SparkSession, work: String,
+                        factor: Int): Unit = {
+    val WeekUs = 7L * 86400 * 1000 * 1000
+    val fs = new Path(work).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val retOff = EventMartStream.Retention(
+      decaySweepEveryN = Int.MaxValue, ttlSweepEveryN = Int.MaxValue)
+    val retSweep = EventMartStream.Retention(decaySweepEveryN = 1,
+      sessTtlUs = Some(6L * WeekUs), transTtlUs = Some(6L * WeekUs),
+      ttlSweepEveryN = 1)
+    def events(users: Long, weekOf: org.apache.spark.sql.Column,
+               idOff: Long): DataFrame =
+      spark.range(users).select(col("id").as("user_id"),
+        timestamp_micros(weekOf * lit(WeekUs) + col("id") * lit(1000L))
+          .as("ts"),
+        (col("id") + lit(idOff)).as("event_id"),
+        concat(lit("t"), (col("id") % 3).cast("string")).as("event_type"),
+        (col("id") % 7).cast("double").as("value"))
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    Seq(("1x", 1L), (s"${factor}x", factor.toLong)).foreach { case (label, s) =>
+      val dir = s"$work/mart_$label"
+      fs.delete(new Path(dir), true)
+      val baseUsers = 2000L * s
+      // seed: every user one event in week (u % 70) + 1 — the 70-week
+      // spread gives the decay sweep real expiry work
+      EventMartStream.processBatch(
+        events(baseUsers, col("id") % 70 + 1, 0L), 1L, dir, retOff)
+      def timedBatches(ids: Range, tag: String): Unit = {
+        val walls = ids.map { i =>
+          time(EventMartStream.processBatch(
+            events(100L, lit(72L + i), 1000000L * i), i.toLong, dir, retOff))
+        }
+        out(tag) = walls.min
+        println(f"[scale-probe] mart $tag%-28s ${walls.min}%8.2f s (min of ${walls.size})")
+      }
+      timedBatches(2 to 4, s"mart_batch_${label}_64b")
+      if (s > 1) {
+        val reb = time {
+          Sinks.rebucket(spark, s"$dir/uv_days",
+            Seq("cur_date", "user_id"), 64 * factor)
+          Sinks.rebucket(spark, s"$dir/decay_weeks",
+            Seq("user_id", "__w"), 64 * factor)
+          Sinks.rebucket(spark, s"$dir/trans_state", Seq("user_id"),
+            64 * factor)
+          Sinks.rebucket(spark, s"$dir/sess_state", Seq("user_id"),
+            64 * factor)
+        }
+        out(s"mart_rebucket_$label") = reb
+        println(f"[scale-probe] mart rebucket x4 tables        ${reb}%8.2f s")
+        timedBatches(5 to 7, s"mart_batch_${label}_wide")
+      }
+      val sweepBatch = if (s > 1) 8 else 5
+      out(s"mart_sweep_$label") = time(EventMartStream.processBatch(
+        events(100L, lit(72L + sweepBatch), 1000000L * sweepBatch),
+        sweepBatch.toLong, dir, retSweep))
+      println(f"[scale-probe] mart mart_sweep_$label%-17s ${out(s"mart_sweep_$label")}%8.2f s")
+    }
+    val fields = out.map { case (k, v) => f""""$k":${v}%.2f""" }
+    println(s"""{"mart_probe":{${fields.mkString(",")}}}""")
+  }
+
+  /** Task #3 — the Snapshots manifest's scale ceiling, measured: commit
+    * wall (the visible-files walk + manifest write + expiry), resolve
+    * wall (parse the data list) and manifest bytes at 10⁴–10⁶ synthetic
+    * files. The at-rest bound is structural — `Compaction` keeps ≤ 8
+    * small files per dir and graduated files are ≥ 128 MB, so a
+    * 100 TB / 64-dir table holds ≈ tableBytes/128 MB + 512 files
+    * (≈ 800k lines ≈ 60 MB manifest) — this probe tells us what that
+    * costs per commit and per plan. */
+  private def manifestProbe(spark: SparkSession, work: String): Unit = {
+    val fs = new Path(work).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    Seq(10000, 100000, 1000000).foreach { n =>
+      val root = new Path(s"$work/mtab_$n")
+      fs.delete(root, true)
+      val dirs = 64
+      val mk = time {
+        (0 until dirs).foreach { d =>
+          val dd = new java.io.File(s"$work/mtab_$n/__bucket=$d")
+          dd.mkdirs()
+          (0 until n / dirs).foreach { i =>
+            new java.io.File(dd, f"part-$i%07d.parquet").createNewFile()
+          }
+        }
+      }
+      val commit1 = time(Snapshots.commit(fs, root))
+      val resolve = time {
+        require(Snapshots.currentFiles(fs, root).exists(_.size == n))
+      }
+      val commit2 = time(Snapshots.commit(fs, root)) // steady-state
+      val bytes = fs.listStatus(new Path(root, "_snap"))
+        .map(_.getLen).max
+      out(s"commit_$n") = commit2
+      out(s"resolve_$n") = resolve
+      println(f"[scale-probe] manifest n=$n%8d  mkfiles ${mk}%6.1f s  " +
+        f"commit(first) ${commit1}%6.2f s  commit(steady) ${commit2}%6.2f s  " +
+        f"resolve ${resolve}%6.3f s  manifest ${bytes / 1024}%d KiB")
+      fs.delete(root, true)
+    }
+    val fields = out.map { case (k, v) => f""""$k":${v}%.3f""" }
+    println(s"""{"manifest_probe":{${fields.mkString(",")}}}""")
+  }
+
+  /** Task #6 — fused-query SERVING latency (plan resolution +
+    * execution) against both index scales: the per-query planning
+    * constant is the serving bottleneck no throughput bench sees.
+    * Reports the cold first query and the warm median of the rest;
+    * indexes are built once per scale and reused across runs. */
+  private def hybridLatencyProbe(spark: SparkSession, src: String,
+                                 big: String, work: String): Unit = {
+    val fs = new Path(work).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val probeIds = (0L until 8L).toSeq
+    Seq(("1x", src), ("big", big)).foreach { case (label, dir) =>
+      val (tIdx, vIdx, grp) =
+        (s"$work/$label/text", s"$work/$label/vec", s"$work/$label/_grp")
+      if (!fs.exists(new Path(s"$work/$label/_BUILT"))) {
+        val docs = Tables.documents(spark, dir)
+        val vecs = Tables.embeddings(spark, dir)
+        TextIndexApp.build(spark, docs, tIdx, nBuckets = 64)
+        VectorIndexApp.build(spark, vecs, vIdx, kCells = 64, iters = 2)
+        HybridSearchApp.commitGroup(spark, tIdx, vIdx, grp)
+        fs.create(new Path(s"$work/$label/_BUILT"), true).close()
+      }
+      val docs = Tables.documents(spark, dir)
+      val vecs = Tables.embeddings(spark, dir)
+      val walls = (0 until 8).map { _ =>
+        time {
+          HybridSearchApp.query(spark, probeIds, docs, vecs, tIdx, vIdx,
+              topK = 5, armK = 20, k0 = 60, nprobe = 4, rerankK = 40,
+              groupDir = Some(grp))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val warm = walls.drop(1).sorted.apply(walls.length / 2 - 1)
+      out(s"hybrid_cold_$label") = walls.head
+      out(s"hybrid_warm_$label") = warm
+      println(f"[scale-probe] hybrid $label%-4s cold ${walls.head}%6.2f s  " +
+        f"warm(median of ${walls.length - 1}) ${warm}%6.2f s  " +
+        s"all ${walls.map(w => f"$w%.2f").mkString(" ")}")
+    }
+    val fields = out.map { case (k, v) => f""""$k":${v}%.2f""" }
+    println(s"""{"hybrid_latency_probe":{${fields.mkString(",")}}}""")
   }
 
   // ---------------------------------------------------------------- report

@@ -1,5 +1,7 @@
 package graft.apps
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,21 +23,86 @@ import graft.operators.SimilarityOps
   * `docs`/`corpus` supply probe text and raw embeddings (the rerank
   * reads embeddings from `corpus`, the one thing a compact index does
   * not store); `probeIds` selects the query batch in the shared id
-  * space — tiny by the serving contract of both arms. */
+  * space — tiny by the serving contract of both arms.
+  *
+  * CROSS-INDEX GENERATION (r10 verdict task #1): the two indexes are
+  * maintained by separate writers over the same corpus, so two
+  * independently-pinned arms could fuse DIFFERENT corpus generations
+  * (one arm pre-append, the other post-append — a doc ranked by one
+  * arm that the other has never heard of). A hybrid GROUP manifest
+  * ([[Snapshots.commitGroup]]) names the three snapshot tables both
+  * arms serve from — `postings`, `doclens`, `codes` — as one
+  * (table → version) vector; [[append]]/[[retractBoth]] advance it by
+  * one atomic rename after BOTH indexes committed, and [[query]] with
+  * `groupDir` resolves it once at plan time and pins every member, so
+  * a fused query sees one consistent corpus generation across arms. */
 object HybridSearchApp {
+
+  private def members(textIdx: String, vecIdx: String): Seq[(String, Path)] =
+    Seq("postings" -> new Path(s"$textIdx/postings"),
+      "doclens" -> new Path(s"$textIdx/doclens"),
+      "codes" -> new Path(s"$vecIdx/codes"))
+
+  /** Advance the hybrid group to the current (consistent) heads — call
+    * after builds and after any maintenance cycle that mutated both
+    * indexes. One atomic rename; idempotent when nothing moved. */
+  def commitGroup(spark: SparkSession, textIdx: String, vecIdx: String,
+                  groupDir: String): Unit = {
+    val fs = new Path(groupDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Snapshots.commitGroup(fs, new Path(groupDir), members(textIdx, vecIdx))
+    ()
+  }
+
+  /** One hybrid maintenance cycle: append the SAME document batch to
+    * both arms, then publish the new corpus generation in one group
+    * advance. A crash between the two appends (or before the advance)
+    * leaves group-pinned queries on the pre-cycle generation — both
+    * arms consistent — and the replayed cycle (idempotent appends)
+    * completes and advances. */
+  def append(spark: SparkSession, docs: DataFrame, vecs: DataFrame,
+             textIdx: String, vecIdx: String, groupDir: String): Unit = {
+    TextIndexApp.append(spark, docs, textIdx)
+    VectorIndexApp.append(spark, vecs, vecIdx)
+    commitGroup(spark, textIdx, vecIdx, groupDir)
+  }
+
+  /** Takedown from BOTH arms, then one group advance (same contract
+    * as [[append]]; the in-place-rewrite trade of each arm's retract
+    * is documented there). */
+  def retractBoth(spark: SparkSession, ids: Seq[Long],
+                  textIdx: String, vecIdx: String, groupDir: String): Unit = {
+    TextIndexApp.retract(spark, ids, textIdx)
+    VectorIndexApp.retract(spark, ids, vecIdx)
+    commitGroup(spark, textIdx, vecIdx, groupDir)
+  }
 
   def query(spark: SparkSession, probeIds: Seq[Long],
             docs: DataFrame, corpus: DataFrame,
             textIdx: String, vecIdx: String,
             topK: Int, armK: Int, k0: Int,
-            nprobe: Int, rerankK: Int): DataFrame = {
+            nprobe: Int, rerankK: Int,
+            groupDir: Option[String] = None): DataFrame = {
+    // resolve the hybrid group ONCE, before either arm plans: all
+    // three member tables pin to the same generation vector. Without
+    // groupDir each arm pins itself (the text index's own group; the
+    // vec index's newest codes manifest) — per-arm consistent, but
+    // not cross-arm.
+    val pins: Option[Map[String, Int]] = groupDir.flatMap { g =>
+      val fs = new Path(g).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      Snapshots.resolveGroup(fs, new Path(g))
+        .filter(_.values.forall(_ > 0))
+    }
     val lex = TextIndexApp.query(spark,
         docs.filter(col("doc_id").isin(probeIds: _*))
           .select(col("doc_id").as("q_id"), col("text")),
-        textIdx, armK)
+        textIdx, armK,
+        pinned = pins.map(p => (p("postings"), p("doclens"))))
       .select(col("q_id"), col("doc_id").as("id"), col("rnk").as("rank"))
     val dense = VectorIndexApp.query(spark, corpus, vecIdx,
-        col("vec_id").isin(probeIds: _*), armK, nprobe, rerankK)
+        col("vec_id").isin(probeIds: _*), armK, nprobe, rerankK,
+        pinnedCodes = pins.map(_("codes")))
       .select(col("q_id"), col("vec_id").as("id"), col("rank"))
     SimilarityOps.rrfFuse(lex, dense, k0, topK)
       .select(col("q_id"), col("id").as("doc_id"), col("rnk"), col("rrf_score"))

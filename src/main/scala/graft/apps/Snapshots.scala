@@ -56,7 +56,8 @@ private[graft] object Snapshots {
 
   private final case class Manifest(version: Int, data: Seq[String],
                                     retired: Seq[String],
-                                    expiring: Seq[String])
+                                    expiring: Seq[String],
+                                    nbuckets: Option[Int])
 
   /** Highest committed version under `root`, if any. */
   private def currentManifest(fs: FileSystem, root: Path): Option[Manifest] = {
@@ -70,13 +71,27 @@ private[graft] object Snapshots {
       val n = vs.max
       val lines = readLines(fs, new Path(dir, f"v$n%08d"))
       // a pre-expiring-generation manifest simply has no `expiring`
-      // lines — its retirees get one extra commit of grace, never less
-      Some(Manifest(n,
-        lines.collect { case s if s.startsWith("data ") => s.drop(5) },
-        lines.collect { case s if s.startsWith("retired ") => s.drop(8) },
-        lines.collect { case s if s.startsWith("expiring ") => s.drop(9) }))
+      // lines — its retirees get one extra commit of grace, never less;
+      // a pre-rebucket manifest has no `nbuckets` line — the sidecar
+      // `.nbuckets` file stays authoritative for it
+      Some(parseManifest(n, lines))
     }
   }
+
+  private def parseManifest(n: Int, lines: Seq[String]): Manifest =
+    Manifest(n,
+      lines.collect { case s if s.startsWith("data ") => s.drop(5) },
+      lines.collect { case s if s.startsWith("retired ") => s.drop(8) },
+      lines.collect { case s if s.startsWith("expiring ") => s.drop(9) },
+      lines.collectFirst { case s if s.startsWith("nbuckets ") =>
+        s.drop(9).trim.toInt })
+
+  /** The bucket count the newest manifest carries, if any — committed
+    * ATOMICALLY with the data layout it describes (the rebucket
+    * primitive's one-commit count+layout flip). Tables whose manifests
+    * predate the line fall back to their sidecar `.nbuckets` file. */
+  def currentBucketCount(fs: FileSystem, root: Path): Option[Int] =
+    currentManifest(fs, root).flatMap(_.nbuckets)
 
   /** The current data-file list (paths relative to `root`); None when
     * the table is not snapshot-managed (no committed manifest). */
@@ -122,14 +137,60 @@ private[graft] object Snapshots {
                 pruneDirs: Option[(String, Set[Long])] = None)
       : org.apache.spark.sql.DataFrame = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    currentManifest(fs, root) match {
-      case Some(m) if m.data.isEmpty && (m.retired ++ m.expiring).nonEmpty =>
+    readManifest(spark, fs, root, currentManifest(fs, root), pruneDirs)
+  }
+
+  /** Read `root` pinned at a SPECIFIC manifest version — the member
+    * read of a cross-table [[commitGroup]] resolution. The named
+    * manifest may trail the table's head (a writer committed after the
+    * group advanced); the keep-window in [[commit]] guarantees it still
+    * exists for any lag the group writers produce (≤ 2 commits between
+    * group advances, window of 4 kept manifests), and its data files
+    * survive ≥ one further commit past that lag (a v-data file dies no
+    * earlier than v+3). A missing manifest means the group is staler
+    * than the retention window — a violated group-advance protocol —
+    * and fails loudly rather than silently serving the wrong
+    * generation. */
+  def readTableAt(spark: org.apache.spark.sql.SparkSession, root: Path,
+                  version: Int,
+                  pruneDirs: Option[(String, Set[Long])] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(snapDir(root), f"v$version%08d")
+    require(fs.exists(p),
+      s"pinned manifest v$version of $root is gone — the table committed " +
+        "past the manifest keep-window since its group last advanced " +
+        "(group-advance protocol violated?)")
+    readManifest(spark, fs, root,
+      Some(parseManifest(version, readLines(fs, p))), pruneDirs)
+  }
+
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+                           fs: FileSystem, root: Path,
+                           manifest: Option[Manifest],
+                           pruneDirs: Option[(String, Set[Long])])
+      : org.apache.spark.sql.DataFrame = {
+    manifest match {
+      // data empty covers BOTH the just-deleted state (retired files
+      // still on disk carry the schema) and the fully-expired one two
+      // commits later (all lists empty — a raw fallback would either
+      // fail on an empty dir or resurrect crash leftovers)
+      case Some(m) if m.data.isEmpty =>
         // every row deleted: the retired files survive only for the
         // grace window and carry the schema — serve an EMPTY frame; a
-        // raw-directory fallback here would RESURRECT the deleted rows
-        spark.read.option("basePath", root.toString)
-          .parquet((m.retired ++ m.expiring)
-            .map(p => new Path(root, p).toString): _*)
+        // raw-directory fallback here would RESURRECT the deleted rows.
+        // A crash inside [[commit]] between the expiry deletes and the
+        // manifest rename can leave this manifest referencing already-
+        // deleted expiring files, so plan only over files that still
+        // exist; if every schema-carrying file expired (data, retired
+        // AND expiring all gone — the degenerate terminal state of a
+        // fully-emptied table) serve a zero-column empty frame rather
+        // than a file-not-found, healed by the next writer's commit
+        val alive = (m.retired ++ m.expiring)
+          .filter(p => fs.exists(new Path(root, p)))
+        if (alive.isEmpty) spark.emptyDataFrame
+        else spark.read.option("basePath", root.toString)
+          .parquet(alive.map(p => new Path(root, p).toString): _*)
           .limit(0)
       case Some(m) if m.data.nonEmpty =>
         val files = m.data
@@ -179,9 +240,13 @@ private[graft] object Snapshots {
     * unlisted at commit time because [[heal]] resolves the pending
     * journal first. */
   def commit(fs: FileSystem, root: Path,
-             replaced: Seq[String] = Nil): Int = {
+             replaced: Seq[String] = Nil,
+             nbuckets: Option[Int] = None): Int = {
     val cur = currentManifest(fs, root)
     val n = cur.map(_.version).getOrElse(0) + 1
+    // the bucket count rides the manifest so a rebucket flips count and
+    // layout in ONE rename; every other commit carries it forward
+    val nb = nbuckets.orElse(cur.flatMap(_.nbuckets))
     val expiring = cur.map(_.retired).getOrElse(Nil) // one commit old
     val dying = cur.map(_.expiring).getOrElse(Nil)   // two commits old
     val gone = (replaced ++ expiring ++ dying).toSet
@@ -202,15 +267,79 @@ private[graft] object Snapshots {
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-v$n")
     write(fs, tmp,
-      (data.sorted.map(p => s"data $p") ++
+      (nb.toSeq.map(b => s"nbuckets $b") ++
+        data.sorted.map(p => s"data $p") ++
         replaced.sorted.map(p => s"retired $p") ++
         (expiring ++ stubborn).sorted.map(p => s"expiring $p"))
         .mkString("\n"))
     require(fs.rename(tmp, new Path(dir, f"v$n%08d")),
       s"snapshot commit v$n lost a rename race — writer lock violated?")
-    // keep the previous manifest (a reader between list and open may
-    // still grab it); everything older is unreachable
+    // keep a window of manifests, not just the newest: a reader between
+    // list and open may grab the previous one, and a GROUP resolution
+    // ([[commitGroup]]) may legitimately name a version up to two
+    // commits behind the head (one maintenance cycle commits a member
+    // twice — publish + compaction — before its group advances). Four
+    // kept manifests cover lag 2 plus the list-then-open race; each is
+    // a tiny text file, so the window costs nothing.
     if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+      val nm = s.getPath.getName
+      if (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
+        nm.drop(1).toInt < n - 3) fs.delete(s.getPath, false)
+    }
+    n
+  }
+
+  // -------------------------------------------------------- table groups
+
+  /** Cross-table snapshot GROUPS — the tier that closes the torn-view
+    * window between two single-table commits. A writer that mutates a
+    * PAIR of tables (the mart's session fold commits `sess_grid` then
+    * `sess_state`; a text-index append commits `postings` then
+    * `doclens`) produces two per-table generations that are each
+    * internally consistent but momentarily inconsistent with each
+    * other; a reader resolving both tables' newest manifests between
+    * the two commits sees a mixed generation (e.g. an expiring session
+    * counted in the grid AND still open in the state — the double
+    * count).
+    *
+    * A group manifest `groupRoot/v<N>` is ONE immutable text file
+    * naming the `(member name → table version)` vector, committed by
+    * one atomic rename. The writer advances the group only at
+    * CONSISTENT points (after the whole pair committed); readers
+    * resolve the newest group file and read every member table at its
+    * NAMED version ([[readTableAt]]) — so any reader, planned at any
+    * instant, sees one consistent cross-table generation: the one the
+    * last group advance published.
+    *
+    * Version 0 names a member that had no manifest at group-commit
+    * time (table not yet created) — readers serve it as EMPTY, which
+    * is exactly what the generation contained.
+    *
+    * Liveness of what a group names: member tables keep 4 manifest
+    * versions ([[commit]]) and a data file dies no earlier than three
+    * commits after it leaves the data list, so a group whose writers
+    * advance it within two member commits (every writer in this repo
+    * advances after each pair, lag ≤ 2) always resolves, and its files
+    * survive at least one further member commit after resolution —
+    * the same plan-then-execute grace a direct reader gets. */
+  def commitGroup(fs: FileSystem, groupRoot: Path,
+                  members: Seq[(String, Path)]): Int = {
+    val vec = members.map { case (name, root) =>
+      name -> currentManifest(fs, root).map(_.version).getOrElse(0)
+    }
+    val cur = currentGroupFile(fs, groupRoot)
+    val curVec = cur.map { case (_, lines) => parseGroup(lines) }
+    // idempotent: an unchanged vector neither churns group versions nor
+    // ends the previous group generation's implicit grace early
+    if (curVec.contains(vec.toMap)) return cur.get._1
+    val n = cur.map(_._1).getOrElse(0) + 1
+    fs.mkdirs(groupRoot)
+    val tmp = new Path(groupRoot, s".tmp-v$n")
+    write(fs, tmp,
+      vec.map { case (name, v) => s"member $name $v" }.mkString("\n"))
+    require(fs.rename(tmp, new Path(groupRoot, f"v$n%08d")),
+      s"group commit v$n lost a rename race — writer serialization violated?")
+    fs.listStatus(groupRoot).foreach { s =>
       val nm = s.getPath.getName
       if (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
         nm.drop(1).toInt < n - 1) fs.delete(s.getPath, false)
@@ -218,26 +347,61 @@ private[graft] object Snapshots {
     n
   }
 
+  /** The newest group manifest's `(member → version)` vector, or None
+    * when the group was never committed (pre-group layouts — callers
+    * fall back to per-table newest-manifest reads). */
+  def resolveGroup(fs: FileSystem, groupRoot: Path)
+      : Option[Map[String, Int]] =
+    currentGroupFile(fs, groupRoot).map { case (_, lines) =>
+      parseGroup(lines)
+    }
+
+  private def parseGroup(lines: Seq[String]): Map[String, Int] =
+    lines.collect { case s if s.startsWith("member ") =>
+      val Array(name, v) = s.drop(7).split(' ')
+      name -> v.toInt
+    }.toMap
+
+  private def currentGroupFile(fs: FileSystem, groupRoot: Path)
+      : Option[(Int, Seq[String])] = {
+    if (!fs.exists(groupRoot)) return None
+    val vs = fs.listStatus(groupRoot).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt)
+    if (vs.isEmpty) None
+    else {
+      val n = vs.max
+      Some((n, readLines(fs, new Path(groupRoot, f"v$n%08d"))))
+    }
+  }
+
   /** Journal a compaction's intent BEFORE its merged files install:
     * the `replaced` originals and the `merged` files (both
     * root-relative). Consumed by [[commitPending]] on success or
     * resolved by [[heal]] after a crash. */
   def writePending(fs: FileSystem, root: Path, replaced: Seq[String],
-                   merged: Seq[String]): Unit = {
+                   merged: Seq[String],
+                   nbuckets: Option[Int] = None): Unit = {
     fs.mkdirs(snapDir(root))
     write(fs, pendingPath(root),
-      (replaced.map(p => s"replaced $p") ++
+      (nbuckets.toSeq.map(b => s"nbuckets $b") ++
+        replaced.map(p => s"replaced $p") ++
         merged.map(p => s"merged $p")).mkString("\n"))
   }
 
   /** Complete a journaled compaction: snapshot-commit with the
-    * journal's replaced set, then drop the journal. */
+    * journal's replaced set (and its bucket-count flip, when the
+    * journaled mutation was a rebucket — so a crash-healed rebucket
+    * still commits count and layout together), then drop the
+    * journal. */
   def commitPending(fs: FileSystem, root: Path): Unit = {
     val p = pendingPath(root)
     if (!fs.exists(p)) return
     val lines = readLines(fs, p)
     commit(fs, root,
-      replaced = lines.collect { case s if s.startsWith("replaced ") => s.drop(9) })
+      replaced = lines.collect { case s if s.startsWith("replaced ") => s.drop(9) },
+      nbuckets = lines.collectFirst { case s if s.startsWith("nbuckets ") =>
+        s.drop(9).trim.toInt })
     fs.delete(p, false)
   }
 

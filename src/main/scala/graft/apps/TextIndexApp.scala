@@ -58,6 +58,32 @@ object TextIndexApp {
   private def termBucket(nBuckets: Int) =
     StableHash.bucket60(col("token"), nBuckets).as("bucket")
 
+  /** The postings+doclens cross-table GROUP (r10 verdict task #1): an
+    * append commits the two tables separately, so two independent
+    * newest-manifest reads could land on opposite sides — postings
+    * with the delta's rows, doclens without its lengths (skewing df
+    * and the corpus stats that are recomputed at query time). Writers
+    * advance the group by one atomic rename only at consistent points
+    * (entry after heals, post-publish, post-compaction, post-retract);
+    * [[query]] resolves it once and reads BOTH members at the named
+    * versions. Pre-group indexes (no group file) fall back to
+    * per-table newest manifests. */
+  private def groupRoot(indexDir: String) = new Path(s"$indexDir/_group")
+
+  /** TEST-ONLY crash injection: throw between the postings and doclens
+    * snapshot commits of an append — the exact instant the two
+    * newest-manifest heads disagree about the delta, which the group
+    * manifest exists to make unobservable. */
+  private[apps] var crashBetweenCommits: Boolean = false
+  private def groupMembers(indexDir: String): Seq[(String, Path)] =
+    Seq("postings" -> new Path(s"$indexDir/postings"),
+      "doclens" -> new Path(s"$indexDir/doclens"))
+  private def advanceGroup(fs: org.apache.hadoop.fs.FileSystem,
+                           indexDir: String): Unit = {
+    Snapshots.commitGroup(fs, groupRoot(indexDir), groupMembers(indexDir))
+    ()
+  }
+
   /** Tokenize + per-doc term counts, the pure function whose purity
     * makes append == rebuild. */
   private def postingsOf(docs: DataFrame, nBuckets: Int): DataFrame =
@@ -102,7 +128,10 @@ object TextIndexApp {
       .write.mode("overwrite").parquet(s"$indexDir/meta")
     Snapshots.commit(fs, new Path(s"$indexDir/postings"))
     Snapshots.commit(fs, new Path(s"$indexDir/doclens"))
-    ()
+    // a REBUILD over an existing dir starts a fresh group history —
+    // stale generations must not outlive the tables they described
+    fs.delete(groupRoot(indexDir), true)
+    advanceGroup(fs, indexDir)
   }
 
   private def nBucketsOf(spark: SparkSession, indexDir: String): Int =
@@ -130,6 +159,13 @@ object TextIndexApp {
         Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/postings")) |
         Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/doclens"))
       if (adopted) compactIndex(spark, fs, indexDir, touched = None)
+      // entry advance: after the heals above both tables reflect the
+      // same completed appends (the publish manifest is all-or-nothing
+      // across both; compaction is content-preserving), so the heads
+      // are always a consistent generation here — catching the group
+      // up heals a crash that landed between a pair's commits and its
+      // group advance. Idempotent when nothing moved.
+      advanceGroup(fs, indexDir)
       if (delta.isEmpty) return
       val maxBase = spark.read.parquet(s"$indexDir/meta")
         .agg(max(col("max_doc_id"))).head.getLong(0)
@@ -150,8 +186,15 @@ object TextIndexApp {
       StagedCommit.publish(fs, stg, Seq("idx" -> indexDir),
         lastFragment = "/meta/")
       Snapshots.commit(fs, new Path(s"$indexDir/postings"))
+      if (crashBetweenCommits) throw new IllegalStateException(
+        "injected crash: postings committed, doclens not")
       Snapshots.commit(fs, new Path(s"$indexDir/doclens"))
+      // the append pair is complete — publish the consistent
+      // generation before compaction (readers between here and the
+      // post-compaction advance see the uncompacted but correct pair)
+      advanceGroup(fs, indexDir)
       compactIndex(spark, fs, indexDir, Some(touched))
+      advanceGroup(fs, indexDir)
     }
   }
 
@@ -202,7 +245,8 @@ object TextIndexApp {
     * silently truncating results. Materialize a sampled frame first
     * (same contract as [[VectorIndexApp.query]]). */
   def query(spark: SparkSession, probes: DataFrame, indexDir: String,
-            topK: Int, broadcastTerms: Boolean = true): DataFrame = {
+            topK: Int, broadcastTerms: Boolean = true,
+            pinned: Option[(Int, Int)] = None): DataFrame = {
     // the documented determinism contract, ENFORCED (the mirror of
     // VectorIndexApp.query's guard): the whole probe frame is
     // re-derived per consumer here, so every expression in its
@@ -215,6 +259,16 @@ object TextIndexApp {
           "scoring join); materialize a sampled frame first"))
     }
     val nBuckets = nBucketsOf(spark, indexDir)
+    // pin BOTH member tables to one cross-table generation, resolved
+    // ONCE at plan time: `pinned` carries an outer group's vector (the
+    // hybrid tier); otherwise the index's own group names it; a
+    // pre-group index falls back to per-table newest manifests
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val pin: Option[(Int, Int)] = pinned.orElse(
+      Snapshots.resolveGroup(fs, groupRoot(indexDir))
+        .map(v => (v.getOrElse("postings", 0), v.getOrElse("doclens", 0)))
+        .filter { case (p, d) => p > 0 && d > 0 })
     val qterms = probes.select(col("q_id"),
         explode(array_distinct(
           TextFunctions.tokens(TextFunctions.normalized(col("text")))))
@@ -223,9 +277,9 @@ object TextIndexApp {
     val postings = if (broadcastTerms) {
       val buckets = qterms.select(col("bucket")).distinct()
         .collect().map(_.getLong(0)) // ≤ nBuckets values, never per-probe
-      postingsFrame(spark, indexDir, Some(buckets.toSet))
+      postingsFrame(spark, indexDir, Some(buckets.toSet), pin.map(_._1))
         .filter(col("bucket").isin(buckets.toSeq: _*))
-    } else postingsFrame(spark, indexDir)
+    } else postingsFrame(spark, indexDir, None, pin.map(_._1))
     val termSide =
       if (broadcastTerms) (df: DataFrame) => broadcast(df)
       else (df: DataFrame) => df.hint("shuffle_hash")
@@ -234,8 +288,11 @@ object TextIndexApp {
     val df = postings
       .join(termSide(qterms.select(col("token")).distinct()), "token")
       .groupBy("token").agg(count(lit(1)).as("df"))
-    val lens = Snapshots.readTable(spark, new Path(s"$indexDir/doclens"))
-      .select(col("doc_id"), col("len"))
+    val lensRoot = new Path(s"$indexDir/doclens")
+    val lens = (pin.map(_._2) match {
+      case Some(v) => Snapshots.readTableAt(spark, lensRoot, v)
+      case None => Snapshots.readTable(spark, lensRoot)
+    }).select(col("doc_id"), col("len"))
     TextQueries.bm25Rank(
         postings.select(col("doc_id"), col("token"), col("tf")),
         qterms.select(col("q_id"), col("token")), df, lens, topK,
@@ -273,7 +330,10 @@ object TextIndexApp {
           SurgicalRewrite.excluding(_, docIds, "doc_id"), order)
         Snapshots.commit(fs, root) // drop files that vanished entirely
       }
-      ()
+      // both tables retracted — publish the post-takedown generation
+      // (mid-retract, group readers stay on the pre-takedown vector,
+      // modulo the documented in-place-rewrite trade)
+      advanceGroup(fs, indexDir)
     }
   }
 
@@ -290,12 +350,20 @@ object TextIndexApp {
       .start()
 
   /** The postings table through [[Snapshots.readTable]], pruned to the
-    * probed bucket directories before Spark lists anything. */
+    * probed bucket directories before Spark lists anything; `version`
+    * pins the group-named generation. */
   private[apps] def postingsFrame(spark: SparkSession, indexDir: String,
-                                  buckets: Option[Set[Long]] = None)
-      : DataFrame =
-    Snapshots.readTable(spark, new Path(s"$indexDir/postings"),
-      buckets.map(("bucket", _)))
+                                  buckets: Option[Set[Long]] = None,
+                                  version: Option[Int] = None)
+      : DataFrame = {
+    val root = new Path(s"$indexDir/postings")
+    version match {
+      case Some(v) =>
+        Snapshots.readTableAt(spark, root, v, buckets.map(("bucket", _)))
+      case None =>
+        Snapshots.readTable(spark, root, buckets.map(("bucket", _)))
+    }
+  }
 
   private def staging(indexDir: String): Path =
     new Path(s"$indexDir/_staging")

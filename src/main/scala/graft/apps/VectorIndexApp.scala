@@ -141,7 +141,8 @@ object VectorIndexApp {
     * results. Sample into a materialized frame first if needed. */
   def query(spark: SparkSession, corpus: DataFrame, indexDir: String,
             isProbe: Column, topK: Int, nprobe: Int, rerankK: Int,
-            broadcastProbes: Boolean = true): DataFrame = {
+            broadcastProbes: Boolean = true,
+            pinnedCodes: Option[Int] = None): DataFrame = {
     // the documented determinism contract, enforced: pull the analyzed
     // filter condition (public Catalyst API — Column internals moved in
     // Spark 4) and refuse a nondeterministic probe predicate loudly
@@ -181,7 +182,7 @@ object VectorIndexApp {
     }
     val cells = qprobes.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)) // ≤ kCells values, never per-probe
-    val codes = codesFrame(spark, indexDir, Some(cells.toSet))
+    val codes = codesFrame(spark, indexDir, Some(cells.toSet), pinnedCodes)
       .filter(col("cluster").isin(cells.toSeq: _*))
     pqs match {
       case Some((_, m, _, k)) =>
@@ -205,9 +206,18 @@ object VectorIndexApp {
     * tables without a snapshot (never written by this app, which
     * commits v1 at build — but a foreign/legacy layout still reads). */
   private[apps] def codesFrame(spark: SparkSession, indexDir: String,
-                               cells: Option[Set[Long]] = None): DataFrame =
-    Snapshots.readTable(spark, new Path(s"$indexDir/codes"),
-      cells.map(("cluster", _)))
+                               cells: Option[Set[Long]] = None,
+                               version: Option[Int] = None): DataFrame = {
+    val root = new Path(s"$indexDir/codes")
+    version match {
+      // pinned by an outer cross-table group (the hybrid tier): read
+      // the named generation, not the newest
+      case Some(v) =>
+        Snapshots.readTableAt(spark, root, v, cells.map(("cluster", _)))
+      case None =>
+        Snapshots.readTable(spark, root, cells.map(("cluster", _)))
+    }
+  }
 
   /** Append `delta` vectors against the frozen codebook. Idempotent
     * under replay; refuses a watermark-straddling delta. Holds the

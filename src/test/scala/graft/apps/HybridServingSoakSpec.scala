@@ -79,7 +79,7 @@ class HybridServingSoakSpec extends SparkSpec {
   test("hybrid serving stays exact while both indexes append, compact and retract") {
     notFast()
     val work = Files.createTempDirectory("hybrid-soak").toString
-    val (textIdx, vecIdx) = (s"$work/text", s"$work/vec")
+    val (textIdx, vecIdx, grp) = (s"$work/text", s"$work/vec", s"$work/_grp")
     var hi = 120L
     var retracted = Set.empty[Long]
     def live: Seq[Long] = (0L until hi).filterNot(retracted)
@@ -87,44 +87,51 @@ class HybridServingSoakSpec extends SparkSpec {
     TextIndexApp.build(spark, docsOf(0L until hi), textIdx, nBuckets = 16)
     VectorIndexApp.build(spark, vecsOf(0L until hi), vecIdx,
       kCells = 8, iters = 2)
+    HybridSearchApp.commitGroup(spark, textIdx, vecIdx, grp)
 
-    def checkpoint(where: String): Unit = {
-      val got = HybridSearchApp.query(spark, probeIds,
-        docsOf(live), vecsOf(live), textIdx, vecIdx,
-        topK, armK, k0, nprobe, rerankK)
-      assert(rows(got) == rows(fromScratch(live, vecIdx)),
+    def grouped(ids: Seq[Long]) = HybridSearchApp.query(spark, probeIds,
+      docsOf(ids), vecsOf(ids), textIdx, vecIdx,
+      topK, armK, k0, nprobe, rerankK, groupDir = Some(grp))
+    def checkpoint(where: String): Unit =
+      assert(rows(grouped(live)) == rows(fromScratch(live, vecIdx)),
         s"$where: fused serving diverged from the from-scratch fusion")
-    }
     checkpoint("after build")
 
-    // plan-time isolation composed across BOTH manifest tiers: resolve
-    // the hybrid plan now, mutate both indexes, execute the stale plan
+    // plan-time isolation composed across BOTH manifest tiers AND the
+    // hybrid group: resolve the fused plan now, run a full maintenance
+    // cycle on both indexes, execute the stale plan
     val preLive = live
-    val planned = HybridSearchApp.query(spark, probeIds,
-      docsOf(preLive), vecsOf(preLive), textIdx, vecIdx,
-      topK, armK, k0, nprobe, rerankK)
+    val planned = grouped(preLive)
     val wantPre = rows(fromScratch(preLive, vecIdx))
-    TextIndexApp.append(spark, docsOf(hi until hi + 20L), textIdx)
-    VectorIndexApp.append(spark, vecsOf(hi until hi + 20L), vecIdx)
+    HybridSearchApp.append(spark, docsOf(hi until hi + 20L),
+      vecsOf(hi until hi + 20L), textIdx, vecIdx, grp)
     hi += 20
     assert(rows(planned) == wantPre,
       "a hybrid query planned before the appends must serve the " +
         "pre-append corpus from its pinned snapshots")
     checkpoint("after the planned-reader batch")
 
-    // the soak proper: streaming appends to both indexes, a takedown on
-    // both every third batch, a serving query between every batch
+    // the soak proper: grouped maintenance cycles (append to both, one
+    // group advance), a takedown on both every third batch, a serving
+    // query between every batch — PLUS a mid-cycle query every batch:
+    // planned after the text arm ingested but before the vector arm
+    // did, it must still serve the whole PRE-cycle generation (the
+    // cross-index window the hybrid group closes)
     (0 until 9).foreach { i =>
+      val preCycle = rows(fromScratch(live, vecIdx))
       TextIndexApp.append(spark, docsOf(hi until hi + 20L), textIdx)
+      assert(rows(grouped(live)) == preCycle,
+        s"batch $i: a mid-cycle hybrid query must pin the pre-cycle " +
+          "generation for BOTH arms")
       VectorIndexApp.append(spark, vecsOf(hi until hi + 20L), vecIdx)
+      HybridSearchApp.commitGroup(spark, textIdx, vecIdx, grp)
       hi += 20
       if (i % 3 == 2) {
         // retract a stripe from the middle of the id space (never a
         // probe), from BOTH indexes — the interleaved-takedown surface
         val victims = (hi - 50 until hi - 45).filterNot(retracted)
           .filterNot(probeIds.contains)
-        TextIndexApp.retract(spark, victims, textIdx)
-        VectorIndexApp.retract(spark, victims, vecIdx)
+        HybridSearchApp.retractBoth(spark, victims, textIdx, vecIdx, grp)
         retracted ++= victims
       }
       checkpoint(s"after batch $i (hi=$hi, retracted=${retracted.size})")
