@@ -318,6 +318,7 @@ object ScaleProbe {
       val root = new Path(s"$work/mtab_$n")
       fs.delete(root, true)
       val dirs = 64
+      val total = (n / dirs) * dirs // whole files per dir
       val mk = time {
         (0 until dirs).foreach { d =>
           val dd = new java.io.File(s"$work/mtab_$n/__bucket=$d")
@@ -329,7 +330,8 @@ object ScaleProbe {
       }
       val commit1 = time(Snapshots.commit(fs, root))
       val resolve = time {
-        require(Snapshots.currentFiles(fs, root).exists(_.size == n))
+        require(Snapshots.currentFiles(fs, root).exists(_.size == total),
+          s"resolve saw a wrong file count (want $total)")
       }
       val commit2 = time(Snapshots.commit(fs, root)) // steady-state
       val bytes = fs.listStatus(new Path(root, "_snap"))

@@ -111,6 +111,28 @@ class CompactionSoakSpec extends SparkSpec {
       // actually have fired — without it the hot cell dirs would hold
       // ~31 files each
       assert(snapFiles(idx).values.map(_.length).max <= Threshold)
+      // the MANIFEST scale bound (r10 task #3): a manifest line is one
+      // readable or grace-window file, so the at-rest compaction bound
+      // caps manifest size structurally — data lines ≤ dirs × threshold
+      // and total lines ≤ data + two grace generations of retirees.
+      // (The measured cost of the ceiling is in PLANS.md: commit is
+      // ~15 µs/line, resolve sub-second up to 10⁶ lines.)
+      val manifestDir = new org.apache.hadoop.fs.Path(s"$idx/codes/_snap")
+      val newest = fs.listStatus(manifestDir).map(_.getPath)
+        .filter(_.getName.startsWith("v")).maxBy(_.getName)
+      val lines = {
+        val in = fs.open(newest)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+      val dataLines = lines.count(_.startsWith("data "))
+      val nDirs = snapFiles(idx).size
+      assert(dataLines <= nDirs * Threshold,
+        s"manifest data lines ($dataLines) exceed the structural bound " +
+          s"($nDirs dirs x $Threshold)")
+      assert(lines.length <= 3 * nDirs * Threshold + 1,
+        s"manifest total lines (${lines.length}) exceed data + two grace " +
+          "generations")
 
       // ---- phase 2: compaction is a PURE merge --------------------
       // grow past the threshold with compaction disabled, then compact
