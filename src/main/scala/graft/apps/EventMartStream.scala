@@ -201,10 +201,14 @@ object EventMartStream {
       val preexisting = tables.filter(t => fs.exists(new Path(s"$martDir/$t")))
       if (preexisting.nonEmpty) throw new IllegalStateException(
         s"mart $martDir has state tables (${preexisting.mkString(", ")}) " +
-          "but no _stamp_scheme marker — written by a pre-doubled-stamp " +
-          "build. Replaying could double-apply an in-flight batch: drain " +
-          "the old checkpoint (complete its last batch on the old build), " +
-          s"then write '$StampScheme' to $martDir/_stamp_scheme to migrate.")
+          "but no _stamp_scheme marker — written by a build that " +
+          "predates the marker, so its stamp scheme is UNKNOWN (it may " +
+          "be the undoubled series, whose in-flight batch would " +
+          "double-apply under this build's replay; it may equally be a " +
+          s"marker-less scheme-$StampScheme build, which is safe). " +
+          "Verify the old checkpoint completed its last batch (or that " +
+          s"the writing build used scheme $StampScheme), then write " +
+          s"'$StampScheme' to $martDir/_stamp_scheme to migrate.")
       fs.mkdirs(new Path(martDir))
       val tmp = new Path(s"$martDir/._stamp_scheme.tmp")
       val out = fs.create(tmp, true)

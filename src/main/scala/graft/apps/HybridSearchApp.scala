@@ -35,7 +35,19 @@ import graft.operators.SimilarityOps
   * (table → version) vector; [[append]]/[[retractBoth]] advance it by
   * one atomic rename after BOTH indexes committed, and [[query]] with
   * `groupDir` resolves it once at plan time and pins every member, so
-  * a fused query sees one consistent corpus generation across arms. */
+  * a fused query sees one consistent corpus generation across arms.
+  *
+  * MAINTENANCE CONTRACT: once a hybrid group exists, every mutation of
+  * either index must go through [[append]]/[[retractBoth]] (or be
+  * followed by [[commitGroup]]). The single-index APIs
+  * (`TextIndexApp.append`/`retract`, `VectorIndexApp.append`/
+  * `retract`) advance only their OWN pinning; a member that commits
+  * more than twice past the hybrid group's last advance pushes the
+  * named manifest out of its keep-window, and group-pinned queries
+  * then fail LOUDLY (the readTableAt manifest-missing check) until
+  * [[commitGroup]] re-advances — a deliberate trade: a silent
+  * fall-back to newest heads would quietly reintroduce the torn
+  * cross-arm generation this group exists to prevent. */
 object HybridSearchApp {
 
   private def members(textIdx: String, vecIdx: String): Seq[(String, Path)] =
@@ -87,12 +99,22 @@ object HybridSearchApp {
     // three member tables pin to the same generation vector. Without
     // groupDir each arm pins itself (the text index's own group; the
     // vec index's newest codes manifest) — per-arm consistent, but
-    // not cross-arm.
-    val pins: Option[Map[String, Int]] = groupDir.flatMap { g =>
+    // not cross-arm. A caller who PASSED groupDir asked for pinning,
+    // so a missing/foreign/degenerate group fails loudly rather than
+    // silently degrading to per-arm pins.
+    val pins: Option[Map[String, Int]] = groupDir.map { g =>
       val fs = new Path(g).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      Snapshots.resolveGroup(fs, new Path(g))
-        .filter(_.values.forall(_ > 0))
+      val p = Snapshots.resolveGroup(fs, new Path(g)).getOrElse(
+        throw new IllegalStateException(s"no hybrid group committed at " +
+          s"$g — run HybridSearchApp.commitGroup after building both " +
+          "indexes"))
+      require(Seq("postings", "doclens", "codes")
+        .forall(m => p.getOrElse(m, 0) > 0),
+        s"hybrid group at $g must name positive versions for " +
+          s"postings/doclens/codes (got $p) — was a single-index group " +
+          "dir passed, or the group committed before the builds?")
+      p
     }
     val lex = TextIndexApp.query(spark,
         docs.filter(col("doc_id").isin(probeIds: _*))

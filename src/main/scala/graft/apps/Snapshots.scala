@@ -89,9 +89,28 @@ private[graft] object Snapshots {
   /** The bucket count the newest manifest carries, if any — committed
     * ATOMICALLY with the data layout it describes (the rebucket
     * primitive's one-commit count+layout flip). Tables whose manifests
-    * predate the line fall back to their sidecar `.nbuckets` file. */
-  def currentBucketCount(fs: FileSystem, root: Path): Option[Int] =
-    currentManifest(fs, root).flatMap(_.nbuckets)
+    * predate the line fall back to their sidecar `.nbuckets` file.
+    * Reads ONLY the first manifest line ([[commit]] writes `nbuckets`
+    * first when present): this sits on every keyed-sink mutation entry
+    * and every `readKeyedFor`, and a full-manifest parse here would
+    * put a data-list-sized read on the hot per-batch path. */
+  def currentBucketCount(fs: FileSystem, root: Path): Option[Int] = {
+    val dir = snapDir(root)
+    if (!fs.exists(dir)) return None
+    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt)
+    if (vs.isEmpty) None
+    else {
+      val in = fs.open(new Path(dir, f"v${vs.max}%08d"))
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        Option(br.readLine()).filter(_.startsWith("nbuckets "))
+          .map(_.drop(9).trim.toInt)
+      } finally in.close()
+    }
+  }
 
   /** The current data-file list (paths relative to `root`); None when
     * the table is not snapshot-managed (no committed manifest). */
@@ -145,12 +164,12 @@ private[graft] object Snapshots {
     * manifest may trail the table's head (a writer committed after the
     * group advanced); the keep-window in [[commit]] guarantees it still
     * exists for any lag the group writers produce (≤ 2 commits between
-    * group advances, window of 4 kept manifests), and its data files
-    * survive ≥ one further commit past that lag (a v-data file dies no
-    * earlier than v+3). A missing manifest means the group is staler
-    * than the retention window — a violated group-advance protocol —
-    * and fails loudly rather than silently serving the wrong
-    * generation. */
+    * group advances, window of 3 kept manifests — aligned with the
+    * data-file grace, a v-data file dying no earlier than v+3, so a
+    * resolvable manifest always has live files). A missing manifest
+    * means the group is staler than the retention window — a violated
+    * group-advance protocol — and fails loudly rather than silently
+    * serving the wrong generation. */
   def readTableAt(spark: org.apache.spark.sql.SparkSession, root: Path,
                   version: Int,
                   pruneDirs: Option[(String, Set[Long])] = None)
@@ -278,13 +297,16 @@ private[graft] object Snapshots {
     // list and open may grab the previous one, and a GROUP resolution
     // ([[commitGroup]]) may legitimately name a version up to two
     // commits behind the head (one maintenance cycle commits a member
-    // twice — publish + compaction — before its group advances). Four
-    // kept manifests cover lag 2 plus the list-then-open race; each is
-    // a tiny text file, so the window costs nothing.
+    // twice — publish + compaction — before its group advances). Three
+    // kept manifests cover exactly lag 2 — and deliberately NOT more:
+    // the keep-window must agree with the DATA-FILE grace (a v-data
+    // file replaced at v+1 dies at v+3), so a staler pin fails the
+    // loud manifest-missing check in [[readTableAt]] instead of
+    // passing it and then hitting deleted files at execution.
     if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
       val nm = s.getPath.getName
       if (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
-        nm.drop(1).toInt < n - 3) fs.delete(s.getPath, false)
+        nm.drop(1).toInt < n - 2) fs.delete(s.getPath, false)
     }
     n
   }
@@ -315,13 +337,14 @@ private[graft] object Snapshots {
     * time (table not yet created) — readers serve it as EMPTY, which
     * is exactly what the generation contained.
     *
-    * Liveness of what a group names: member tables keep 4 manifest
+    * Liveness of what a group names: member tables keep 3 manifest
     * versions ([[commit]]) and a data file dies no earlier than three
     * commits after it leaves the data list, so a group whose writers
     * advance it within two member commits (every writer in this repo
-    * advances after each pair, lag ≤ 2) always resolves, and its files
-    * survive at least one further member commit after resolution —
-    * the same plan-then-execute grace a direct reader gets. */
+    * advances after each pair, lag ≤ 2) always resolves with live
+    * files; a staler group fails the manifest-missing check LOUDLY
+    * (the keep-window and the file grace agree by construction — a
+    * resolvable pin can never dangle on deleted files). */
   def commitGroup(fs: FileSystem, groupRoot: Path,
                   members: Seq[(String, Path)]): Int = {
     val vec = members.map { case (name, root) =>

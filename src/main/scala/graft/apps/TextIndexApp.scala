@@ -159,12 +159,17 @@ object TextIndexApp {
         Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/postings")) |
         Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/doclens"))
       if (adopted) compactIndex(spark, fs, indexDir, touched = None)
+      // a crashed retraction left one table retracted and the other
+      // not — re-apply its journal BEFORE the entry advance below can
+      // publish the torn pair as a consistent generation
+      healTornRetract(spark, fs, indexDir)
       // entry advance: after the heals above both tables reflect the
-      // same completed appends (the publish manifest is all-or-nothing
-      // across both; compaction is content-preserving), so the heads
-      // are always a consistent generation here — catching the group
-      // up heals a crash that landed between a pair's commits and its
-      // group advance. Idempotent when nothing moved.
+      // same completed appends and retractions (the publish manifest
+      // is all-or-nothing across both; compaction is
+      // content-preserving; a torn retract was just re-applied), so
+      // the heads are always a consistent generation here — catching
+      // the group up heals a crash that landed between a pair's
+      // commits and its group advance. Idempotent when nothing moved.
       advanceGroup(fs, indexDir)
       if (delta.isEmpty) return
       val maxBase = spark.read.parquet(s"$indexDir/meta")
@@ -306,7 +311,17 @@ object TextIndexApp {
     * need no adjustment (never stored — recomputed from the surviving
     * rows at query time), so a post-retraction query EQUALS a fresh
     * build without the targets. The meta watermark is not lowered: a
-    * retracted id can never re-enter (monotone ingest). */
+    * retracted id can never re-enter (monotone ingest).
+    *
+    * CROSS-TABLE crash safety: the retraction spans both tables, and a
+    * crash between them would leave postings without the targets while
+    * doclens still holds their lengths — a torn pair the next writer
+    * entry's group advance must NOT publish as a consistent
+    * generation. The target ids are therefore JOURNALED (atomic
+    * tmp+rename) before any mutation; every writer entry replays the
+    * journal first ([[healTornRetract]] — idempotent: excluding
+    * already-absent ids rewrites nothing), so the pair is whole again
+    * before any group advance can observe it. */
   def retract(spark: SparkSession, docIds: Seq[Long],
               indexDir: String): Unit = {
     if (docIds.isEmpty) return
@@ -314,28 +329,70 @@ object TextIndexApp {
       spark.sparkContext.hadoopConfiguration)
     StagedCommit.withWriterLock(fs, new Path(indexDir)) {
       StagedCommit.heal(fs, staging(indexDir))
-      Seq("postings", "doclens").foreach { t =>
-        val root = new Path(s"$indexDir/$t")
-        Snapshots.heal(fs, root)
-        // flush pending retirements: discovery below is a RAW scan
-        // (same documented takedown trade as the vector index)
-        Snapshots.commit(fs, root)
-        val tmpDir = s"$indexDir/_retract_$t"
-        if (fs.exists(new Path(tmpDir))) SurgicalRewrite.heal(fs, root)
-        val hit = SurgicalRewrite.hitFiles(
-          spark.read.parquet(root.toString), docIds, "doc_id")
-        val order = if (t == "postings") Seq(col("doc_id"), col("token"))
-                    else Seq(col("doc_id"))
-        SurgicalRewrite.rewrite(spark, hit, tmpDir,
-          SurgicalRewrite.excluding(_, docIds, "doc_id"), order)
-        Snapshots.commit(fs, root) // drop files that vanished entirely
-      }
+      healTornRetract(spark, fs, indexDir) // a crashed PREVIOUS retract
+      val j = retractJournal(indexDir)
+      val tmp = new Path(s"$indexDir/._retract_ids.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(docIds.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, j), s"could not journal the retraction at $j")
+      retractBody(spark, fs, docIds, indexDir)
       // both tables retracted — publish the post-takedown generation
       // (mid-retract, group readers stay on the pre-takedown vector,
       // modulo the documented in-place-rewrite trade)
       advanceGroup(fs, indexDir)
+      fs.delete(j, false)
+      ()
     }
   }
+
+  private def retractJournal(indexDir: String) =
+    new Path(s"$indexDir/_retract_ids")
+
+  /** Re-apply a crashed retraction's journaled ids — MUST run at
+    * writer entry BEFORE any group advance (see [[retract]]). Holds
+    * the caller's writer lock. */
+  private def healTornRetract(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              indexDir: String): Unit = {
+    val j = retractJournal(indexDir)
+    if (!fs.exists(j)) return
+    val in = fs.open(j)
+    val ids = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).map(_.toLong).toList
+    finally in.close()
+    retractBody(spark, fs, ids, indexDir)
+    advanceGroup(fs, indexDir)
+    fs.delete(j, false)
+    ()
+  }
+
+  /** The two-table retraction, journaled by [[retract]]. TEST-ONLY
+    * `crashBetweenRetracts` dies between the tables — the torn state
+    * the journal exists to heal. */
+  private[apps] var crashBetweenRetracts: Boolean = false
+  private def retractBody(spark: SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          docIds: Seq[Long], indexDir: String): Unit =
+    Seq("postings", "doclens").foreach { t =>
+      if (t == "doclens" && crashBetweenRetracts)
+        throw new IllegalStateException(
+          "injected crash: postings retracted, doclens not")
+      val root = new Path(s"$indexDir/$t")
+      Snapshots.heal(fs, root)
+      // flush pending retirements: discovery below is a RAW scan
+      // (same documented takedown trade as the vector index)
+      Snapshots.commit(fs, root)
+      val tmpDir = s"$indexDir/_retract_$t"
+      if (fs.exists(new Path(tmpDir))) SurgicalRewrite.heal(fs, root)
+      val hit = SurgicalRewrite.hitFiles(
+        spark.read.parquet(root.toString), docIds, "doc_id")
+      val order = if (t == "postings") Seq(col("doc_id"), col("token"))
+                  else Seq(col("doc_id"))
+      SurgicalRewrite.rewrite(spark, hit, tmpDir,
+        SurgicalRewrite.excluding(_, docIds, "doc_id"), order)
+      Snapshots.commit(fs, root) // drop files that vanished entirely
+    }
 
   /** Streaming ingestion: each micro-batch of new documents appends
     * incrementally; the index is valid, queryable state after every

@@ -461,14 +461,28 @@ object Sinks {
     *    old-everything or new-everything (the pending journal carries
     *    the count, so even the heal's commit flips both together).
     *
-    * Only meaningful for snapshot-managed tables; a raw table is
-    * upgraded first (same one-commit bootstrap as the other mutations).
-    * Keys are needed to re-hash: pass the table's key columns. */
+    * REQUIRES a snapshot-managed table, refusing raw layouts loudly: a
+    * raw table's crash contract is per-bucket replay (a crashed batch
+    * leaves some buckets merged-and-stamped and others not, and the
+    * replay converges because each bucket is an independent replay
+    * unit) — re-hashing would mix stamped and unstamped keys into one
+    * NEW bucket, whose stamp would then mask the unmerged keys' delta
+    * on replay, losing it silently. Replay any in-flight batch on the
+    * raw layout, upgrade with one `snapshotted = true` write (whose
+    * mutations are table-atomic, so the mixed state cannot recur),
+    * then rebucket. Keys are needed to re-hash: pass the table's key
+    * columns. */
   def rebucket(spark: SparkSession, path: String, keys: Seq[String],
                newN: Int): Unit = {
     require(newN > 0, s"bucket count must be positive (got $newN)")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
+    require(Snapshots.currentFiles(fs, new Path(path)).isDefined,
+      s"rebucket requires a snapshot-managed table; $path is a raw " +
+        "bucket layout whose crashed batches replay PER BUCKET — " +
+        "re-hashing could merge a replayed bucket's stamp over an " +
+        "unreplayed key's delta. Replay any in-flight batch, write " +
+        "once with snapshotted = true to upgrade, then rebucket.")
     locked(fs, path, snap = true) { _ =>
       val oldN = readOrWriteBucketCount(fs, path, DefaultUpsertBuckets)
       if (oldN != newN) {
@@ -488,11 +502,13 @@ object Sinks {
           val restaged = table.drop("__bucket")
             .withColumn("__bucket", bucketOf(keys, newN))
             .repartition(col("__bucket"))
-          val newBuckets = restaged.select("__bucket").distinct()
-            .collect().map(_.getInt(0)) // ≤ newN values, driver-safe
-          // replace EVERY current file; install every new bucket dir
+          // replace EVERY current file; target every possible new
+          // bucket dir (names with no staged output install nothing) —
+          // enumerating 0 until newN is driver-side metadata, where
+          // collecting the ACTUAL new ids would re-run the full table
+          // rehash once just to learn them
           stageAndInstall(spark, fs, path, restaged,
-            (oldBuckets ++ newBuckets).distinct.sorted.toIndexedSeq,
+            (oldBuckets ++ (0 until newN)).distinct.sorted.toIndexedSeq,
             newBucketCount = Some(newN))
         }
         // best-effort sidecar sync for external layout consumers; the

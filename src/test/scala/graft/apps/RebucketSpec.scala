@@ -139,6 +139,26 @@ class RebucketSpec extends SparkSpec {
     }
   }
 
+  test("rebucket refuses a raw (non-snapshot) table loudly") {
+    // a raw table's crashed batches replay PER BUCKET; re-hashing could
+    // merge a replayed bucket's stamp over an unreplayed key's delta —
+    // so the primitive demands the table-atomic snapshot mode first
+    val dir = Files.createTempDirectory("rebkt-raw").toString + "/t"
+    Sinks.upsertCombine(spark, (0 until 16).map(k => (k.toLong, 1L)).toDF("k", "n"),
+      Seq("k"), Seq(sum(col("n")).as("n")), 0L, dir, nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.rebucket(spark, dir, Seq("k"), newN = 8)
+    }
+    assert(e.getMessage.contains("snapshot-managed"), e.getMessage)
+    // the documented path works: one snapshotted write upgrades, then
+    // the rebucket applies
+    combineInto(dir, 0 until 16, 10, 1)
+    Sinks.rebucket(spark, dir, Seq("k"), newN = 8)
+    assert(Snapshots.currentBucketCount(fs, new Path(dir)) == Some(8))
+    assert(rows(Sinks.readCombined(spark, dir)) ==
+      (0 until 16).map(k => k.toLong -> 11L).toMap)
+  }
+
   test("keep-last tables rebucket too; keys never duplicate across layouts") {
     val dir = Files.createTempDirectory("rebkt-keyed").toString + "/t"
     def upsert(seq: Long, v: String): Unit =

@@ -131,6 +131,48 @@ class SnapshotGroupSpec extends SparkSpec {
       "healed index diverged from the rebuild")
   }
 
+  test("a crash between the two tables' retractions heals before any group advance") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val idx = Files.createTempDirectory("tidx_rtcrash").toString
+    TextIndexApp.build(spark, docs, idx, nBuckets = 16)
+    val victims = Seq(42L, 43L, 44L)
+
+    // crash AFTER postings retracted, BEFORE doclens — the torn pair
+    // whose publication by a later entry advance would skew every
+    // group-pinned query's recomputed corpus stats
+    TextIndexApp.crashBetweenRetracts = true
+    try intercept[IllegalStateException] {
+      TextIndexApp.retract(spark, victims, idx)
+    } finally TextIndexApp.crashBetweenRetracts = false
+    assert(spark.read.parquet(s"$idx/postings")
+      .filter(col("doc_id").isin(victims: _*)).count() == 0,
+      "injection failed: postings still hold the victims")
+    assert(spark.read.parquet(s"$idx/doclens")
+      .filter(col("doc_id").isin(victims: _*)).count() > 0,
+      "injection failed: doclens already retracted")
+
+    // the next writer entry (an empty heal-only append) re-applies the
+    // journaled retraction BEFORE its entry group advance
+    TextIndexApp.append(spark, docs.limit(0), idx)
+    assert(spark.read.parquet(s"$idx/doclens")
+      .filter(col("doc_id").isin(victims: _*)).count() == 0,
+      "the journaled retraction was not healed at writer entry")
+
+    // and the healed index equals a build that never saw the victims
+    val clean = Files.createTempDirectory("tidx_rtclean").toString
+    TextIndexApp.build(spark,
+      docs.filter(!col("doc_id").isin(victims: _*)), clean, nBuckets = 16)
+    val probes = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("q_id"), col("text"))
+    def rows(df: DataFrame) =
+      df.select(col("q_id"), col("doc_id"), col("rnk"), col("bm25"))
+        .as[(Long, Long, Int, Double)].collect().toSet
+    assert(rows(TextIndexApp.query(spark, probes, idx, 5)) ==
+      rows(TextIndexApp.query(spark, probes, clean, 5)),
+      "healed retraction diverged from a build without the targets")
+  }
+
   // ---------------------------------------------------- mart session window
 
   /** The MartRetentionSoakSpec data shape, scaled down: user-step s
