@@ -277,6 +277,17 @@ object ScaleProbe {
         println(f"[scale-probe] mart $tag%-28s ${walls.min}%8.2f s (min of ${walls.size})")
       }
       timedBatches(2 to 4, s"mart_batch_${label}_64b")
+      // recommended layout from each table's OWN pinned bytes (r11
+      // task #4): the principled rebucket target, next to the probe's
+      // blind 64·factor widening — at kilobyte bucket sizes the
+      // recommendation stays SMALL (per-dir constants dominate; see
+      // the wide-layout row), and it grows only when the bytes do
+      Seq("uv_days", "decay_weeks", "trans_state", "sess_state")
+        .foreach { t =>
+          val rec = Sinks.recommendedBuckets(spark, s"$dir/$t").toDouble
+          out(s"mart_recbuckets_${label}_$t") = rec
+          println(f"[scale-probe] mart recommendedBuckets $label $t%-12s ${rec}%6.0f")
+        }
       if (s > 1) {
         val reb = time {
           Sinks.rebucket(spark, s"$dir/uv_days",
@@ -313,6 +324,14 @@ object ScaleProbe {
   private def manifestProbe(spark: SparkSession, work: String): Unit = {
     val fs = new Path(work).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // the synthetic files below are created through java.io.File but
+    // committed/resolved through the Hadoop FileSystem — on a
+    // non-local scheme (hdfs://, s3a://) the probe would silently
+    // measure an EMPTY table instead of failing (r11 advice)
+    require(fs.getScheme == "file",
+      s"manifestProbe creates its synthetic files with java.io.File, " +
+        s"so the work dir must resolve to the local filesystem " +
+        s"(got scheme '${fs.getScheme}' for $work)")
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     Seq(10000, 100000, 1000000).foreach { n =>
       val root = new Path(s"$work/mtab_$n")

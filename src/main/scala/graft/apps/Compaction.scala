@@ -70,7 +70,13 @@ object Compaction {
     * stream's life; with it each byte is rewritten only until its file
     * graduates, and a directory's at-rest file count is ≤ maxFiles
     * small files + its graduated files — bounded by DATA size
-    * (bytes/targetBytes), never by append count. */
+    * (bytes/targetBytes), never by append count. PER-TABLE OVERRIDE:
+    * a snapshot-managed table whose manifest carries a `targetbytes`
+    * line ([[Snapshots.currentTargetBytes]], set via
+    * `Sinks.setCompactionTarget` or a `rebucket` flip) graduates at
+    * ITS value — the manifest-ceiling knob that lets a 100 TB table
+    * graduate at 1 GiB (8× fewer manifest lines) while small state
+    * tables keep this default. */
   private[apps] var DefaultTargetBytes: Long = 128L * 1024 * 1024
 
   /** One schema-homogeneous set of directories with its in-file
@@ -152,9 +158,14 @@ object Compaction {
         }
         case None => _ => true
       }
+      // per-table graduation size: the snapshot manifest's targetbytes
+      // line overrides the call-site default (see DefaultTargetBytes)
+      val effTarget = g.snapshotRoot
+        .flatMap(Snapshots.currentTargetBytes(fs, _))
+        .getOrElse(targetBytes)
       g -> g.dirs.flatMap { dir =>
         val files = visibleFiles(fs, dir)
-          .filter(_.getLen < targetBytes).map(_.getPath)
+          .filter(_.getLen < effTarget).map(_.getPath)
           .filter(inData)
         if (files.length > maxFiles) Some(dir -> files) else None
       }

@@ -218,6 +218,39 @@ object EventMartStream {
     }
   }
 
+  /** One-time UPGRADE of a pre-group mart dir (r11 verdict task #3):
+    * commit the session group over the dir's current heads so the
+    * FIRST post-upgrade batch already serves group-pinned pair reads.
+    * Without this, an existing dir only gets its group after its next
+    * completed pair — [[processBatch]]'s bootstrap correctly refuses
+    * to guess (a replay entry cannot know whether the heads are a
+    * consistent pair or a crashed batch's torn middle), so the first
+    * post-upgrade [[sessionPaths]] could land on a torn pair once.
+    *
+    * PRECONDITION (caller-asserted, same discipline as the
+    * `_stamp_scheme` migration note in [[Retention]]): the dir must be
+    * DRAINED — the old checkpoint completed its last batch, no batch
+    * in flight. A drained dir's member heads are consistent by
+    * definition (every pair ran to completion), which is exactly what
+    * makes this commit safe where a replay-entry advance is not.
+    * Idempotent: a dir that already has a group is left unchanged. */
+  def migrateToGroups(spark: SparkSession, martDir: String): Unit = {
+    val fs = new Path(martDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (Snapshots.resolveGroup(fs, sessGroupRoot(martDir)).isDefined) return
+    // a raw (never-snapshot-managed) member cannot be named by a group
+    // — bootstrap-commit it first, adopting its current files as v1
+    // (the same upgrade step Sinks.locked performs on first write)
+    sessGroupMembers(martDir).foreach { case (_, p) =>
+      if (fs.exists(p) && Snapshots.currentFiles(fs, p).isEmpty) {
+        Snapshots.commit(fs, p); ()
+      }
+    }
+    Snapshots.commitGroup(fs, sessGroupRoot(martDir),
+      sessGroupMembers(martDir))
+    ()
+  }
+
   // ------------------------------------------------------------ batch step
 
   /** Apply one micro-batch. Idempotent under replay with the same
@@ -239,6 +272,13 @@ object EventMartStream {
       Snapshots.commitGroup(fs, sessGroupRoot(martDir),
         sessGroupMembers(martDir)); ()
     }
+    // entry pin-refresh: the batch's own commits plus any heal
+    // commits the sink entries fire can push a member past the
+    // keep-window's arithmetic lag; the pins keep the group-named
+    // generation resolvable (and its files alive) until this batch's
+    // own advances re-point them
+    Snapshots.refreshGroupPins(fs, sessGroupRoot(martDir),
+      sessGroupMembers(martDir))
     var stage = 0
     def mutate(body: => Unit): Unit = {
       if (stage >= crashAfterStage)
@@ -365,13 +405,28 @@ object EventMartStream {
     mutate(Sinks.upsertKeyed(spark, open, Seq("user_id"),
       Seq("last_us", "last_eid"), s"$martDir/sess_state",
       snapshotted = true))
+    // REPLAY GUARD for the advance below: if sess_grid already carries
+    // a stamp PAST this batch's main stamp, the crashed original run
+    // got as far as this batch's TTL fold merge — the replayed main
+    // pair is MID-FOLD (fold in the grid, its state delete possibly
+    // not landed), and an unconditional advance here would publish
+    // (post-fold grid, pre-delete state): the double-count generation
+    // the group exists to hide. Skip; the sweep's own post-fold
+    // advance (or the all-applied branch below) publishes instead.
+    // Checked only on sweep batches — no other batch can have written
+    // a fold stamp, so non-sweep batches pay nothing.
+    val sweepBatch = retention.sessTtlUs.isDefined &&
+      batchId % math.max(1, retention.ttlSweepEveryN) == 0
+    val midFoldReplay = sweepBatch &&
+      storedStampExceeds(spark, fs, s"$martDir/sess_grid", mainStamp(batchId))
     // the main session pair is complete — publish the consistent
     // (grid, state) generation in one atomic group advance. NOT a
     // counted stage: a crash before it leaves readers on the pre-pair
     // generation (consistent), and the replay's re-completed pair
     // advances. Idempotent when the heads are unchanged.
-    Snapshots.commitGroup(fs, sessGroupRoot(martDir),
-      sessGroupMembers(martDir))
+    if (!midFoldReplay)
+      Snapshots.commitGroup(fs, sessGroupRoot(martDir),
+        sessGroupMembers(martDir))
 
     // ---- state retention (see [[Retention]] for the exactness story) ----
     // runs AFTER the main mutations so this batch's own activity has
@@ -433,6 +488,15 @@ object EventMartStream {
           // never the torn middle.
           Snapshots.commitGroup(fs, sessGroupRoot(martDir),
             sessGroupMembers(martDir))
+        } else if (midFoldReplay) {
+          // the crashed original run completed the WHOLE fold (merge
+          // stamped AND delete landed — nothing idle is left) but died
+          // before this advance. The main-pair advance was skipped
+          // (mid-fold guard), so publish the now-consistent heads here
+          // — otherwise the group would lag until the next batch and
+          // its pinned manifests could age out of the keep-window.
+          Snapshots.commitGroup(fs, sessGroupRoot(martDir),
+            sessGroupMembers(martDir))
         }
       }
       retention.transTtlUs.foreach { ttl =>
@@ -451,6 +515,22 @@ object EventMartStream {
           fs.delete(s.getPath, true)
       }
     }
+  }
+
+  /** Whether `path`'s stored max `__mart_batch` stamp exceeds `stamp`
+    * — the mid-fold replay detector: only THIS batch's fold can have
+    * written a stamp past this batch's main stamp (stamps apply in
+    * strictly increasing order, and streaming replays only the last
+    * batch). One tiny agg over a grid-sized table, evaluated only on
+    * sweep batches. */
+  private def storedStampExceeds(spark: SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String, stamp: Long): Boolean = {
+    if (!fs.exists(new Path(path))) return false
+    val t = Snapshots.readTable(spark, new Path(path))
+    if (!t.columns.contains("__mart_batch")) return false
+    val r = t.agg(max(col("__mart_batch"))).head
+    !r.isNullAt(0) && r.getLong(0) > stamp
   }
 
   /** Compute-or-reuse a staged per-batch delta: if `dir/batch=N`

@@ -37,17 +37,32 @@ import graft.operators.SimilarityOps
   * `groupDir` resolves it once at plan time and pins every member, so
   * a fused query sees one consistent corpus generation across arms.
   *
-  * MAINTENANCE CONTRACT: once a hybrid group exists, every mutation of
-  * either index must go through [[append]]/[[retractBoth]] (or be
-  * followed by [[commitGroup]]). The single-index APIs
-  * (`TextIndexApp.append`/`retract`, `VectorIndexApp.append`/
-  * `retract`) advance only their OWN pinning; a member that commits
-  * more than twice past the hybrid group's last advance pushes the
-  * named manifest out of its keep-window, and group-pinned queries
-  * then fail LOUDLY (the readTableAt manifest-missing check) until
-  * [[commitGroup]] re-advances — a deliberate trade: a silent
-  * fall-back to newest heads would quietly reintroduce the torn
-  * cross-arm generation this group exists to prevent. */
+  * MAINTENANCE CONTRACT — ENFORCED, not just documented (r11 verdict
+  * task #1): every cycle ([[append]], [[retractBoth]]) and every bare
+  * [[commitGroup]] runs under the GROUP's single-writer lease
+  * ([[StagedCommit.withWriterLock]] on `groupDir`), so two concurrent
+  * hybrid maintenance drivers serialize — the second fails LOUDLY
+  * inside the first's lease instead of interleaving its advance with
+  * the other's half-finished pair. The advance itself additionally
+  * samples the three member heads while HOLDING BOTH member indexes'
+  * writer locks: a single-index writer (`TextIndexApp.append`/
+  * `retract`, `VectorIndexApp.append`/`retract`) active at advance
+  * time makes the advance fail loudly rather than read one head
+  * before and another after that writer's pair of commits — the
+  * sequential-sample race that could silently publish a mixed
+  * generation as consistent. LIVENESS under lag (r11 verdict task
+  * #2): every advance (and every cycle's entry) also writes GROUP
+  * PINS into the members' snapshot dirs, so the generation the group
+  * names stays resolvable — manifest kept, data files alive — across
+  * ANY number of member commits (heal commits at writer entry,
+  * adoption commits, in-cycle compaction), not just the keep-window's
+  * arithmetic 2; group-pinned queries keep serving the last published
+  * generation instead of failing at the keep-window boundary, and the
+  * next advance releases the previous pin. The loud
+  * manifest-missing check in readTableAt remains the backstop for a
+  * group whose pins were removed (a decommissioned or foreign group)
+  * — a silent fall-back to newest heads would quietly reintroduce the
+  * torn cross-arm generation this group exists to prevent. */
 object HybridSearchApp {
 
   private def members(textIdx: String, vecIdx: String): Seq[(String, Path)] =
@@ -55,28 +70,74 @@ object HybridSearchApp {
       "doclens" -> new Path(s"$textIdx/doclens"),
       "codes" -> new Path(s"$vecIdx/codes"))
 
+  /** TEST-ONLY: interleave hook between the two arm appends of a
+    * cycle — lets a spec hold a driver provably mid-pair while a
+    * second driver attempts an advance. Never set outside tests. */
+  private[apps] var pauseBetweenAppends: () => Unit = () => ()
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The group's single-writer lease — serializes whole maintenance
+    * cycles, so an advance can never run while another driver is
+    * mid-pair. */
+  private def withGroupLease[T](fs: org.apache.hadoop.fs.FileSystem,
+                                groupDir: String)(body: => T): T =
+    StagedCommit.withWriterLock(fs, new Path(groupDir))(body)
+
+  /** Sample-and-publish under BOTH member indexes' writer locks (the
+    * caller already holds the group lease): with the locks held no
+    * index writer can commit between the three head reads, so the
+    * published vector is a consistent instant-cut of the member heads
+    * — and an ACTIVE single-index writer makes this fail loudly
+    * instead. */
+  private def advanceLocked(fs: org.apache.hadoop.fs.FileSystem,
+                            textIdx: String, vecIdx: String,
+                            groupDir: String): Unit =
+    StagedCommit.withWriterLock(fs, new Path(textIdx)) {
+      StagedCommit.withWriterLock(fs, new Path(vecIdx)) {
+        Snapshots.commitGroup(fs, new Path(groupDir),
+          members(textIdx, vecIdx))
+        ()
+      }
+    }
+
   /** Advance the hybrid group to the current (consistent) heads — call
     * after builds and after any maintenance cycle that mutated both
-    * indexes. One atomic rename; idempotent when nothing moved. */
+    * indexes. One atomic rename; idempotent when nothing moved. Fails
+    * loudly while another hybrid driver's lease or either member
+    * index's writer lock is held (see the maintenance contract). */
   def commitGroup(spark: SparkSession, textIdx: String, vecIdx: String,
                   groupDir: String): Unit = {
-    val fs = new Path(groupDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    Snapshots.commitGroup(fs, new Path(groupDir), members(textIdx, vecIdx))
-    ()
+    val fs = fsOf(spark, groupDir)
+    withGroupLease(fs, groupDir) {
+      advanceLocked(fs, textIdx, vecIdx, groupDir)
+    }
   }
 
   /** One hybrid maintenance cycle: append the SAME document batch to
     * both arms, then publish the new corpus generation in one group
-    * advance. A crash between the two appends (or before the advance)
-    * leaves group-pinned queries on the pre-cycle generation — both
-    * arms consistent — and the replayed cycle (idempotent appends)
+    * advance — the whole cycle under the group lease, so a second
+    * driver cannot advance against this one's half-finished pair. A
+    * crash between the two appends (or before the advance) leaves
+    * group-pinned queries on the pre-cycle generation — both arms
+    * consistent — and the replayed cycle (idempotent appends)
     * completes and advances. */
   def append(spark: SparkSession, docs: DataFrame, vecs: DataFrame,
              textIdx: String, vecIdx: String, groupDir: String): Unit = {
-    TextIndexApp.append(spark, docs, textIdx)
-    VectorIndexApp.append(spark, vecs, vecIdx)
-    commitGroup(spark, textIdx, vecIdx, groupDir)
+    val fs = fsOf(spark, groupDir)
+    withGroupLease(fs, groupDir) {
+      // entry pin-refresh: the cycle's own commits (publish +
+      // compaction per member, plus any heal/adoption commits) may
+      // exceed the keep-window's lag 2; the pins keep the group-named
+      // generation resolvable until the end-advance re-points them
+      Snapshots.refreshGroupPins(fs, new Path(groupDir),
+        members(textIdx, vecIdx))
+      TextIndexApp.append(spark, docs, textIdx)
+      pauseBetweenAppends()
+      VectorIndexApp.append(spark, vecs, vecIdx)
+      advanceLocked(fs, textIdx, vecIdx, groupDir)
+    }
   }
 
   /** Takedown from BOTH arms, then one group advance (same contract
@@ -84,9 +145,14 @@ object HybridSearchApp {
     * is documented there). */
   def retractBoth(spark: SparkSession, ids: Seq[Long],
                   textIdx: String, vecIdx: String, groupDir: String): Unit = {
-    TextIndexApp.retract(spark, ids, textIdx)
-    VectorIndexApp.retract(spark, ids, vecIdx)
-    commitGroup(spark, textIdx, vecIdx, groupDir)
+    val fs = fsOf(spark, groupDir)
+    withGroupLease(fs, groupDir) {
+      Snapshots.refreshGroupPins(fs, new Path(groupDir),
+        members(textIdx, vecIdx))
+      TextIndexApp.retract(spark, ids, textIdx)
+      VectorIndexApp.retract(spark, ids, vecIdx)
+      advanceLocked(fs, textIdx, vecIdx, groupDir)
+    }
   }
 
   def query(spark: SparkSession, probeIds: Seq[Long],

@@ -57,7 +57,8 @@ private[graft] object Snapshots {
   private final case class Manifest(version: Int, data: Seq[String],
                                     retired: Seq[String],
                                     expiring: Seq[String],
-                                    nbuckets: Option[Int])
+                                    nbuckets: Option[Int],
+                                    targetbytes: Option[Long])
 
   /** Highest committed version under `root`, if any. */
   private def currentManifest(fs: FileSystem, root: Path): Option[Manifest] = {
@@ -84,7 +85,9 @@ private[graft] object Snapshots {
       lines.collect { case s if s.startsWith("retired ") => s.drop(8) },
       lines.collect { case s if s.startsWith("expiring ") => s.drop(9) },
       lines.collectFirst { case s if s.startsWith("nbuckets ") =>
-        s.drop(9).trim.toInt })
+        s.drop(9).trim.toInt },
+      lines.collectFirst { case s if s.startsWith("targetbytes ") =>
+        s.drop(12).trim.toLong })
 
   /** The bucket count the newest manifest carries, if any — committed
     * ATOMICALLY with the data layout it describes (the rebucket
@@ -108,6 +111,31 @@ private[graft] object Snapshots {
           new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
         Option(br.readLine()).filter(_.startsWith("nbuckets "))
           .map(_.drop(9).trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** The per-table compaction graduation size the newest manifest
+    * carries, if any — committed atomically with the layout like
+    * `nbuckets` ([[commit]] writes it in the bounded leading prefix,
+    * so this reads at most the first two lines). Consulted by
+    * [[Compaction.compact]] per snapshot root; tables without the
+    * line use the global default. */
+  def currentTargetBytes(fs: FileSystem, root: Path): Option[Long] = {
+    val dir = snapDir(root)
+    if (!fs.exists(dir)) return None
+    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt)
+    if (vs.isEmpty) None
+    else {
+      val in = fs.open(new Path(dir, f"v${vs.max}%08d"))
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        Iterator.continually(Option(br.readLine())).take(2)
+          .collectFirst { case Some(s) if s.startsWith("targetbytes ") =>
+            s.drop(12).trim.toLong }
       } finally in.close()
     }
   }
@@ -162,14 +190,15 @@ private[graft] object Snapshots {
   /** Read `root` pinned at a SPECIFIC manifest version — the member
     * read of a cross-table [[commitGroup]] resolution. The named
     * manifest may trail the table's head (a writer committed after the
-    * group advanced); the keep-window in [[commit]] guarantees it still
-    * exists for any lag the group writers produce (≤ 2 commits between
-    * group advances, window of 3 kept manifests — aligned with the
-    * data-file grace, a v-data file dying no earlier than v+3, so a
-    * resolvable manifest always has live files). A missing manifest
-    * means the group is staler than the retention window — a violated
-    * group-advance protocol — and fails loudly rather than silently
-    * serving the wrong generation. */
+    * group advanced); the GROUP PIN written by [[commitGroup]] /
+    * [[refreshGroupPins]] guarantees it still exists — manifest kept,
+    * data files alive — for ANY lag the group's writers produce (heal
+    * commits, adoptions, in-cycle compaction), with the keep-window in
+    * [[commit]] (3 manifests, aligned with the 2-commit data-file
+    * grace) as the pin-less floor. A missing manifest means the group
+    * is staler than both protections — a decommissioned group or a
+    * violated advance protocol — and fails loudly rather than
+    * silently serving the wrong generation. */
   def readTableAt(spark: org.apache.spark.sql.SparkSession, root: Path,
                   version: Int,
                   pruneDirs: Option[(String, Set[Long])] = None)
@@ -260,16 +289,40 @@ private[graft] object Snapshots {
     * journal first. */
   def commit(fs: FileSystem, root: Path,
              replaced: Seq[String] = Nil,
-             nbuckets: Option[Int] = None): Int = {
+             nbuckets: Option[Int] = None,
+             targetBytes: Option[Long] = None): Int = {
     val cur = currentManifest(fs, root)
     val n = cur.map(_.version).getOrElse(0) + 1
     // the bucket count rides the manifest so a rebucket flips count and
-    // layout in ONE rename; every other commit carries it forward
+    // layout in ONE rename; every other commit carries it forward —
+    // and the per-table compaction graduation size rides the same way
+    // (r11 verdict task #5: one 100 TB table graduates at 1 GiB while
+    // small state tables keep the global default)
     val nb = nbuckets.orElse(cur.flatMap(_.nbuckets))
+    val tb = targetBytes.orElse(cur.flatMap(_.targetbytes))
     val expiring = cur.map(_.retired).getOrElse(Nil) // one commit old
     val dying = cur.map(_.expiring).getOrElse(Nil)   // two commits old
     val gone = (replaced ++ expiring ++ dying).toSet
     val data = visible(fs, root).filterNot(gone)
+    // GROUP-PIN protection (r11 verdict task #2 — the lag-liveness
+    // edge): a version some GROUP manifest still NAMES must stay
+    // resolvable, and its data files alive, for ANY commit lag a
+    // maintenance cycle produces (heal commits, adoption commits,
+    // flush+rewrite pairs) — not just the keep-window's arithmetic 2.
+    // `pin.*` files under `_snap` record the group-named versions
+    // ([[commitGroup]] writes them at every advance;
+    // [[refreshGroupPins]] re-asserts them at cycle entry); a pinned
+    // manifest is never cleaned up and its data files ride the
+    // expiring list (the stubborn mechanism) until the pin advances —
+    // at which point a later commit deletes both normally. A group
+    // that stops advancing holds its generation's files forever: that
+    // is the pin working as designed (delete the group's pin files
+    // when decommissioning a group).
+    val pins = readPins(fs, root).filter(v => v > 0 && v < n).distinct
+    val pinnedData: Set[String] = pins.flatMap { v =>
+      val p = new Path(snapDir(root), f"v$v%08d")
+      if (fs.exists(p)) parseManifest(v, readLines(fs, p)).data else Nil
+    }.toSet
     // the two-commit grace ends for files retired at version n-2 —
     // deleted BEFORE the manifest rename, while the current manifest
     // still lists them as expiring: a crash mid-delete leaves every
@@ -277,16 +330,25 @@ private[graft] object Snapshots {
     // listed NOWHERE, and the next commit's visible-minus-gone scan
     // would have adopted the deleted rows back as data). A file whose
     // delete fails but still exists stays in the expiring list for a
-    // later commit to retry, for the same reason.
+    // later commit to retry, for the same reason — and a PINNED file
+    // (data of a group-named generation) is deliberately kept in that
+    // retry loop without being deleted at all.
     val stubborn = dying.filter { p =>
-      val f = new Path(root, p)
-      !fs.delete(f, false) && fs.exists(f)
+      pinnedData(p) || {
+        val f = new Path(root, p)
+        !fs.delete(f, false) && fs.exists(f)
+      }
     }
     val dir = snapDir(root)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-v$n")
+    // layout/config lines lead the manifest in a FIXED order (nbuckets
+    // first, targetbytes second) so the hot-path readers
+    // ([[currentBucketCount]], [[currentTargetBytes]]) read a bounded
+    // prefix, never the data list
     write(fs, tmp,
       (nb.toSeq.map(b => s"nbuckets $b") ++
+        tb.toSeq.map(t => s"targetbytes $t") ++
         data.sorted.map(p => s"data $p") ++
         replaced.sorted.map(p => s"retired $p") ++
         (expiring ++ stubborn).sorted.map(p => s"expiring $p"))
@@ -303,10 +365,16 @@ private[graft] object Snapshots {
     // file replaced at v+1 dies at v+3), so a staler pin fails the
     // loud manifest-missing check in [[readTableAt]] instead of
     // passing it and then hitting deleted files at execution.
+    // GROUP-PINNED versions are the exception on BOTH sides at once:
+    // their manifests survive the cleanup here and their data files
+    // survive the expiry above, so a resolvable pin still never
+    // dangles on deleted files.
+    val pinSet = pins.toSet
     if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
       val nm = s.getPath.getName
       if (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
-        nm.drop(1).toInt < n - 2) fs.delete(s.getPath, false)
+        nm.drop(1).toInt < n - 2 &&
+        !pinSet.contains(nm.drop(1).toInt)) fs.delete(s.getPath, false)
     }
     n
   }
@@ -353,8 +421,13 @@ private[graft] object Snapshots {
     val cur = currentGroupFile(fs, groupRoot)
     val curVec = cur.map { case (_, lines) => parseGroup(lines) }
     // idempotent: an unchanged vector neither churns group versions nor
-    // ends the previous group generation's implicit grace early
-    if (curVec.contains(vec.toMap)) return cur.get._1
+    // ends the previous group generation's implicit grace early — but
+    // the pins are still (re-)asserted, which is what upgrades a
+    // pre-pin group's members on their first post-upgrade advance
+    if (curVec.contains(vec.toMap)) {
+      writeGroupPins(fs, groupRoot, members, vec.toMap)
+      return cur.get._1
+    }
     val n = cur.map(_._1).getOrElse(0) + 1
     fs.mkdirs(groupRoot)
     val tmp = new Path(groupRoot, s".tmp-v$n")
@@ -362,12 +435,89 @@ private[graft] object Snapshots {
       vec.map { case (name, v) => s"member $name $v" }.mkString("\n"))
     require(fs.rename(tmp, new Path(groupRoot, f"v$n%08d")),
       s"group commit v$n lost a rename race — writer serialization violated?")
+    // raise the pins AFTER the rename: a crash in between leaves the
+    // pins one generation LOW — over-protection (the old generation's
+    // files linger one cycle), never under (raising first and crashing
+    // would let the still-current group's named generation be evicted)
+    writeGroupPins(fs, groupRoot, members, vec.toMap)
     fs.listStatus(groupRoot).foreach { s =>
       val nm = s.getPath.getName
       if (nm.startsWith("v") && nm.drop(1).forall(_.isDigit) &&
         nm.drop(1).toInt < n - 1) fs.delete(s.getPath, false)
     }
     n
+  }
+
+  /** Re-assert the pins for the group's CURRENT vector without
+    * advancing it — the maintenance-cycle ENTRY step: the cycle's own
+    * commits (plus any heal/adoption commits the entry discipline
+    * fires) can push a member arbitrarily far past the group-named
+    * version, and the pins are what keep that version resolvable (and
+    * its files alive) until the cycle's end-advance re-points them.
+    * No-op for a group that was never committed; a pin whose manifest
+    * already aged out stays unwritten (nothing left to protect — the
+    * loud readTableAt check reports the protocol violation). */
+  def refreshGroupPins(fs: FileSystem, groupRoot: Path,
+                       members: Seq[(String, Path)]): Unit =
+    resolveGroup(fs, groupRoot).foreach { vec =>
+      writeGroupPins(fs, groupRoot, members, vec)
+    }
+
+  /** Filename-safe tag identifying a group inside its members' `_snap`
+    * dirs — distinct groups pinning the same table coexist (e.g. a
+    * text index's own postings/doclens group AND a hybrid group). */
+  private def pinTag(groupRoot: Path): String = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(
+      groupRoot.toUri.getPath)
+    f"${h & 0xffffffffL}%08x"
+  }
+
+  private def writeGroupPins(fs: FileSystem, groupRoot: Path,
+                             members: Seq[(String, Path)],
+                             vec: Map[String, Int]): Unit = {
+    val tag = pinTag(groupRoot)
+    members.foreach { case (name, root) =>
+      val v = vec.getOrElse(name, 0)
+      if (v > 0 && fs.exists(new Path(snapDir(root), f"v$v%08d"))) {
+        val dir = snapDir(root)
+        val dst = new Path(dir, s"pin.$tag")
+        // skip the rewrite when the pin already names this version —
+        // the refresh sits on per-batch entry paths, and an unchanged
+        // pin rewritten via delete+rename would re-open its momentary
+        // unpinned window every batch for nothing
+        val unchanged = fs.exists(dst) && scala.util.Try {
+          val in = fs.open(dst)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+          finally in.close()
+        }.toOption.contains(v)
+        if (!unchanged) {
+          fs.mkdirs(dir)
+          val tmp = new Path(dir, s".pin-$tag.tmp")
+          write(fs, tmp, s"$v")
+          // delete-then-rename: the crash window between the two leaves
+          // the member momentarily unpinned — degraded to the pre-pin
+          // keep-window behavior, re-asserted at the next entry refresh
+          fs.delete(dst, false)
+          require(fs.rename(tmp, dst) || fs.exists(dst),
+            s"could not publish group pin $dst")
+        }
+      }
+    }
+  }
+
+  /** The versions of `root` pinned by any group (its `pin.*` files). */
+  private def readPins(fs: FileSystem, root: Path): Seq[Int] = {
+    val dir = snapDir(root)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("pin."))
+      .flatMap { p =>
+        scala.util.Try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+          finally in.close()
+        }.toOption
+      }
   }
 
   /** The newest group manifest's `(member → version)` vector, or None
@@ -404,10 +554,12 @@ private[graft] object Snapshots {
     * resolved by [[heal]] after a crash. */
   def writePending(fs: FileSystem, root: Path, replaced: Seq[String],
                    merged: Seq[String],
-                   nbuckets: Option[Int] = None): Unit = {
+                   nbuckets: Option[Int] = None,
+                   targetBytes: Option[Long] = None): Unit = {
     fs.mkdirs(snapDir(root))
     write(fs, pendingPath(root),
       (nbuckets.toSeq.map(b => s"nbuckets $b") ++
+        targetBytes.toSeq.map(t => s"targetbytes $t") ++
         replaced.map(p => s"replaced $p") ++
         merged.map(p => s"merged $p")).mkString("\n"))
   }
@@ -424,7 +576,9 @@ private[graft] object Snapshots {
     commit(fs, root,
       replaced = lines.collect { case s if s.startsWith("replaced ") => s.drop(9) },
       nbuckets = lines.collectFirst { case s if s.startsWith("nbuckets ") =>
-        s.drop(9).trim.toInt })
+        s.drop(9).trim.toInt },
+      targetBytes = lines.collectFirst { case s if s.startsWith("targetbytes ") =>
+        s.drop(12).trim.toLong })
     fs.delete(p, false)
   }
 

@@ -206,7 +206,8 @@ object Sinks {
   private def stageAndInstall(spark: SparkSession, fs: FileSystem,
                               path: String, df: DataFrame,
                               buckets: Seq[Int],
-                              newBucketCount: Option[Int] = None): Unit = {
+                              newBucketCount: Option[Int] = None,
+                              newTargetBytes: Option[Long] = None): Unit = {
     val root = new Path(path)
     val staging = new Path(path + ".staging")
     df.write.mode("overwrite").partitionBy("__bucket")
@@ -223,9 +224,11 @@ object Sinks {
     }
     if (replaced.isEmpty && moves.isEmpty) { fs.delete(staging, true); return }
     fs.mkdirs(root)
-    // newBucketCount rides the pending journal and the commit, so a
-    // rebucket's count+layout flip is atomic in the crash-heal path too
-    Snapshots.writePending(fs, root, replaced, moves.map(_._1), newBucketCount)
+    // newBucketCount / newTargetBytes ride the pending journal and the
+    // commit, so a rebucket's count+target+layout flip is atomic in
+    // the crash-heal path too
+    Snapshots.writePending(fs, root, replaced, moves.map(_._1),
+      newBucketCount, newTargetBytes)
     StagedCommit.publishOps(fs, staging, moves.map(_._2))
     Snapshots.commitPending(fs, root)
   }
@@ -473,7 +476,7 @@ object Sinks {
     * then rebucket. Keys are needed to re-hash: pass the table's key
     * columns. */
   def rebucket(spark: SparkSession, path: String, keys: Seq[String],
-               newN: Int): Unit = {
+               newN: Int, targetBytes: Option[Long] = None): Unit = {
     require(newN > 0, s"bucket count must be positive (got $newN)")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(path))) return
@@ -490,7 +493,8 @@ object Sinks {
           .getOrElse(Nil)
         if (curFiles.isEmpty) {
           // nothing to move — the count flip is a bare commit
-          Snapshots.commit(fs, new Path(path), nbuckets = Some(newN)); ()
+          Snapshots.commit(fs, new Path(path), nbuckets = Some(newN),
+            targetBytes = targetBytes); ()
         } else {
           val table = Snapshots.readTable(spark, new Path(path))
           val oldBuckets = curFiles.map(_.takeWhile(_ != '/'))
@@ -509,7 +513,7 @@ object Sinks {
           // rehash once just to learn them
           stageAndInstall(spark, fs, path, restaged,
             (oldBuckets ++ (0 until newN)).distinct.sorted.toIndexedSeq,
-            newBucketCount = Some(newN))
+            newBucketCount = Some(newN), newTargetBytes = targetBytes)
         }
         // best-effort sidecar sync for external layout consumers; the
         // manifest line is authoritative from this commit on, so a
@@ -520,6 +524,67 @@ object Sinks {
         try out.write(newN.toString.getBytes("UTF-8")) finally out.close()
       }
     }
+  }
+
+  /** Set a snapshot-managed table's PER-TABLE compaction graduation
+    * size — one bare snapshot commit carrying the `targetbytes` line
+    * ([[graft.apps.Snapshots.currentTargetBytes]]); every later
+    * [[graft.apps.Compaction]] pass over this table graduates files at
+    * THIS size instead of the global default. The manifest-ceiling
+    * knob: a table that grew 100× keeps its manifest line count flat
+    * by graduating at a proportionally larger size (manifest lines ≈
+    * tableBytes / targetBytes), while small state tables stay at the
+    * default. Pair with [[rebucket]]`(…, targetBytes = Some(_))` when
+    * the layout should flip in the same commit. */
+  def setCompactionTarget(spark: SparkSession, path: String,
+                          bytes: Long): Unit = {
+    require(bytes > 0, s"target bytes must be positive (got $bytes)")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return
+    require(Snapshots.currentFiles(fs, new Path(path)).isDefined,
+      s"setCompactionTarget requires a snapshot-managed table; $path " +
+        "has no manifest to carry the setting — write once with " +
+        "snapshotted = true to upgrade first.")
+    locked(fs, path, snap = true) { _ =>
+      Snapshots.commit(fs, new Path(path), targetBytes = Some(bytes)); ()
+    }
+  }
+
+  /** Default target size of ONE BUCKET of a keyed/combine table —
+    * what [[recommendedBuckets]] aims for. The mart-probe measurement
+    * behind the value (PLANS.md "Round 11/12"): per-DIRECTORY
+    * filesystem constants dominate kilobyte-sized buckets (a 6400-way
+    * layout cost ~3 s MORE per batch than 64-way at probe scale), so
+    * buckets should be wide enough that scan time, not directory
+    * count, is the cost — while staying within one executor's
+    * comfortable working set for the merge's touched-bucket rewrite.
+    * 256 MB sits between the parquet row-group sweet spot and the
+    * shuffle-partition sizing the session uses. */
+  val DefaultBucketTargetBytes: Long = 256L * 1024 * 1024
+
+  /** Recommend a bucket count for a snapshot-managed keyed table from
+    * its OWN pinned manifest: total data bytes / `targetBytesPerBucket`
+    * (min 1). Driver-side metadata only — file sizes come from the
+    * filesystem's status calls over the manifest's file list, no scan.
+    * The principled input to [[rebucket]]: widen when the table grew
+    * past its layout (recommended ≫ current), narrow a shrunken one —
+    * instead of guessing a power of two. */
+  def recommendedBuckets(spark: SparkSession, path: String,
+                         targetBytesPerBucket: Long = DefaultBucketTargetBytes)
+      : Int = {
+    require(targetBytesPerBucket > 0,
+      s"target bytes per bucket must be positive (got $targetBytesPerBucket)")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Snapshots.currentFiles(fs, root).getOrElse {
+      throw new IllegalArgumentException(
+        s"recommendedBuckets requires a snapshot-managed table; $path " +
+          "has no manifest naming its data files")
+    }
+    val bytes = files.iterator
+      .map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+    math.max(1L, (bytes + targetBytesPerBucket - 1) / targetBytesPerBucket)
+      .min(Int.MaxValue.toLong).toInt
   }
 
   /** Read a table written by [[upsertKeyed]] without its layout column

@@ -190,14 +190,19 @@ class CompactionSoakSpec extends SparkSpec {
       assert(mergedIds == mergedIds.sorted,
         "merged file lost the vec_id clustering")
 
-      // ---- phase 2b: size-tier graduation -------------------------
+      // ---- phase 2b: size-tier graduation, PER-TABLE ---------------
       // a file at/above the target size is NEVER rewritten again —
       // without the tier every cycle rewrites the dir's full contents
-      // (merged file included): O(total²/maxFiles) write amplification
+      // (merged file included): O(total²/maxFiles) write amplification.
+      // The graduation size rides the CODES TABLE'S OWN MANIFEST (r11
+      // task #5): the global default is never touched, so one table
+      // can graduate at its own size while every other table keeps the
+      // default — the structural manifest bound (lines ≈
+      // bytes/targetBytes) is a per-table parameter, not a global.
       val mergedName = snapAfter(mergedDir).head
       val mergedSize = Files.size(Paths.get(s"$mergedDir/$mergedName"))
-      val savedTarget = Compaction.DefaultTargetBytes
-      Compaction.DefaultTargetBytes = mergedSize // the merged file graduates
+      val globalTarget = Compaction.DefaultTargetBytes
+      graft.sinks.Sinks.setCompactionTarget(spark, s"$idx/codes", mergedSize)
       try {
         Compaction.DefaultMaxFiles = 1000
         (1 to 6).foreach { _ => append(Delta); appends += 1 }
@@ -214,9 +219,14 @@ class CompactionSoakSpec extends SparkSpec {
           s"graduating dir holds ${nowFiles.length} readable files")
         assert(indexedIds(idx).sorted == preIds.sorted,
           "graduated compaction changed the row multiset")
-      } finally Compaction.DefaultTargetBytes = savedTarget
-      // back at the default tier (everything small) the next compaction
-      // folds the graduated file back in — soak invariants unchanged
+        assert(Compaction.DefaultTargetBytes == globalTarget,
+          "the per-table tier must not touch the global default")
+      } finally
+        // restore: one commit re-points the table at the default tier
+        // (everything small again) — the next compaction folds the
+        // graduated file back in, soak invariants unchanged
+        graft.sinks.Sinks.setCompactionTarget(spark, s"$idx/codes",
+          globalTarget)
 
       // ---- phase 3: crash INSIDE the compaction commit ------------
       Compaction.DefaultMaxFiles = 1000

@@ -138,4 +138,74 @@ class HybridServingSoakSpec extends SparkSpec {
     }
     assert(retracted.nonEmpty && hi == 320L, "soak shape drifted")
   }
+
+  test("two concurrent maintenance drivers serialize-or-fail-loudly; no torn vector is ever published") {
+    notFast()
+    val work = Files.createTempDirectory("hybrid-2drv").toString
+    val (textIdx, vecIdx, grp) = (s"$work/text", s"$work/vec", s"$work/_grp")
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    var hi = 120L
+    TextIndexApp.build(spark, docsOf(0L until hi), textIdx, nBuckets = 16)
+    VectorIndexApp.build(spark, vecsOf(0L until hi), vecIdx,
+      kCells = 8, iters = 2)
+    HybridSearchApp.commitGroup(spark, textIdx, vecIdx, grp)
+
+    def grouped(ids: Seq[Long]) = HybridSearchApp.query(spark, probeIds,
+      docsOf(ids), vecsOf(ids), textIdx, vecIdx,
+      topK, armK, k0, nprobe, rerankK, groupDir = Some(grp))
+
+    (0 until 2).foreach { i =>
+      val preLive = (0L until hi).toSeq
+      val preVec = Snapshots.resolveGroup(fs,
+        new org.apache.hadoop.fs.Path(grp)).get
+      val preRows = rows(grouped(preLive))
+      val aMidPair = new java.util.concurrent.CountDownLatch(1)
+      val bDone = new java.util.concurrent.CountDownLatch(1)
+      HybridSearchApp.pauseBetweenAppends = () => {
+        aMidPair.countDown()
+        bDone.await(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      }
+      val aErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val delta = (hi until hi + 20L).toSeq
+      val a = new Thread(() =>
+        try HybridSearchApp.append(spark, docsOf(delta), vecsOf(delta),
+          textIdx, vecIdx, grp)
+        catch { case t: Throwable => aErr.set(t) })
+      try {
+        a.start()
+        assert(aMidPair.await(120, java.util.concurrent.TimeUnit.SECONDS),
+          "driver A never reached mid-pair")
+        // driver B, while A is PROVABLY mid-pair (text arm ingested,
+        // vector arm not): both the full cycle and the bare advance
+        // must fail loudly inside A's lease…
+        intercept[IllegalStateException] {
+          HybridSearchApp.append(spark, docsOf(delta), vecsOf(delta),
+            textIdx, vecIdx, grp)
+        }
+        intercept[IllegalStateException] {
+          HybridSearchApp.commitGroup(spark, textIdx, vecIdx, grp)
+        }
+        // …and nothing was published: the group still names the
+        // pre-cycle vector, and a grouped query still serves exactly
+        // the pre-cycle fusion
+        assert(Snapshots.resolveGroup(fs,
+          new org.apache.hadoop.fs.Path(grp)).get == preVec,
+          s"cycle $i: a failed driver-B attempt published a vector")
+        assert(rows(grouped(preLive)) == preRows,
+          s"cycle $i: mid-pair serving diverged from the pre-cycle fusion")
+      } finally {
+        bDone.countDown()
+        a.join(300000)
+        HybridSearchApp.pauseBetweenAppends = () => ()
+      }
+      assert(aErr.get == null, s"driver A failed: ${aErr.get}")
+      hi += 20
+      // A's completed cycle published one consistent advance; serving
+      // equals the from-scratch fusion over the post-cycle corpus
+      assert(rows(grouped((0L until hi).toSeq)) ==
+        rows(fromScratch((0L until hi).toSeq, vecIdx)),
+        s"cycle $i: post-cycle serving diverged")
+    }
+  }
 }

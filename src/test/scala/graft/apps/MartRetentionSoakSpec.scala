@@ -156,7 +156,7 @@ class MartRetentionSoakSpec extends SparkSpec {
       "sess_state keeps growing in the tail")
   }
 
-  test("a crash at any retention stage replays to the exact batch answer") {
+  test("a crash at any retention stage replays to the exact batch answer, with a live reader loop") {
     // drive to a batch where ALL retention arms fire (decay sweep with
     // expired weeks needs refW ≥ 63 → batch ≥ 16; TTLs fire from batch
     // 2), then inject a crash at every mutation stage of a fresh batch
@@ -170,14 +170,51 @@ class MartRetentionSoakSpec extends SparkSpec {
       EventMartStream.processBatch(frame(rows), i.toLong, dir, retention)
       consumed ++= rows
     }
+
+    // TWO-DRIVER serving (r11 verdict task #6): a concurrent READER
+    // polls the serving views the whole time the crash-injected
+    // batches and their replays run — plan-execute gap fuzzing against
+    // live commits. Every poll must see a CONSISTENT generation: the
+    // views' total event count always equals SOME batch boundary's
+    // cumulative count (the session pair's total is invariant under
+    // the TTL fold, so a torn fold view — the double count — is a
+    // total that matches NO boundary), and no poll may fail loudly
+    // (pinned manifests and grace files must outlive every writer
+    // commit the poll races).
+    val validTotals = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    validTotals.add(consumed.size.toLong)
+    val readerErr =
+      new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val polls = new java.util.concurrent.atomic.AtomicInteger()
+    @volatile var done = false
+    val reader = new Thread(() => {
+      while (!done && readerErr.get == null) {
+        try {
+          val t1 = EventMartStream.sessionPaths(spark, dir)
+            .agg(sum(col("n_events"))).head.getLong(0)
+          require(validTotals.contains(t1),
+            s"sessionPaths total $t1 matches no consistent generation")
+          val t2 = EventMartStream.decayScores(spark, dir)
+            .agg(sum(col("n_events"))).head.getLong(0)
+          require(validTotals.contains(t2),
+            s"decayScores total $t2 matches no consistent generation")
+          polls.incrementAndGet()
+        } catch { case t: Throwable => readerErr.set(t) }
+      }
+    }, "mart-soak-reader")
+    reader.start()
+
     // a replayed batch has no pending retention work (its folds are
     // stamped, its deletes done), so each stage injection gets a FRESH
     // batch — past batch 18 every retention arm fires every batch (4
     // new weeks cross the decay horizon, one rotation step's users
     // cross both TTLs), so all 11 stages exist in every batch
-    (0 until 11).foreach { s =>
+    try (0 until 11).foreach { s =>
       val i = warm + s
       val rows = batchRows(i)
+      // the post-batch total becomes a legal reader observation the
+      // moment the batch starts mutating — register it FIRST
+      validTotals.add((consumed.size + rows.size).toLong)
       EventMartStream.crashAfterStage = s
       val crashed =
         try {
@@ -201,6 +238,14 @@ class MartRetentionSoakSpec extends SparkSpec {
       EventMartStream.processBatch(frame(rows), i.toLong, dir, retention)
       consumed ++= rows
       assertMartsEqual(dir, consumed, s"crash at stage $s")
+      assert(readerErr.get == null,
+        s"reader failed during stage $s: ${readerErr.get}")
+    } finally {
+      done = true
+      reader.join(120000)
     }
+    assert(readerErr.get == null, s"reader failed: ${readerErr.get}")
+    assert(polls.get >= 20,
+      s"reader loop barely ran (${polls.get} polls) — nothing was fuzzed")
   }
 }

@@ -173,6 +173,115 @@ class RebucketSpec extends SparkSpec {
     assert(t.filter(col("v") =!= "b").isEmpty, "keep-last broke after rebucket")
   }
 
+  private def headVersion(path: String): Int =
+    fs.listStatus(new Path(s"$path/_snap")).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt).max
+
+  test("bucket count and graduation target flip in ONE commit and survive crash heals together") {
+    val dir = Files.createTempDirectory("rebkt-tb").toString + "/t"
+    combineInto(dir, 0 until 64, 1, 0, nBuckets = 4)
+    val before = rows(Sinks.readCombined(spark, dir))
+    val v0 = headVersion(dir)
+
+    // one rebucket commit flips count AND per-table graduation target
+    Sinks.rebucket(spark, dir, Seq("k"), newN = 16,
+      targetBytes = Some(123456L))
+    assert(headVersion(dir) == v0 + 1,
+      "count+target+layout must flip in exactly one snapshot commit")
+    assert(Snapshots.currentBucketCount(fs, new Path(dir)) == Some(16))
+    assert(Snapshots.currentTargetBytes(fs, new Path(dir)) == Some(123456L))
+    assert(rows(Sinks.readCombined(spark, dir)) == before)
+
+    // later commits carry the target forward like the count
+    combineInto(dir, 0 until 64, 10, 1)
+    assert(Snapshots.currentTargetBytes(fs, new Path(dir)) == Some(123456L),
+      "a later merge dropped the per-table target")
+
+    // a crash mid-install heals count, target and layout TOGETHER
+    StagedCommit.crashAfterMoves = 2
+    try intercept[IllegalStateException] {
+      Sinks.rebucket(spark, dir, Seq("k"), newN = 8, targetBytes = Some(777L))
+    } finally StagedCommit.crashAfterMoves = Int.MaxValue
+    combineInto(dir, 0 until 64, 100, 2) // writer entry heals
+    val n = Snapshots.currentBucketCount(fs, new Path(dir)).get
+    val tb = Snapshots.currentTargetBytes(fs, new Path(dir)).get
+    assert((n, tb) == (8, 777L) || (n, tb) == (16, 123456L),
+      s"heal split the count/target pair: ($n, $tb)")
+    val misplaced = Snapshots.readTable(spark, new Path(dir))
+      .filter(col("__bucket") =!=
+        StableHash.bucket60(col("k").cast("string"), n).cast("int"))
+      .count()
+    assert(misplaced == 0, s"healed to count $n but a different layout")
+
+    // the bare setter: one commit, no layout change
+    val vs = headVersion(dir)
+    Sinks.setCompactionTarget(spark, dir, 999L)
+    assert(headVersion(dir) == vs + 1)
+    assert(Snapshots.currentTargetBytes(fs, new Path(dir)) == Some(999L))
+    assert(Snapshots.currentBucketCount(fs, new Path(dir)) == Some(n))
+  }
+
+  test("compaction graduates at the manifest's per-table target, not the global default") {
+    val dir = Files.createTempDirectory("cmp-tb").toString + "/t"
+    val root = new Path(dir)
+    (0 until 4).foreach { i =>
+      spark.range(i * 10, i * 10 + 10).toDF("id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    Snapshots.commit(fs, root)
+    def group = Compaction.Group(Seq(root), Seq(col("id")),
+      snapshotRoot = Some(root))
+    def liveCount = Snapshots.readTable(spark, root).count()
+    assert(liveCount == 40)
+
+    // per-table target 1 byte: every file has graduated — even with a
+    // huge call-site default, nothing is rewritten
+    Sinks.setCompactionTarget(spark, dir, 1L)
+    val c1 = Compaction.compact(spark, fs, new Path(dir + "_stg"),
+      Seq(group), maxFiles = 1, targetBytes = Long.MaxValue)
+    assert(c1 == 0,
+      s"compaction rewrote $c1 dirs despite the 1-byte per-table target")
+
+    // raise the per-table target: the same files are small again and
+    // the directory compacts, rows byte-identical
+    Sinks.setCompactionTarget(spark, dir, 64L * 1024 * 1024)
+    val c2 = Compaction.compact(spark, fs, new Path(dir + "_stg"),
+      Seq(group), maxFiles = 1, targetBytes = 1L)
+    assert(c2 == 1, s"expected 1 compacted dir, got $c2")
+    assert(liveCount == 40, "compaction changed the row multiset")
+    assert(Snapshots.currentFiles(fs, root).get.length == 1,
+      "the merged dir should hold one data file")
+  }
+
+  test("recommendedBuckets sizes the layout from the pinned manifest's own bytes") {
+    val dir = Files.createTempDirectory("recbkt").toString + "/t"
+    combineInto(dir, 0 until 256, 1, 0, nBuckets = 8)
+    val root = new Path(dir)
+    val totalBytes = Snapshots.currentFiles(fs, root).get
+      .map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+    assert(totalBytes > 0)
+    // one bucket the size of the whole table → 1; half → 2; a tenth → 10
+    assert(Sinks.recommendedBuckets(spark, dir, totalBytes) == 1)
+    assert(Sinks.recommendedBuckets(spark, dir, totalBytes / 2 + 1) == 2)
+    val tenth = Sinks.recommendedBuckets(spark, dir,
+      math.max(1L, totalBytes / 10))
+    assert(tenth == 10 || tenth == 11, s"got $tenth for a tenth-sized target")
+    // raw tables have no pinned manifest to measure — loud, not a guess
+    val raw = Files.createTempDirectory("recbkt-raw").toString + "/t"
+    Sinks.upsertCombine(spark, (0 until 8).map(k => (k.toLong, 1L)).toDF("k", "n"),
+      Seq("k"), Seq(sum(col("n")).as("n")), 0L, raw, nBuckets = 4)
+    intercept[IllegalArgumentException] {
+      Sinks.recommendedBuckets(spark, raw)
+    }
+    // and the recommendation is the principled rebucket input
+    val rec = Sinks.recommendedBuckets(spark, dir,
+      math.max(1L, totalBytes / 4))
+    Sinks.rebucket(spark, dir, Seq("k"), newN = rec)
+    assert(Snapshots.currentBucketCount(fs, root) == Some(rec))
+    assert(Sinks.readCombined(spark, dir).count() == 256)
+  }
+
   test("mart stamp-scheme enforcement: a pre-doubling table fails loudly, a fresh dir self-marks") {
     val dir = Files.createTempDirectory("stamp-scheme").toString
     // simulate a pre-upgrade build's output: a state table written with

@@ -249,6 +249,108 @@ class SnapshotGroupSpec extends SparkSpec {
       "replayed fold diverged from the batch recompute")
   }
 
+  test("a mid-fold REPLAY never re-publishes the torn pair through its main-pair advance") {
+    // the r11 advice window: crash between the TTL fold's grid merge
+    // and its state delete, then crash the REPLAY right after its main
+    // pair — the replayed main merges are stamp-skipped, so an
+    // unconditional post-main-pair group advance would publish heads =
+    // (post-fold grid, pre-delete state), the double-count generation,
+    // durable until the sweep replay's delete lands
+    val dir = Files.createTempDirectory("mart-grp-replay").toString
+    var consumed = Seq.empty[(Long, Long, Long, String, Double)]
+    (0 until 4).foreach { i =>
+      EventMartStream.processBatch(frame(batchRows(i)), i.toLong, dir, retention)
+      consumed ++= batchRows(i)
+    }
+    val rows5 = batchRows(4)
+    // first crash: after the fold's grid merge (stage 8), before its
+    // state delete (stage 9)
+    EventMartStream.crashAfterStage = 9
+    try intercept[IllegalStateException] {
+      EventMartStream.processBatch(frame(rows5), 4L, dir, retention)
+    } finally EventMartStream.crashAfterStage = Int.MaxValue
+    // second crash: mid-REPLAY, right after the replayed main pair and
+    // its (now conditional) group-advance decision, before the sweep
+    // can re-run (stage 7 is the decay migrate, the first sweep stage)
+    EventMartStream.crashAfterStage = 7
+    try intercept[IllegalStateException] {
+      EventMartStream.processBatch(frame(rows5), 4L, dir, retention)
+    } finally EventMartStream.crashAfterStage = Int.MaxValue
+
+    val want = CoreQueries.sessionPathsFrom(frame(consumed ++ rows5))
+    // the torn per-table heads are still real at this instant (fold in
+    // the grid, expiring sessions still open in the state)…
+    val unpinnedGrid = Sinks.readCombined(spark, s"$dir/sess_grid")
+      .select(col("entry_type"), col("exit_type"),
+        col("n_sessions"), col("n_events"))
+    val unpinnedOpen = Sinks.readKeyed(spark, s"$dir/sess_state")
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).as("n_events"))
+    val unpinnedTotal = unpinnedGrid.unionByName(unpinnedOpen)
+      .agg(sum(col("n_sessions"))).head.getLong(0)
+    val wantTotal = want.agg(sum(col("n_sessions"))).head.getLong(0)
+    assert(unpinnedTotal > wantTotal,
+      s"injection failed: no double count to hide ($unpinnedTotal vs $wantTotal)")
+    // …but the replayed main pair must NOT have re-published them: the
+    // group still names the original run's consistent generation
+    assert(rowsOf(EventMartStream.sessionPaths(spark, dir)) == rowsOf(want),
+      "the mid-fold replay's main-pair advance re-published the torn pair")
+
+    // the completed replay converges and stays exact
+    EventMartStream.processBatch(frame(rows5), 4L, dir, retention)
+    consumed ++= rows5
+    assert(rowsOf(EventMartStream.sessionPaths(spark, dir)) ==
+      rowsOf(CoreQueries.sessionPathsFrom(frame(consumed))),
+      "replay after the double crash diverged from the batch recompute")
+  }
+
+  test("migrateToGroups upgrades a pre-group mart dir; its first post-upgrade batch is already pinned") {
+    // build a mart, then simulate a PRE-GROUP build's output: no group
+    // manifest, no pins — the layout whose first post-upgrade batch
+    // used to serve one unpinned pair window (r11 "what's wrong #3")
+    val dir = Files.createTempDirectory("mart-migrate").toString
+    var consumed = Seq.empty[(Long, Long, Long, String, Double)]
+    (0 until 3).foreach { i =>
+      EventMartStream.processBatch(frame(batchRows(i)), i.toLong, dir, retention)
+      consumed ++= batchRows(i)
+    }
+    fs.delete(new Path(s"$dir/_group_sessions"), true)
+    Seq("sess_grid", "sess_state").foreach { t =>
+      val snap = new Path(s"$dir/$t/_snap")
+      if (fs.exists(snap)) fs.listStatus(snap)
+        .filter(_.getPath.getName.startsWith("pin."))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    assert(Snapshots.resolveGroup(fs, new Path(s"$dir/_group_sessions")).isEmpty)
+
+    // the one-time drained-dir migration (idempotent)
+    EventMartStream.migrateToGroups(spark, dir)
+    EventMartStream.migrateToGroups(spark, dir)
+    val vec = Snapshots.resolveGroup(fs, new Path(s"$dir/_group_sessions"))
+    assert(vec.exists(v => v("sess_grid") > 0 && v("sess_state") > 0),
+      s"migration must name the drained heads (got $vec)")
+
+    // the FIRST post-upgrade batch, crash-injected at the TTL fold
+    // boundary (after the fold's grid merge, before its state delete):
+    // pre-migration this was the torn window; now sessionPaths resolves
+    // the migrated group and never sees the mix
+    val rows3 = batchRows(3)
+    EventMartStream.crashAfterStage = 9
+    try intercept[IllegalStateException] {
+      EventMartStream.processBatch(frame(rows3), 3L, dir, retention)
+    } finally EventMartStream.crashAfterStage = Int.MaxValue
+    val want = CoreQueries.sessionPathsFrom(frame(consumed ++ rows3))
+    assert(rowsOf(EventMartStream.sessionPaths(spark, dir)) == rowsOf(want),
+      "first post-upgrade batch served a torn pair")
+
+    // replay completes; still exact
+    EventMartStream.processBatch(frame(rows3), 3L, dir, retention)
+    consumed ++= rows3
+    assert(rowsOf(EventMartStream.sessionPaths(spark, dir)) ==
+      rowsOf(CoreQueries.sessionPathsFrom(frame(consumed))),
+      "post-upgrade replay diverged from the batch recompute")
+  }
+
   // --------------------------------------------------- hybrid cross-index
 
   test("a hybrid query pins ONE corpus generation across both arms mid-cycle") {
