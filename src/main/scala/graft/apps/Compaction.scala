@@ -149,20 +149,19 @@ object Compaction {
     // merge, alive only for its readers' grace window) merged again
     // would put its rows in the table twice.
     val frozen: Seq[(Group, Seq[(Path, Seq[Path])])] = groups.map { g =>
-      val inData: Path => Boolean = g.snapshotRoot match {
-        case Some(root) => Snapshots.currentFiles(fs, root) match {
-          case Some(data) =>
-            val abs = data.map(p => new Path(root, p).toUri.getPath).toSet
-            p => abs.contains(p.toUri.getPath)
-          case None => _ => true // unadopted table: all visible is data
-        }
-        case None => _ => true
+      // one newest-manifest resolution yields BOTH the data list and
+      // the per-table graduation override
+      val snapInfo: Option[(Seq[String], Option[Long])] =
+        g.snapshotRoot.flatMap(Snapshots.currentFilesAndTarget(fs, _))
+      val inData: Path => Boolean = (g.snapshotRoot, snapInfo) match {
+        case (Some(root), Some((data, _))) =>
+          val abs = data.map(p => new Path(root, p).toUri.getPath).toSet
+          p => abs.contains(p.toUri.getPath)
+        case _ => _ => true // unadopted table: all visible is data
       }
       // per-table graduation size: the snapshot manifest's targetbytes
       // line overrides the call-site default (see DefaultTargetBytes)
-      val effTarget = g.snapshotRoot
-        .flatMap(Snapshots.currentTargetBytes(fs, _))
-        .getOrElse(targetBytes)
+      val effTarget = snapInfo.flatMap(_._2).getOrElse(targetBytes)
       g -> g.dirs.flatMap { dir =>
         val files = visibleFiles(fs, dir)
           .filter(_.getLen < effTarget).map(_.getPath)

@@ -413,12 +413,27 @@ object EventMartStream {
     // (post-fold grid, pre-delete state): the double-count generation
     // the group exists to hide. Skip; the sweep's own post-fold
     // advance (or the all-applied branch below) publishes instead.
-    // Checked only on sweep batches — no other batch can have written
-    // a fold stamp, so non-sweep batches pay nothing.
+    // Checked UNCONDITIONALLY (one grid-sized agg), not just on sweep
+    // batches: the fold stamp on disk is the crashed run's config
+    // speaking, and gating the check on the CURRENT config would let
+    // a retention change across the restart walk straight past it.
     val sweepBatch = retention.sessTtlUs.isDefined &&
       batchId % math.max(1, retention.ttlSweepEveryN) == 0
-    val midFoldReplay = sweepBatch &&
+    val midFoldReplay =
       storedStampExceeds(spark, fs, s"$martDir/sess_grid", mainStamp(batchId))
+    // a mid-fold replay whose CURRENT config would not re-run the
+    // sweep can never complete the fold's state delete — the expiring
+    // sessions would sit in the grid AND the state forever, a double
+    // count durable in the heads themselves, not just a torn view.
+    // Refuse loudly: replay this batch under the retention config the
+    // crashed run used, then change it.
+    if (midFoldReplay && !sweepBatch) throw new IllegalStateException(
+      s"mart $martDir: sess_grid carries a TTL-fold stamp from batch " +
+        s"$batchId, but the current retention config would not re-run " +
+        "the sweep — the fold's state delete would never complete and " +
+        "the expiring sessions would be double-counted durably. Replay " +
+        "this batch with the previous retention settings (sessTtlUs " +
+        "set, same ttlSweepEveryN cadence) before changing them.")
     // the main session pair is complete — publish the consistent
     // (grid, state) generation in one atomic group advance. NOT a
     // counted stage: a crash before it leaves readers on the pre-pair

@@ -115,6 +115,29 @@ object HybridSearchApp {
     }
   }
 
+  /** Decommission the hybrid group: remove its pins from all three
+    * member tables and delete the group dir — without this a retired
+    * group's pins would hold its last-named generation's files
+    * forever. Runs under the group lease (a concurrent maintenance
+    * driver must not be mid-cycle). The indexes keep serving through
+    * their own heads (and the text index's own group). */
+  def dropGroup(spark: SparkSession, textIdx: String, vecIdx: String,
+                groupDir: String): Unit = {
+    val fs = fsOf(spark, groupDir)
+    // pins and manifests die under the lease (no advance can race);
+    // the dir itself is cleaned up best-effort and NON-recursively
+    // after the lease releases — a recursive delete here could destroy
+    // a concurrent driver's freshly acquired _writer.lock (and its
+    // just-committed manifest) in the gap after our release, silently
+    // breaking the serialization the lease exists for. A non-empty
+    // dir (someone re-acquired) is simply left alone.
+    withGroupLease(fs, groupDir) {
+      Snapshots.dropGroup(fs, new Path(groupDir), members(textIdx, vecIdx))
+    }
+    scala.util.Try(fs.delete(new Path(groupDir), false))
+    ()
+  }
+
   /** One hybrid maintenance cycle: append the SAME document batch to
     * both arms, then publish the new corpus generation in one group
     * advance — the whole cycle under the group lease, so a second

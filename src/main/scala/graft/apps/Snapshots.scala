@@ -145,6 +145,14 @@ private[graft] object Snapshots {
   def currentFiles(fs: FileSystem, root: Path): Option[Seq[String]] =
     currentManifest(fs, root).map(_.data)
 
+  /** Data list + per-table graduation target from ONE newest-manifest
+    * resolution — [[Compaction.compact]] needs both per snapshot root,
+    * and resolving them separately would list and open the same
+    * manifest twice per group per pass. */
+  def currentFilesAndTarget(fs: FileSystem, root: Path)
+      : Option[(Seq[String], Option[Long])] =
+    currentManifest(fs, root).map(m => (m.data, m.targetbytes))
+
   /** Commit ONLY if visible files exist that the current manifest does
     * not list — the replay / empty-batch heal path: a torn append that
     * crashed between its StagedCommit publish (files live, watermark
@@ -316,8 +324,8 @@ private[graft] object Snapshots {
     // expiring list (the stubborn mechanism) until the pin advances —
     // at which point a later commit deletes both normally. A group
     // that stops advancing holds its generation's files forever: that
-    // is the pin working as designed (delete the group's pin files
-    // when decommissioning a group).
+    // is the pin working as designed ([[dropGroup]] removes the pins
+    // when a group is decommissioned).
     val pins = readPins(fs, root).filter(v => v > 0 && v < n).distinct
     val pinnedData: Set[String] = pins.flatMap { v =>
       val p = new Path(snapDir(root), f"v$v%08d")
@@ -463,43 +471,74 @@ private[graft] object Snapshots {
       writeGroupPins(fs, groupRoot, members, vec)
     }
 
+  /** Decommission a group: delete its pin files from every member's
+    * `_snap` dir and its manifest files. Without this, a deleted
+    * group's pins would hold its last-named generation's manifests
+    * and files FOREVER (the pin working as designed, on a group
+    * nobody reads). Members keep serving through their own heads.
+    * Leaves the group DIR itself for the caller (a writer lease's
+    * lock file may live inside it — see
+    * [[HybridSearchApp.dropGroup]]). */
+  def dropGroup(fs: FileSystem, groupRoot: Path,
+                members: Seq[(String, Path)]): Unit = {
+    val tag = pinTag(fs, groupRoot)
+    members.foreach { case (_, root) =>
+      val dir = snapDir(root)
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
+        if (s.getPath.getName.startsWith(s"pin.$tag"))
+          fs.delete(s.getPath, false)
+      }
+    }
+    if (fs.exists(groupRoot)) fs.listStatus(groupRoot).foreach { s =>
+      val nm = s.getPath.getName
+      if (nm.startsWith("v") && nm.drop(1).forall(_.isDigit))
+        fs.delete(s.getPath, false)
+    }
+    ()
+  }
+
   /** Filename-safe tag identifying a group inside its members' `_snap`
     * dirs — distinct groups pinning the same table coexist (e.g. a
-    * text index's own postings/doclens group AND a hybrid group). */
-  private def pinTag(groupRoot: Path): String = {
-    val h = scala.util.hashing.MurmurHash3.stringHash(
-      groupRoot.toUri.getPath)
-    f"${h & 0xffffffffL}%08x"
+    * text index's own postings/doclens group AND a hybrid group).
+    * Hash of the fs-QUALIFIED path (so `/work//grp`, a relative
+    * spelling and `/work/grp` agree) plus the sanitized final name
+    * component — human-debuggable, and the name makes an accidental
+    * cross-group hash collision harmless in practice. */
+  private def pinTag(fs: FileSystem, groupRoot: Path): String = {
+    val qualified = fs.makeQualified(groupRoot).toUri.toString
+    val h = scala.util.hashing.MurmurHash3.stringHash(qualified)
+    val nm = groupRoot.getName.replaceAll("[^A-Za-z0-9_-]", "_").take(32)
+    f"${h & 0xffffffffL}%08x-$nm"
   }
 
   private def writeGroupPins(fs: FileSystem, groupRoot: Path,
                              members: Seq[(String, Path)],
                              vec: Map[String, Int]): Unit = {
-    val tag = pinTag(groupRoot)
+    val tag = pinTag(fs, groupRoot)
     members.foreach { case (name, root) =>
       val v = vec.getOrElse(name, 0)
       if (v > 0 && fs.exists(new Path(snapDir(root), f"v$v%08d"))) {
         val dir = snapDir(root)
-        val dst = new Path(dir, s"pin.$tag")
-        // skip the rewrite when the pin already names this version —
-        // the refresh sits on per-batch entry paths, and an unchanged
-        // pin rewritten via delete+rename would re-open its momentary
-        // unpinned window every batch for nothing
-        val unchanged = fs.exists(dst) && scala.util.Try {
-          val in = fs.open(dst)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-          finally in.close()
-        }.toOption.contains(v)
-        if (!unchanged) {
+        // VERSIONED pin files — `pin.<tag>.<v>` — so a refresh never
+        // passes through an unpinned instant: the new pin lands by
+        // atomic rename BEFORE superseded ones are deleted, and a
+        // concurrent member commit's readPins sees old, new or both
+        // (union = brief over-protection), never neither. A
+        // delete-then-rename of one fixed name had exactly that
+        // window, racing live single-index writers that hold only the
+        // MEMBER lock while the refresh holds only the GROUP lease.
+        val dst = new Path(dir, s"pin.$tag.$v")
+        if (!fs.exists(dst)) {
           fs.mkdirs(dir)
           val tmp = new Path(dir, s".pin-$tag.tmp")
           write(fs, tmp, s"$v")
-          // delete-then-rename: the crash window between the two leaves
-          // the member momentarily unpinned — degraded to the pre-pin
-          // keep-window behavior, re-asserted at the next entry refresh
-          fs.delete(dst, false)
           require(fs.rename(tmp, dst) || fs.exists(dst),
             s"could not publish group pin $dst")
+        }
+        fs.listStatus(dir).foreach { s =>
+          val n = s.getPath.getName
+          if (n.startsWith(s"pin.$tag") && n != dst.getName)
+            fs.delete(s.getPath, false)
         }
       }
     }

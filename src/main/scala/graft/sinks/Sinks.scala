@@ -540,7 +540,11 @@ object Sinks {
                           bytes: Long): Unit = {
     require(bytes > 0, s"target bytes must be positive (got $bytes)")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(path))) return
+    // an explicit setter must not silently no-op on a typo'd path or a
+    // set-before-first-write ordering — the table would keep the
+    // global default with no signal
+    require(fs.exists(new Path(path)),
+      s"setCompactionTarget: $path does not exist")
     require(Snapshots.currentFiles(fs, new Path(path)).isDefined,
       s"setCompactionTarget requires a snapshot-managed table; $path " +
         "has no manifest to carry the setting — write once with " +

@@ -132,6 +132,35 @@ class GroupLeaseSpec extends SparkSpec {
       val newVec = Snapshots.resolveGroup(fs, new Path(grp)).get
       assert(newVec("postings") > pinnedVec("postings"))
       assert(rows(grouped((0L until hi).take(140).toSeq)).nonEmpty)
+
+      // DECOMMISSION: dropGroup removes the pins with the group, so a
+      // retired group cannot hold its generation's disk forever
+      HybridSearchApp.dropGroup(spark, textIdx, vecIdx, grp)
+      assert(Snapshots.resolveGroup(fs, new Path(grp)).isEmpty,
+        "dropped group still resolves")
+      Seq(s"$textIdx/postings", s"$textIdx/doclens", s"$vecIdx/codes")
+        .foreach { t =>
+          val snap = new Path(s"$t/_snap")
+          val pins = fs.listStatus(snap)
+            .filter(_.getPath.getName.startsWith("pin."))
+            // the text index's OWN group legitimately keeps its pins
+            // on postings/doclens — only the HYBRID tag must be gone,
+            // and codes had no other group at all
+            .map(_.getPath.getName)
+          if (t.endsWith("codes"))
+            assert(pins.isEmpty, s"codes keeps pins after drop: ${pins.toSeq}")
+        }
+      // with the hybrid pin gone, the named generation ages out of the
+      // keep-window like any other version
+      (0 until 3).foreach { _ =>
+        TextIndexApp.append(spark, docsOf(hi until hi + 20L), textIdx)
+        VectorIndexApp.append(spark, vecsOf(hi until hi + 20L), vecIdx)
+        hi += 20
+      }
+      val droppedManifest = new Path(s"$vecIdx/codes/_snap",
+        f"v${newVec("codes")}%08d")
+      assert(!fs.exists(droppedManifest),
+        "a dropped group's pin still holds the codes manifest")
     } finally Compaction.DefaultMaxFiles = savedMax
   }
 }

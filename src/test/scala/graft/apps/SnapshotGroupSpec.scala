@@ -304,6 +304,45 @@ class SnapshotGroupSpec extends SparkSpec {
       "replay after the double crash diverged from the batch recompute")
   }
 
+  test("a retention-config change across a mid-fold crash fails loudly instead of double-counting durably") {
+    // the fold stamp on disk is the CRASHED run's config speaking: if
+    // the restarted stream's config would not re-run the sweep, the
+    // fold's state delete can never complete and the expiring
+    // sessions would live in the grid AND the state forever — a
+    // double count durable in the heads, not just a torn view. The
+    // replay must refuse, not proceed.
+    val dir = Files.createTempDirectory("mart-cfgchange").toString
+    var consumed = Seq.empty[(Long, Long, Long, String, Double)]
+    (0 until 4).foreach { i =>
+      EventMartStream.processBatch(frame(batchRows(i)), i.toLong, dir, retention)
+      consumed ++= batchRows(i)
+    }
+    val rows5 = batchRows(4)
+    EventMartStream.crashAfterStage = 9 // after fold merge, before delete
+    try intercept[IllegalStateException] {
+      EventMartStream.processBatch(frame(rows5), 4L, dir, retention)
+    } finally EventMartStream.crashAfterStage = Int.MaxValue
+
+    // restart with TTLs turned OFF: the replay detects the in-flight
+    // fold and refuses loudly
+    val noTtl = EventMartStream.Retention(decaySweepEveryN = 1)
+    val e = intercept[IllegalStateException] {
+      EventMartStream.processBatch(frame(rows5), 4L, dir, noTtl)
+    }
+    assert(e.getMessage.contains("fold stamp"), s"wrong failure: ${e.getMessage}")
+    // and nothing was published: the group still serves the exact view
+    val want = CoreQueries.sessionPathsFrom(frame(consumed ++ rows5))
+    assert(rowsOf(EventMartStream.sessionPaths(spark, dir)) == rowsOf(want),
+      "the refused replay leaked a torn generation")
+
+    // the documented path — replay under the ORIGINAL config — heals
+    EventMartStream.processBatch(frame(rows5), 4L, dir, retention)
+    consumed ++= rows5
+    assert(rowsOf(EventMartStream.sessionPaths(spark, dir)) ==
+      rowsOf(CoreQueries.sessionPathsFrom(frame(consumed))),
+      "replay under the original config diverged")
+  }
+
   test("migrateToGroups upgrades a pre-group mart dir; its first post-upgrade batch is already pinned") {
     // build a mart, then simulate a PRE-GROUP build's output: no group
     // manifest, no pins — the layout whose first post-upgrade batch
