@@ -432,8 +432,10 @@ object EventMartStream {
         s"$batchId, but the current retention config would not re-run " +
         "the sweep — the fold's state delete would never complete and " +
         "the expiring sessions would be double-counted durably. Replay " +
-        "this batch with the previous retention settings (sessTtlUs " +
-        "set, same ttlSweepEveryN cadence) before changing them.")
+        "this batch with a config under which the sweep fires (some " +
+        "sessTtlUs, a ttlSweepEveryN matching this batch id) before " +
+        "changing it — the fold re-applies against its journaled " +
+        "cutoff, so the TTL value itself need not match.")
     // the main session pair is complete — publish the consistent
     // (grid, state) generation in one atomic group advance. NOT a
     // counted stage: a crash before it leaves readers on the pre-pair
@@ -478,7 +480,20 @@ object EventMartStream {
       val maxSeenUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
       retention.sessTtlUs.foreach { ttl =>
         val statePath = s"$martDir/sess_state"
-        val idle = col("last_us") <= maxSeenUs - ttl
+        // the fold's idleness CUTOFF is JOURNALED before any mutation
+        // (staged like the per-batch deltas): the fold is a PAIR — a
+        // stamp-skipped grid merge plus a predicate delete — and a
+        // replay evaluating the predicate under a CHANGED sessTtlUs
+        // value would tear it (larger TTL: folded-but-undeleted
+        // sessions double-count; smaller: deleted-but-never-folded
+        // sessions vanish). The journal makes the replayed delete use
+        // the ORIGINAL run's cutoff exactly, so a TTL value change
+        // across a crash-restart is safe; only a config that stops
+        // the sweep from running at all still needs the loud
+        // mid-fold refusal above.
+        val cutoff = stagedCutoff(fs, s"$martDir/deltas/foldcut",
+          batchId, maxSeenUs - ttl)
+        val idle = col("last_us") <= cutoff
         // materialized ONCE (it is consulted for emptiness and merged
         // into the grid; bounded by the entry×exit type grid)
         val foldedS = Sinks.readKeyed(spark, statePath).filter(idle)
@@ -522,7 +537,7 @@ object EventMartStream {
 
     // retire deltas old enough that no replay can need them (streaming
     // replays at most the LAST batch after a restart)
-    Seq("trans", "sess").foreach { d =>
+    Seq("trans", "sess", "foldcut").foreach { d =>
       val root = new Path(s"$martDir/deltas/$d")
       if (fs.exists(root)) fs.listStatus(root).foreach { s =>
         val n = s.getPath.getName
@@ -532,12 +547,34 @@ object EventMartStream {
     }
   }
 
+  /** Write-or-reuse a staged per-batch scalar (the fold cutoff): the
+    * scalar twin of [[stagedDelta]] — atomic tmp+rename publish, reuse
+    * on replay so the value is the ORIGINAL run's, retired with the
+    * other per-batch deltas. */
+  private def stagedCutoff(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String, batchId: Long,
+                           value: Long): Long = {
+    val target = new Path(s"$dir/batch=$batchId")
+    if (!fs.exists(target)) {
+      fs.mkdirs(new Path(dir))
+      val tmp = new Path(s"$dir/.tmp-$batchId")
+      val out = fs.create(tmp, true)
+      try out.write(s"$value\n".getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, target) || fs.exists(target),
+        s"could not publish fold cutoff $target")
+    }
+    val in = fs.open(target)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
+
   /** Whether `path`'s stored max `__mart_batch` stamp exceeds `stamp`
     * — the mid-fold replay detector: only THIS batch's fold can have
     * written a stamp past this batch's main stamp (stamps apply in
     * strictly increasing order, and streaming replays only the last
-    * batch). One tiny agg over a grid-sized table, evaluated only on
-    * sweep batches. */
+    * batch). One tiny agg over a grid-sized table, evaluated on EVERY
+    * batch — the fold stamp on disk is the crashed run's config
+    * speaking, so the check must not be gated on the current one. */
   private def storedStampExceeds(spark: SparkSession,
                                  fs: org.apache.hadoop.fs.FileSystem,
                                  path: String, stamp: Long): Boolean = {

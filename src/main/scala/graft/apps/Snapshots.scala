@@ -485,7 +485,10 @@ private[graft] object Snapshots {
     members.foreach { case (_, root) =>
       val dir = snapDir(root)
       if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
-        if (s.getPath.getName.startsWith(s"pin.$tag"))
+        val n = s.getPath.getName
+        // also sweep a crashed refresh's tmp — no future write for
+        // this tag will ever overwrite it once the group is gone
+        if (n.startsWith(s"pin.$tag") || n == s".pin-$tag.tmp")
           fs.delete(s.getPath, false)
       }
     }
@@ -502,8 +505,12 @@ private[graft] object Snapshots {
     * text index's own postings/doclens group AND a hybrid group).
     * Hash of the fs-QUALIFIED path (so `/work//grp`, a relative
     * spelling and `/work/grp` agree) plus the sanitized final name
-    * component — human-debuggable, and the name makes an accidental
-    * cross-group hash collision harmless in practice. */
+    * component — human-debuggable, and the name disambiguates a
+    * 32-bit hash collision whenever the two groups' (truncated)
+    * names differ; two groups colliding on BOTH is the residual
+    * ~2^-32 risk, in which case one group's pin cleanup could drop
+    * the other's pin (degrading it to keep-window protection, the
+    * loud pre-pin behavior — never silent wrong data). */
   private def pinTag(fs: FileSystem, groupRoot: Path): String = {
     val qualified = fs.makeQualified(groupRoot).toUri.toString
     val h = scala.util.hashing.MurmurHash3.stringHash(qualified)

@@ -133,23 +133,32 @@ class GroupLeaseSpec extends SparkSpec {
       assert(newVec("postings") > pinnedVec("postings"))
       assert(rows(grouped((0L until hi).take(140).toSeq)).nonEmpty)
 
-      // DECOMMISSION: dropGroup removes the pins with the group, so a
-      // retired group cannot hold its generation's disk forever
+      // DECOMMISSION: dropGroup removes EXACTLY its own pins with the
+      // group — the text index's OWN group keeps pinning
+      // postings/doclens (multi-group coexistence), while codes (the
+      // hybrid group was its only group) drops to zero
+      def pinsOf(t: String): Set[String] =
+        fs.listStatus(new Path(s"$t/_snap"))
+          .filter(_.getPath.getName.startsWith("pin."))
+          .map(_.getPath.getName).toSet
+      val beforeDrop = Seq(s"$textIdx/postings", s"$textIdx/doclens",
+        s"$vecIdx/codes").map(t => t -> pinsOf(t)).toMap
+      assert(beforeDrop(s"$textIdx/postings").size == 2 &&
+        beforeDrop(s"$vecIdx/codes").size == 1,
+        s"fixture drifted: expected own+hybrid pins on postings and " +
+          s"hybrid-only on codes, got $beforeDrop")
       HybridSearchApp.dropGroup(spark, textIdx, vecIdx, grp)
       assert(Snapshots.resolveGroup(fs, new Path(grp)).isEmpty,
         "dropped group still resolves")
-      Seq(s"$textIdx/postings", s"$textIdx/doclens", s"$vecIdx/codes")
-        .foreach { t =>
-          val snap = new Path(s"$t/_snap")
-          val pins = fs.listStatus(snap)
-            .filter(_.getPath.getName.startsWith("pin."))
-            // the text index's OWN group legitimately keeps its pins
-            // on postings/doclens — only the HYBRID tag must be gone,
-            // and codes had no other group at all
-            .map(_.getPath.getName)
-          if (t.endsWith("codes"))
-            assert(pins.isEmpty, s"codes keeps pins after drop: ${pins.toSeq}")
-        }
+      Seq(s"$textIdx/postings", s"$textIdx/doclens").foreach { t =>
+        val now = pinsOf(t)
+        assert(now.size == beforeDrop(t).size - 1 && now.nonEmpty &&
+          now.subsetOf(beforeDrop(t)),
+          s"$t: dropGroup must remove exactly the hybrid pin " +
+            s"(before ${beforeDrop(t)}, after $now)")
+      }
+      assert(pinsOf(s"$vecIdx/codes").isEmpty,
+        s"codes keeps pins after drop: ${pinsOf(s"$vecIdx/codes")}")
       // with the hybrid pin gone, the named generation ages out of the
       // keep-window like any other version
       (0 until 3).foreach { _ =>

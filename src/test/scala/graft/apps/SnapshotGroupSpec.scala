@@ -335,12 +335,22 @@ class SnapshotGroupSpec extends SparkSpec {
     assert(rowsOf(EventMartStream.sessionPaths(spark, dir)) == rowsOf(want),
       "the refused replay leaked a torn generation")
 
-    // the documented path — replay under the ORIGINAL config — heals
-    EventMartStream.processBatch(frame(rows5), 4L, dir, retention)
+    // a replay under a CHANGED TTL VALUE (sweep still fires) is safe:
+    // the fold's idleness cutoff was JOURNALED by the crashed run, so
+    // the replayed delete removes exactly the sessions the
+    // stamp-skipped merge already folded — a re-evaluated predicate
+    // under the 60-week TTL would have deleted NOTHING (every session
+    // is younger than that), leaving the folded sessions in both
+    // members durably
+    val changedTtl = EventMartStream.Retention(
+      decaySweepEveryN = 1, sessTtlUs = Some(60L * WeekUs),
+      transTtlUs = Some(60L * WeekUs), ttlSweepEveryN = 1)
+    EventMartStream.processBatch(frame(rows5), 4L, dir, changedTtl)
     consumed ++= rows5
     assert(rowsOf(EventMartStream.sessionPaths(spark, dir)) ==
       rowsOf(CoreQueries.sessionPathsFrom(frame(consumed))),
-      "replay under the original config diverged")
+      "replay under a changed TTL value diverged — the journaled " +
+        "cutoff was not honored")
   }
 
   test("migrateToGroups upgrades a pre-group mart dir; its first post-upgrade batch is already pinned") {
