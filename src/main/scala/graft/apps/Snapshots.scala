@@ -117,28 +117,14 @@ private[graft] object Snapshots {
 
   /** The per-table compaction graduation size the newest manifest
     * carries, if any — committed atomically with the layout like
-    * `nbuckets` ([[commit]] writes it in the bounded leading prefix,
-    * so this reads at most the first two lines). Consulted by
-    * [[Compaction.compact]] per snapshot root; tables without the
-    * line use the global default. */
-  def currentTargetBytes(fs: FileSystem, root: Path): Option[Long] = {
-    val dir = snapDir(root)
-    if (!fs.exists(dir)) return None
-    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toInt)
-    if (vs.isEmpty) None
-    else {
-      val in = fs.open(new Path(dir, f"v${vs.max}%08d"))
-      try {
-        val br = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
-        Iterator.continually(Option(br.readLine())).take(2)
-          .collectFirst { case Some(s) if s.startsWith("targetbytes ") =>
-            s.drop(12).trim.toLong }
-      } finally in.close()
-    }
-  }
+    * `nbuckets`. Delegates to the full manifest parse: hot-path
+    * callers go through [[currentFilesAndTarget]] (one resolution for
+    * data list + target), so a second bounded-prefix reader here only
+    * duplicated the version-resolution logic and silently returned
+    * None if the `targetbytes` line ever drifted past its assumed
+    * position. */
+  def currentTargetBytes(fs: FileSystem, root: Path): Option[Long] =
+    currentManifest(fs, root).flatMap(_.targetbytes)
 
   /** The current data-file list (paths relative to `root`); None when
     * the table is not snapshot-managed (no committed manifest). */
@@ -421,6 +407,12 @@ private[graft] object Snapshots {
     * files; a staler group fails the manifest-missing check LOUDLY
     * (the keep-window and the file grace agree by construction — a
     * resolvable pin can never dangle on deleted files). */
+  /** TEST-ONLY crash injection: die between [[commitGroup]]'s manifest
+    * rename and its superseded-pin sweep — the widest post-publish gap
+    * a crash can hit. The new generation must already be pinned there
+    * (pins are raised BEFORE the rename). */
+  private[apps] var crashAfterGroupRename: Boolean = false
+
   def commitGroup(fs: FileSystem, groupRoot: Path,
                   members: Seq[(String, Path)]): Int = {
     val vec = members.map { case (name, root) =>
@@ -438,15 +430,26 @@ private[graft] object Snapshots {
     }
     val n = cur.map(_._1).getOrElse(0) + 1
     fs.mkdirs(groupRoot)
+    // raise the NEW generation's pins BEFORE the rename, WITHOUT yet
+    // deleting the superseded ones — so neither generation is ever
+    // unpinned across the advance. Pinning-then-crashing (no rename)
+    // leaves the old generation current and still pinned, plus extra
+    // new-gen pins (over-protection, swept by the next refresh);
+    // renaming-then-crashing (the r12 "what's wrong #1" gap) leaves
+    // the NEW generation both published AND pinned, so single-index
+    // writers pushing members past the keep-window can no longer age
+    // the group-named manifests out before the next cycle re-pins.
+    writeGroupPins(fs, groupRoot, members, vec.toMap,
+      cleanupSuperseded = false)
     val tmp = new Path(groupRoot, s".tmp-v$n")
     write(fs, tmp,
       vec.map { case (name, v) => s"member $name $v" }.mkString("\n"))
     require(fs.rename(tmp, new Path(groupRoot, f"v$n%08d")),
       s"group commit v$n lost a rename race — writer serialization violated?")
-    // raise the pins AFTER the rename: a crash in between leaves the
-    // pins one generation LOW — over-protection (the old generation's
-    // files linger one cycle), never under (raising first and crashing
-    // would let the still-current group's named generation be evicted)
+    if (crashAfterGroupRename)
+      throw new IllegalStateException(
+        "injected crash: group manifest renamed, superseded pins not swept")
+    // the advance is published — NOW release the old generation's pins
     writeGroupPins(fs, groupRoot, members, vec.toMap)
     fs.listStatus(groupRoot).foreach { s =>
       val nm = s.getPath.getName
@@ -487,8 +490,11 @@ private[graft] object Snapshots {
       if (fs.exists(dir)) fs.listStatus(dir).foreach { s =>
         val n = s.getPath.getName
         // also sweep a crashed refresh's tmp — no future write for
-        // this tag will ever overwrite it once the group is gone
-        if (n.startsWith(s"pin.$tag") || n == s".pin-$tag.tmp")
+        // this tag will ever overwrite it once the group is gone.
+        // `pin.$tag.` WITH the trailing dot: a tag that is a proper
+        // prefix of another group's tag (32-bit hash collision plus a
+        // name-prefix relation) must not have its pins swept here
+        if (n.startsWith(s"pin.$tag.") || n == s".pin-$tag.tmp")
           fs.delete(s.getPath, false)
       }
     }
@@ -520,7 +526,8 @@ private[graft] object Snapshots {
 
   private def writeGroupPins(fs: FileSystem, groupRoot: Path,
                              members: Seq[(String, Path)],
-                             vec: Map[String, Int]): Unit = {
+                             vec: Map[String, Int],
+                             cleanupSuperseded: Boolean = true): Unit = {
     val tag = pinTag(fs, groupRoot)
     members.foreach { case (name, root) =>
       val v = vec.getOrElse(name, 0)
@@ -534,36 +541,100 @@ private[graft] object Snapshots {
         // delete-then-rename of one fixed name had exactly that
         // window, racing live single-index writers that hold only the
         // MEMBER lock while the refresh holds only the GROUP lease.
+        // The body carries the pinned version AND the qualified group
+        // root — the back-pointer [[vacuum]] needs to tell a live
+        // group's pin from one whose group was deleted out-of-band.
         val dst = new Path(dir, s"pin.$tag.$v")
         if (!fs.exists(dst)) {
           fs.mkdirs(dir)
           val tmp = new Path(dir, s".pin-$tag.tmp")
-          write(fs, tmp, s"$v")
+          write(fs, tmp,
+            s"$v\n${fs.makeQualified(groupRoot).toUri.toString}")
           require(fs.rename(tmp, dst) || fs.exists(dst),
             s"could not publish group pin $dst")
         }
-        fs.listStatus(dir).foreach { s =>
+        // `cleanupSuperseded = false` is [[commitGroup]]'s pre-rename
+        // call: the OLD generation's pins must survive until the new
+        // group manifest is published, so neither side of the rename
+        // is ever unpinned
+        if (cleanupSuperseded) fs.listStatus(dir).foreach { s =>
           val n = s.getPath.getName
-          if (n.startsWith(s"pin.$tag") && n != dst.getName)
+          // trailing dot: never sweep another group whose tag merely
+          // extends this one (see the same guard in [[dropGroup]])
+          if (n.startsWith(s"pin.$tag.") && n != dst.getName)
             fs.delete(s.getPath, false)
         }
       }
     }
   }
 
-  /** The versions of `root` pinned by any group (its `pin.*` files). */
+  /** The versions of `root` pinned by any group (its `pin.*` files).
+    * Line 1 of a pin body is the version; line 2 (absent in pins
+    * written before [[vacuum]] existed) is the group back-pointer —
+    * only line 1 matters here. */
   private def readPins(fs: FileSystem, root: Path): Seq[Int] = {
     val dir = snapDir(root)
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("pin."))
-      .flatMap { p =>
-        scala.util.Try {
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-          finally in.close()
-        }.toOption
-      }
+      .flatMap(p => scala.util.Try(readLines(fs, p).head.trim.toInt).toOption)
+  }
+
+  /** Audit — and with `delete = true`, remove — orphaned snapshot
+    * debris under `root/_snap` (the r12 verdict's "what's wrong #3":
+    * an `rm -rf`'d group dir leaks its pins FOREVER, silently holding
+    * manifests and data files). Findings, per kind:
+    *
+    *  - `orphan-pin` — a `pin.<tag>.<v>` whose recorded group root
+    *    (the body's back-pointer) no longer resolves to any committed
+    *    group manifest. [[dropGroup]] is the sanctioned path; this
+    *    catches the out-of-band deletion it cannot.
+    *  - `legacy-pin` — a pin with no back-pointer (written before the
+    *    body carried one). Reported but NEVER deleted, even with
+    *    `delete = true`: its group cannot be located, so liveness
+    *    cannot be ruled out — re-run the group's maintenance cycle
+    *    once (its refresh rewrites the pin with a back-pointer), then
+    *    vacuum again.
+    *  - `stale-tmp` — `.tmp-*` / `.pin-*.tmp` files older than
+    *    `tmpOlderThanMs` (default 1 h): a crashed write's leftover; a
+    *    LIVE writer's tmp is younger than any sane threshold because
+    *    tmp files exist only inside a single write call.
+    *
+    * Report-only by default — returns `(kind, path)` pairs either way.
+    * Deleting an orphan pin is safe by construction: the pin's only
+    * reader is [[commit]]'s keep-window logic, and a pin whose group
+    * is gone protects a generation nobody can resolve. */
+  def vacuum(fs: FileSystem, root: Path, delete: Boolean = false,
+             tmpOlderThanMs: Long = 60L * 60 * 1000)
+      : Seq[(String, String)] = {
+    val dir = snapDir(root)
+    if (!fs.exists(dir)) return Nil
+    val now = System.currentTimeMillis()
+    val findings = fs.listStatus(dir).toSeq.flatMap { s =>
+      val n = s.getPath.getName
+      if (n.startsWith("pin.")) {
+        val lines = scala.util.Try(readLines(fs, s.getPath)).getOrElse(Nil)
+        lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty) match {
+          case Some(groupUri) =>
+            val live = scala.util.Try(
+              currentGroupFile(fs, new Path(groupUri)).isDefined)
+              .getOrElse(false)
+            if (live) Nil
+            else Seq(("orphan-pin", s.getPath.toString))
+          case None => Seq(("legacy-pin", s.getPath.toString))
+        }
+      } else if ((n.startsWith(".tmp-") || (n.startsWith(".pin-")
+          && n.endsWith(".tmp"))) &&
+          now - s.getModificationTime > tmpOlderThanMs)
+        Seq(("stale-tmp", s.getPath.toString))
+      else Nil
+    }
+    if (delete) findings.foreach {
+      case (kind, p) if kind != "legacy-pin" =>
+        fs.delete(new Path(p), false); ()
+      case _ => ()
+    }
+    findings
   }
 
   /** The newest group manifest's `(member → version)` vector, or None

@@ -75,6 +75,12 @@ object TextIndexApp {
     * newest-manifest heads disagree about the delta, which the group
     * manifest exists to make unobservable. */
   private[apps] var crashBetweenCommits: Boolean = false
+
+  /** TEST-ONLY interleave hook at the same instant — lets a spec hold
+    * one maintenance driver provably mid-pair (postings committed,
+    * doclens not) while a second driver attempts its own append or
+    * retract against the held writer lock. Never set outside tests. */
+  private[apps] var pauseBetweenCommits: () => Unit = () => ()
   private def groupMembers(indexDir: String): Seq[(String, Path)] =
     Seq("postings" -> new Path(s"$indexDir/postings"),
       "doclens" -> new Path(s"$indexDir/doclens"))
@@ -193,6 +199,7 @@ object TextIndexApp {
       Snapshots.commit(fs, new Path(s"$indexDir/postings"))
       if (crashBetweenCommits) throw new IllegalStateException(
         "injected crash: postings committed, doclens not")
+      pauseBetweenCommits()
       Snapshots.commit(fs, new Path(s"$indexDir/doclens"))
       // the append pair is complete — publish the consistent
       // generation before compaction (readers between here and the

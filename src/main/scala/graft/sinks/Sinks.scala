@@ -585,8 +585,13 @@ object Sinks {
         s"recommendedBuckets requires a snapshot-managed table; $path " +
           "has no manifest naming its data files")
     }
+    // the manifest read above is UNLOCKED (this is a read-only advisory
+    // API): a concurrent commit can delete a just-expired file in the
+    // window between the listing and the status call — treat a vanished
+    // file as 0 bytes rather than throwing from a sizing helper
     val bytes = files.iterator
-      .map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+      .map(f => scala.util.Try(
+        fs.getFileStatus(new Path(root, f)).getLen).getOrElse(0L)).sum
     math.max(1L, (bytes + targetBytesPerBucket - 1) / targetBytesPerBucket)
       .min(Int.MaxValue.toLong).toInt
   }

@@ -172,4 +172,71 @@ class GroupLeaseSpec extends SparkSpec {
         "a dropped group's pin still holds the codes manifest")
     } finally Compaction.DefaultMaxFiles = savedMax
   }
+
+  test("a crash right after the group rename leaves the published generation pinned and SERVING across member lag") {
+    // the r12 verdict's "what's wrong #1": commitGroup used to raise
+    // pins only AFTER the manifest rename, so a crash in between left
+    // the NEW generation published but pin-less — single-index writers
+    // could then age its member manifests out of the keep-window and
+    // group queries failed loudly until the next cycle re-pinned. Pins
+    // now go up BEFORE the rename (without sweeping the old ones), so
+    // the crash window leaves BOTH generations protected.
+    val work = Files.createTempDirectory("pingap").toString
+    val (textIdx, vecIdx, grp) = (s"$work/text", s"$work/vec", s"$work/_grp")
+    val probeIds = (0L until 4L).toSeq
+    var hi = 80L
+    TextIndexApp.build(spark, docsOf(0L until hi), textIdx, nBuckets = 8)
+    VectorIndexApp.build(spark, vecsOf(0L until hi), vecIdx,
+      kCells = 4, iters = 2)
+    HybridSearchApp.commitGroup(spark, textIdx, vecIdx, grp)
+
+    def grouped(ids: Seq[Long]) = HybridSearchApp.query(spark, probeIds,
+      docsOf(ids), vecsOf(ids), textIdx, vecIdx,
+      topK = 5, armK = 20, k0 = 60, nprobe = 2, rerankK = 40,
+      groupDir = Some(grp))
+    def rows(df: DataFrame) = df.as[(Long, Long, Int, Double)].collect().toSet
+
+    // move the heads so the next advance is a REAL generation change…
+    TextIndexApp.append(spark, docsOf(hi until hi + 20L), textIdx)
+    VectorIndexApp.append(spark, vecsOf(hi until hi + 20L), vecIdx)
+    hi += 20
+    // …and crash that advance between its manifest rename and its
+    // superseded-pin sweep — the widest post-publish gap
+    Snapshots.crashAfterGroupRename = true
+    try intercept[IllegalStateException] {
+      HybridSearchApp.commitGroup(spark, textIdx, vecIdx, grp)
+    } finally Snapshots.crashAfterGroupRename = false
+    val publishedVec = Snapshots.resolveGroup(fs, new Path(grp)).get
+    val published = rows(grouped((0L until hi).toSeq))
+
+    // 3+ single-index commits per member with real file churn (every
+    // append compacts at maxFiles = 1) — the lag that used to age the
+    // freshly-published generation's manifests out of the keep-window
+    val savedMax = Compaction.DefaultMaxFiles
+    Compaction.DefaultMaxFiles = 1
+    try {
+      (0 until 3).foreach { _ =>
+        TextIndexApp.append(spark, docsOf(hi until hi + 20L), textIdx)
+        VectorIndexApp.append(spark, vecsOf(hi until hi + 20L), vecIdx)
+        hi += 20
+      }
+      val head = Snapshots.resolveGroup(fs, new Path(s"$textIdx/_group")).get
+      assert(head("postings") >= publishedVec("postings") + 3,
+        s"lag injection too small: ${head("postings")} vs $publishedVec")
+      // the group query must still SERVE the published generation —
+      // not merely fail loudly at the keep-window boundary
+      assert(Snapshots.resolveGroup(fs, new Path(grp)).get == publishedVec,
+        "the crashed advance's published vector was lost")
+      assert(rows(grouped((0L until 100L).toSeq)) == published,
+        "the crash-published generation stopped serving under member lag")
+
+      // the next clean advance sweeps the lingering superseded pins:
+      // codes is back to exactly ONE hybrid pin
+      HybridSearchApp.commitGroup(spark, textIdx, vecIdx, grp)
+      val codesPins = fs.listStatus(new Path(s"$vecIdx/codes/_snap"))
+        .map(_.getPath.getName).filter(_.startsWith("pin.")).toSeq
+      assert(codesPins.size == 1,
+        s"superseded pins were never swept after the healed advance: $codesPins")
+    } finally Compaction.DefaultMaxFiles = savedMax
+  }
 }
