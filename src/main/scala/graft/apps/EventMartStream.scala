@@ -198,7 +198,14 @@ object EventMartStream {
     } else {
       val tables = Seq("uv_days", "ohlc", "decay_weeks", "trans_counts",
         "trans_state", "sess_grid", "sess_state")
-      val preexisting = tables.filter(t => fs.exists(new Path(s"$martDir/$t")))
+      // a table "preexists" only if it holds DATA — an empty dir (e.g.
+      // created for its writer-lock file by [[migrateToGroups]]) has no
+      // stamps and therefore no scheme to mismatch
+      val preexisting = tables.filter { t =>
+        val p = new Path(s"$martDir/$t")
+        fs.exists(p) && (Compaction.partitionDirs(fs, p) :+ p)
+          .exists(d => Compaction.visibleFiles(fs, d).nonEmpty)
+      }
       if (preexisting.nonEmpty) throw new IllegalStateException(
         s"mart $martDir has state tables (${preexisting.mkString(", ")}) " +
           "but no _stamp_scheme marker — written by a build that " +
@@ -227,28 +234,139 @@ object EventMartStream {
     * consistent pair or a crashed batch's torn middle), so the first
     * post-upgrade [[sessionPaths]] could land on a torn pair once.
     *
-    * PRECONDITION (caller-asserted, same discipline as the
-    * `_stamp_scheme` migration note in [[Retention]]): the dir must be
-    * DRAINED — the old checkpoint completed its last batch, no batch
-    * in flight. A drained dir's member heads are consistent by
-    * definition (every pair ran to completion), which is exactly what
+    * PRECONDITION — the dir must be DRAINED (the old checkpoint
+    * completed its last batch, no batch in flight): a drained dir's
+    * member heads are consistent by definition, which is exactly what
     * makes this commit safe where a replay-entry advance is not.
+    * MACHINE-CHECKED, not just caller-asserted (r12 verdict task #3):
+    *
+    *  - both members' (and the group root's) single-writer locks are
+    *    taken for the whole migration, so a LIVE stream's next
+    *    mutation — and this migration against it — fails with the
+    *    usual loud lock error instead of silently racing
+    *    ([[StagedCommit.withWriterLock]]; every [[Sinks]] mutation of
+    *    a snapshot-managed member takes the same per-table lock);
+    *  - [[requireSessPairDrained]] replays the evidence a crashed
+    *    batch necessarily leaves: the newest STAGED session delta
+    *    (`deltas/sess/batch=N` — journaled before either member
+    *    mutates, retired two batches after completion) is compared
+    *    against the member heads, and any closed-session or
+    *    open-state row the heads do not yet reflect — or a TTL fold
+    *    whose grid merge landed but whose state delete did not —
+    *    means a batch died mid-pair: the migration REFUSES loudly
+    *    (replay the batch under the old build first) rather than pin
+    *    a torn pair as a group generation.
+    *
     * Idempotent: a dir that already has a group is left unchanged. */
   def migrateToGroups(spark: SparkSession, martDir: String): Unit = {
     val fs = new Path(martDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (Snapshots.resolveGroup(fs, sessGroupRoot(martDir)).isDefined) return
-    // a raw (never-snapshot-managed) member cannot be named by a group
-    // — bootstrap-commit it first, adopting its current files as v1
-    // (the same upgrade step Sinks.locked performs on first write)
-    sessGroupMembers(martDir).foreach { case (_, p) =>
-      if (fs.exists(p) && Snapshots.currentFiles(fs, p).isEmpty) {
-        Snapshots.commit(fs, p); ()
+    val members = sessGroupMembers(martDir)
+    // lock files live under the member roots — make sure they exist
+    // (a fresh dir's members may not; an absent member is trivially
+    // drained but still gets locked so no first write races us)
+    members.foreach { case (_, p) => fs.mkdirs(p) }
+    StagedCommit.withWriterLock(fs, members.head._2) {
+      StagedCommit.withWriterLock(fs, members(1)._2) {
+        StagedCommit.withWriterLock(fs, sessGroupRoot(martDir)) {
+          requireSessPairDrained(spark, fs, martDir)
+          // a raw (never-snapshot-managed) member cannot be named by a
+          // group — bootstrap-commit it first, adopting its current
+          // files as v1 (the same upgrade step Sinks.locked performs
+          // on first write). An EMPTY dir (just created above for its
+          // lock) must NOT be committed: version 0 = "not yet created"
+          // is the group's own way to name it.
+          members.foreach { case (_, p) =>
+            if (Snapshots.currentFiles(fs, p).isEmpty &&
+              (Compaction.partitionDirs(fs, p) :+ p)
+                .exists(d => Compaction.visibleFiles(fs, d).nonEmpty)) {
+              Snapshots.commit(fs, p); ()
+            }
+          }
+          Snapshots.commitGroup(fs, sessGroupRoot(martDir), members)
+          ()
+        }
       }
     }
-    Snapshots.commitGroup(fs, sessGroupRoot(martDir),
-      sessGroupMembers(martDir))
-    ()
+  }
+
+  /** The drained-precondition check behind [[migrateToGroups]]: refuse
+    * when the newest staged session delta's mutations are not fully
+    * reflected in the member heads. Evidence chain, per mutation of
+    * the pair (`b` = the newest `deltas/sess/batch=` id; absent dir =
+    * no session batch ever staged = trivially drained):
+    *
+    *  - closed-sessions merge: a non-empty closed set in delta `b`
+    *    requires `sess_grid`'s max `__mart_batch` ≥ `mainStamp(b)` —
+    *    anything lower means the grid merge never landed;
+    *  - open-state upsert: every open row of delta `b` must appear in
+    *    `sess_state` at `last_us` ≥ the delta's (upsertKeyed keep-last
+    *    makes the landed row exactly the delta's); a missing or stale
+    *    row means the upsert never landed. Rows at or below batch
+    *    `b`'s journaled fold cutoff are exempt — batch `b`'s own TTL
+    *    sweep legitimately deletes them;
+    *  - TTL fold: a grid stamp equal to `foldStamp(b)` says the fold's
+    *    merge landed — its state delete must have too, i.e. no state
+    *    row may linger at or below the journaled cutoff. */
+  private def requireSessPairDrained(spark: SparkSession,
+                                     fs: org.apache.hadoop.fs.FileSystem,
+                                     martDir: String): Unit = {
+    val deltaRoot = new Path(s"$martDir/deltas/sess")
+    if (!fs.exists(deltaRoot)) return
+    val batches = fs.listStatus(deltaRoot).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .flatMap(n => scala.util.Try(n.drop(6).toLong).toOption)
+    if (batches.isEmpty) return
+    val b = batches.max
+    def refuse(why: String): Nothing = throw new IllegalStateException(
+      s"mart $martDir is NOT drained — $why (staged session delta " +
+        s"batch=$b). Replay the in-flight batch under the old build " +
+        "(same retention config) to completion, then migrate.")
+    val delta = spark.read.parquet(s"$deltaRoot/batch=$b")
+    val gridStamp: Option[Long] = {
+      val p = new Path(s"$martDir/sess_grid")
+      if (!fs.exists(p)) None
+      else {
+        val t = Snapshots.readTable(spark, p)
+        if (!t.columns.contains("__mart_batch")) None
+        else Option(t.agg(max(col("__mart_batch"))).head)
+          .filterNot(_.isNullAt(0)).map(_.getLong(0))
+      }
+    }
+    if (!delta.filter(!col("open")).isEmpty &&
+      !gridStamp.exists(_ >= mainStamp(b)))
+      refuse("the batch's closed-sessions merge never reached sess_grid")
+    // batch b's own TTL sweep may have deleted (folded) open rows that
+    // were already idle by the batch's journaled cutoff — exempt them
+    val cutPath = new Path(s"$martDir/deltas/foldcut/batch=$b")
+    val cutoff: Option[Long] =
+      if (!fs.exists(cutPath)) None
+      else {
+        val in = fs.open(cutPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong)
+        finally in.close()
+      }
+    val open = delta.filter(col("open"))
+      .select(col("user_id"), col("last_us").as("__want_us"))
+    val mustLand = cutoff.fold(open)(c => open.filter(col("__want_us") > c))
+    val state = Sinks.readKeyedFor(spark, s"$martDir/sess_state",
+      mustLand, Seq("user_id"))
+    val landed = state.map(_.select(col("user_id"), col("last_us")))
+      .getOrElse(spark.range(0).select(col("id").as("user_id"),
+        col("id").as("last_us")))
+    if (mustLand.join(landed, Seq("user_id"), "left_outer")
+        .filter(col("last_us").isNull || col("last_us") < col("__want_us"))
+        .limit(1).count() > 0)
+      refuse("the batch's open-session upsert never reached sess_state")
+    if (gridStamp.contains(foldStamp(b))) cutoff.foreach { c =>
+      val idle = Sinks.readKeyed(spark, s"$martDir/sess_state")
+        .filter(col("last_us") <= c)
+      if (!idle.isEmpty)
+        refuse("the batch's TTL fold merged sess_grid but its " +
+          "sess_state delete never landed")
+    }
   }
 
   // ------------------------------------------------------------ batch step

@@ -400,6 +400,138 @@ class SnapshotGroupSpec extends SparkSpec {
       "post-upgrade replay diverged from the batch recompute")
   }
 
+  test("migrateToGroups refuses a mid-MAIN-PAIR tree loudly (and a live writer's lock even before that)") {
+    // the r12 verdict's task #3: the drained precondition is now
+    // MACHINE-CHECKED — a crash-injected mid-batch tree (sess_grid
+    // merged, sess_state not upserted) must be refused, never pinned
+    // as a group generation
+    val dir = Files.createTempDirectory("mart-migrate-refuse").toString
+    var consumed = Seq.empty[(Long, Long, Long, String, Double)]
+    (0 until 3).foreach { i =>
+      EventMartStream.processBatch(frame(batchRows(i)), i.toLong, dir, retention)
+      consumed ++= batchRows(i)
+    }
+    // simulate a pre-group build's output
+    fs.delete(new Path(s"$dir/_group_sessions"), true)
+    Seq("sess_grid", "sess_state").foreach { t =>
+      val snap = new Path(s"$dir/$t/_snap")
+      if (fs.exists(snap)) fs.listStatus(snap)
+        .filter(_.getPath.getName.startsWith("pin."))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    // crash batch 3 between the closed-sessions grid merge (stage 5)
+    // and the open-state upsert (stage 6) — the torn main pair
+    val rows3 = batchRows(3)
+    EventMartStream.crashAfterStage = 6
+    try intercept[IllegalStateException] {
+      EventMartStream.processBatch(frame(rows3), 3L, dir, retention)
+    } finally EventMartStream.crashAfterStage = Int.MaxValue
+
+    // a LIVE writer (holding a member's writer lock) fails the
+    // migration with the usual loud lock error — the ADVICE race
+    // (unserialized commits silently interleaving a live stream's)
+    val lockErr = intercept[IllegalStateException] {
+      StagedCommit.withWriterLock(fs, new Path(s"$dir/sess_state")) {
+        EventMartStream.migrateToGroups(spark, dir)
+      }
+    }
+    assert(lockErr.getMessage.contains("another writer holds"),
+      s"wrong failure mode: ${lockErr.getMessage}")
+
+    // with no lock held, the torn tree itself is refused
+    val e = intercept[IllegalStateException] {
+      EventMartStream.migrateToGroups(spark, dir)
+    }
+    assert(e.getMessage.contains("NOT drained"), s"wrong failure: ${e.getMessage}")
+    assert(Snapshots.resolveGroup(fs, new Path(s"$dir/_group_sessions")).isEmpty,
+      "the refused migration committed a group anyway")
+
+    // draining (replaying the batch to completion) re-creates the
+    // group through the batch's own advance; the view is exact
+    EventMartStream.processBatch(frame(rows3), 3L, dir, retention)
+    consumed ++= rows3
+    assert(Snapshots.resolveGroup(fs, new Path(s"$dir/_group_sessions")).isDefined)
+    EventMartStream.migrateToGroups(spark, dir) // idempotent no-op now
+    assert(rowsOf(EventMartStream.sessionPaths(spark, dir)) ==
+      rowsOf(CoreQueries.sessionPathsFrom(frame(consumed))),
+      "the drained replay diverged from the batch recompute")
+  }
+
+  test("migrateToGroups refuses a mid-TTL-FOLD tree loudly") {
+    // the other torn-pair shape: the fold's grid merge landed (stamp =
+    // foldStamp(b)) but its state delete did not — pinning these heads
+    // would freeze the double count into a group generation
+    val dir = Files.createTempDirectory("mart-migrate-fold").toString
+    (0 until 4).foreach { i =>
+      EventMartStream.processBatch(frame(batchRows(i)), i.toLong, dir, retention)
+    }
+    EventMartStream.crashAfterStage = 9 // fold merged, delete not landed
+    try intercept[IllegalStateException] {
+      EventMartStream.processBatch(frame(batchRows(4)), 4L, dir, retention)
+    } finally EventMartStream.crashAfterStage = Int.MaxValue
+    fs.delete(new Path(s"$dir/_group_sessions"), true)
+    Seq("sess_grid", "sess_state").foreach { t =>
+      val snap = new Path(s"$dir/$t/_snap")
+      if (fs.exists(snap)) fs.listStatus(snap)
+        .filter(_.getPath.getName.startsWith("pin."))
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    val e = intercept[IllegalStateException] {
+      EventMartStream.migrateToGroups(spark, dir)
+    }
+    assert(e.getMessage.contains("NOT drained"), s"wrong failure: ${e.getMessage}")
+  }
+
+  // ------------------------------------------------------------- vacuum
+
+  test("vacuum finds an rm-rf'd group's orphaned pins and leaves a live group's untouched") {
+    val dir = Files.createTempDirectory("snapvac").toString
+    val (a, b) = (s"$dir/a", s"$dir/b")
+    def put(path: String, n: Long, batch: Long): Unit =
+      Sinks.upsertCombine(spark, (0 until 8).map(k => (k.toLong, n)).toDF("k", "n"),
+        Seq("k"), Seq(sum(col("n")).as("n")), batch, path, nBuckets = 4,
+        snapshotted = true)
+    put(a, 1, 0); put(b, 10, 0)
+    // grp1 pins a AND b; grp2 pins only a
+    Snapshots.commitGroup(fs, new Path(s"$dir/grp1"),
+      Seq("a" -> new Path(a), "b" -> new Path(b)))
+    Snapshots.commitGroup(fs, new Path(s"$dir/grp2"),
+      Seq("a" -> new Path(a)))
+    def pins(t: String): Set[String] =
+      fs.listStatus(new Path(s"$t/_snap")).map(_.getPath.getName)
+        .filter(_.startsWith("pin.")).toSet
+    assert(pins(a).size == 2 && pins(b).size == 1, s"fixture: ${pins(a)} ${pins(b)}")
+    // plus a legacy pin (version-only body, no back-pointer) and a
+    // stale tmp — the other two debris kinds
+    def write(p: Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    write(new Path(s"$a/_snap/pin.deadbeef-legacy.1"), "1")
+    write(new Path(s"$a/_snap/.tmp-v99"), "junk")
+
+    // out-of-band deletion of grp2 (the foot-gun dropGroup can't catch)
+    fs.delete(new Path(s"$dir/grp2"), true)
+
+    val found = Snapshots.vacuum(fs, new Path(a), tmpOlderThanMs = -1)
+    assert(found.map(_._1).sorted == Seq("legacy-pin", "orphan-pin", "stale-tmp"),
+      s"wrong findings: $found")
+    assert(Snapshots.vacuum(fs, new Path(b), tmpOlderThanMs = -1).isEmpty,
+      "a live group's pin was reported as debris")
+    // report-only by default: nothing was deleted
+    assert(pins(a).size == 3, s"report-only vacuum deleted something: ${pins(a)}")
+
+    val removed = Snapshots.vacuum(fs, new Path(a), delete = true,
+      tmpOlderThanMs = -1)
+    assert(removed.size == 3)
+    val after = pins(a)
+    assert(after.size == 2 && after.exists(_.contains("legacy")),
+      s"delete must remove the orphan (not the live or legacy pin): $after")
+    assert(!fs.exists(new Path(s"$a/_snap/.tmp-v99")), "stale tmp survived")
+    assert(Snapshots.vacuum(fs, new Path(a), tmpOlderThanMs = -1)
+      .forall(_._1 == "legacy-pin"), "vacuum did not converge")
+  }
+
   // --------------------------------------------------- hybrid cross-index
 
   test("a hybrid query pins ONE corpus generation across both arms mid-cycle") {
