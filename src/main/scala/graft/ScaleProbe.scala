@@ -66,7 +66,20 @@ object ScaleProbe {
         return
       case Some("manifest") =>
         val spark = GraftSession.local("graft-scale-probe")
-        try manifestProbe(spark, args(1))
+        // optional max-tier arg: `manifest <work> 10000000` adds the
+        // 10⁷ decade (r12 verdict task #5) — not default because the
+        // synthetic tree briefly costs 10 M inodes
+        try manifestProbe(spark, args(1),
+          args.lift(2).map(_.toInt).getOrElse(1000000))
+        finally spark.stop()
+        return
+      case Some("gendocs") =>
+        // synthesize ONLY documents+embeddings at `factor` — the
+        // hybrid serving probe reads nothing else from its big dir,
+        // and generating the full TPC-H set at factor 1000 would cost
+        // tens of GB for tables the probe never opens
+        val spark = GraftSession.local("graft-scale-probe")
+        try genDocs(spark, args(1), args(2), args(3).toInt)
         finally spark.stop()
         return
       case Some("hybrid") =>
@@ -139,6 +152,39 @@ object ScaleProbe {
         .withColumn("embedding",
           transform(col("embedding"),
             x => (x + lit(k * 0.0013f)).cast("float"))) }
+  }
+
+  /** The documents/embeddings slice of [[gen]], standalone — same
+    * id-shift / disjoint-vocabulary / jitter recipe, same referential
+    * doc_id ↔ vec_id integrity. */
+  private def genDocs(spark: SparkSession, src: String, dst: String,
+                      factor: Int): Unit = {
+    val fs = new Path(dst).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$dst/_GENERATED"))) return
+    def widen(t: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      // chunked appends, not one factor-way union: a left-deep
+      // 1000-child union tree makes Catalyst analysis the bottleneck
+      fs.delete(new Path(s"$dst/$t.parquet"), true)
+      (0 until factor).grouped(100).foreach { ks =>
+        ks.map(k => shift(base, k)).reduce(_.unionByName(_))
+          .write.mode("append").parquet(s"$dst/$t.parquet")
+      }
+      println(s"[scale-probe] generated $dst/$t.parquet (x$factor)")
+    }
+    widen("documents") { (df, k) =>
+      val shifted = df.withColumn("doc_id", col("doc_id") + k * Off)
+      if (k == 0) shifted
+      else shifted.withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"x$k"))), " ")) }
+    widen("embeddings") { (df, k) =>
+      df.withColumn("vec_id", col("vec_id") + k * Off)
+        .withColumn("embedding",
+          transform(col("embedding"),
+            x => (x + lit(k * 0.0013f)).cast("float"))) }
+    fs.create(new Path(s"$dst/_GENERATED"), true).close()
   }
 
   // ------------------------------------------------------------------ time
@@ -289,15 +335,21 @@ object ScaleProbe {
           println(f"[scale-probe] mart recommendedBuckets $label $t%-12s ${rec}%6.0f")
         }
       if (s > 1) {
+        // widened-layout width is CAPPED at 6400 dirs/table: the
+        // per-dir-constant penalty the wide rows exist to demonstrate
+        // is fully visible at 6400 (measured r11/r12), and a blind
+        // 64·1000 widening would spend the probe's whole budget on
+        // 256k directory creations recommendedBuckets refuses anyway
+        val wideN = math.min(64 * factor, 6400)
         val reb = time {
           Sinks.rebucket(spark, s"$dir/uv_days",
-            Seq("cur_date", "user_id"), 64 * factor)
+            Seq("cur_date", "user_id"), wideN)
           Sinks.rebucket(spark, s"$dir/decay_weeks",
-            Seq("user_id", "__w"), 64 * factor)
+            Seq("user_id", "__w"), wideN)
           Sinks.rebucket(spark, s"$dir/trans_state", Seq("user_id"),
-            64 * factor)
+            wideN)
           Sinks.rebucket(spark, s"$dir/sess_state", Seq("user_id"),
-            64 * factor)
+            wideN)
         }
         out(s"mart_rebucket_$label") = reb
         println(f"[scale-probe] mart rebucket x4 tables        ${reb}%8.2f s")
@@ -321,7 +373,8 @@ object ScaleProbe {
     * 100 TB / 64-dir table holds ≈ tableBytes/128 MB + 512 files
     * (≈ 800k lines ≈ 60 MB manifest) — this probe tells us what that
     * costs per commit and per plan. */
-  private def manifestProbe(spark: SparkSession, work: String): Unit = {
+  private def manifestProbe(spark: SparkSession, work: String,
+                            maxFiles: Int = 1000000): Unit = {
     val fs = new Path(work).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // the synthetic files below are created through java.io.File but
@@ -333,7 +386,7 @@ object ScaleProbe {
         s"so the work dir must resolve to the local filesystem " +
         s"(got scheme '${fs.getScheme}' for $work)")
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
-    Seq(10000, 100000, 1000000).foreach { n =>
+    Seq(10000, 100000, 1000000, 10000000).filter(_ <= maxFiles).foreach { n =>
       val root = new Path(s"$work/mtab_$n")
       fs.delete(root, true)
       val dirs = 64
