@@ -375,6 +375,12 @@ private[graft] object Snapshots {
 
   // -------------------------------------------------------- table groups
 
+  /** TEST-ONLY crash injection: die between [[commitGroup]]'s manifest
+    * rename and its superseded-pin sweep — the widest post-publish gap
+    * a crash can hit. The new generation must already be pinned there
+    * (pins are raised BEFORE the rename). */
+  private[apps] var crashAfterGroupRename: Boolean = false
+
   /** Cross-table snapshot GROUPS — the tier that closes the torn-view
     * window between two single-table commits. A writer that mutates a
     * PAIR of tables (the mart's session fold commits `sess_grid` then
@@ -407,12 +413,6 @@ private[graft] object Snapshots {
     * files; a staler group fails the manifest-missing check LOUDLY
     * (the keep-window and the file grace agree by construction — a
     * resolvable pin can never dangle on deleted files). */
-  /** TEST-ONLY crash injection: die between [[commitGroup]]'s manifest
-    * rename and its superseded-pin sweep — the widest post-publish gap
-    * a crash can hit. The new generation must already be pinned there
-    * (pins are raised BEFORE the rename). */
-  private[apps] var crashAfterGroupRename: Boolean = false
-
   def commitGroup(fs: FileSystem, groupRoot: Path,
                   members: Seq[(String, Path)]): Int = {
     val vec = members.map { case (name, root) =>
