@@ -115,6 +115,26 @@ private[graft] object Snapshots {
     }
   }
 
+  /** The bucket count a SPECIFIC manifest version carries, if any —
+    * the geometry resolver for PINNED reads across an online rebucket:
+    * a group-pinned query must route/prune with the count of the
+    * layout it reads, not the head's (a 64-routed prune over a
+    * 16-bucket generation silently drops terms). Absent line =
+    * pre-rebucket manifest = the caller's build-time fallback applies.
+    * Bounded first-line read, same as [[currentBucketCount]]. */
+  def bucketCountAt(fs: FileSystem, root: Path, version: Int)
+      : Option[Int] = {
+    val p = new Path(snapDir(root), f"v$version%08d")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+      Option(br.readLine()).filter(_.startsWith("nbuckets "))
+        .map(_.drop(9).trim.toInt)
+    } finally in.close()
+  }
+
   /** The per-table compaction graduation size the newest manifest
     * carries, if any — committed atomically with the layout like
     * `nbuckets`. Delegates to the full manifest parse: hot-path

@@ -132,7 +132,13 @@ object TextIndexApp {
     writeLens(lensOf(docs), s"$indexDir/doclens")
     docs.agg(max(col("doc_id")).as("max_doc_id"))
       .write.mode("overwrite").parquet(s"$indexDir/meta")
-    Snapshots.commit(fs, new Path(s"$indexDir/postings"))
+    // the router geometry rides the postings manifest from build on
+    // (the Sinks.rebucket convention: count and layout in ONE rename);
+    // the conf/ table stays as the fallback for manifests without the
+    // line — which are exactly the PRE-rebucket generations, whose
+    // layout used the build-time count conf records
+    Snapshots.commit(fs, new Path(s"$indexDir/postings"),
+      nbuckets = Some(nBuckets))
     Snapshots.commit(fs, new Path(s"$indexDir/doclens"))
     // a REBUILD over an existing dir starts a fresh group history —
     // stale generations must not outlive the tables they described
@@ -140,8 +146,25 @@ object TextIndexApp {
     advanceGroup(fs, indexDir)
   }
 
-  private def nBucketsOf(spark: SparkSession, indexDir: String): Int =
-    spark.read.parquet(s"$indexDir/conf").head.getInt(0)
+  /** The term-router bucket count. HEAD resolution (writers, unpinned
+    * queries): the newest postings manifest's `nbuckets` line — the
+    * only reader that survives an online [[rebucket]] — falling back
+    * to `conf/` for indexes whose manifests predate the line. PINNED
+    * resolution (`pinnedPostings`): the NAMED manifest's line, so a
+    * group-pinned query planned across a rebucket routes and prunes
+    * with the geometry of the generation it reads, never the head's;
+    * a pinned pre-rebucket manifest has no line and falls back to
+    * `conf/`, which records exactly that build-time geometry. */
+  private def nBucketsOf(spark: SparkSession, indexDir: String,
+                         pinnedPostings: Option[Int] = None): Int = {
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(s"$indexDir/postings")
+    pinnedPostings.flatMap(v => Snapshots.bucketCountAt(fs, root, v))
+      .orElse(if (pinnedPostings.isDefined) None
+              else Snapshots.currentBucketCount(fs, root))
+      .getOrElse(spark.read.parquet(s"$indexDir/conf").head.getInt(0))
+  }
 
   /** Append `delta` documents. Idempotent under replay; refuses a
     * watermark-straddling delta; holds the single-writer lock across
@@ -210,6 +233,95 @@ object TextIndexApp {
     }
   }
 
+  /** ONLINE RE-ROUTING of the term router (the round-13 1000× probe's
+    * serving-latency knob): rewrite `postings` under a NEW bucket
+    * count in one atomic snapshot commit — the lexical twin of
+    * [[graft.sinks.Sinks.rebucket]]. The router was "frozen at build"
+    * because changing it moves every posting list; the full rewrite IS
+    * the irreducible cost — what this buys is that it is safe to do
+    * LIVE, against a served index:
+    *
+    *  - rows are read through the pinned manifest, re-assigned
+    *    `bucket = stable60(token) % newN`, staged, and installed via
+    *    the same pending-journal → all-or-nothing [[StagedCommit]]
+    *    install → snapshot commit every index mutation uses;
+    *  - the new count rides the commit itself (the manifest `nbuckets`
+    *    line), so count and layout flip in ONE rename; later appends
+    *    and queries resolve the count from the manifest
+    *    ([[nBucketsOf]]) and can never route against the wrong layout;
+    *  - a reader planned before the commit executes the complete OLD
+    *    layout (grace window / group pins — and it PRUNES with the old
+    *    count too, via [[Snapshots.bucketCountAt]] on its pinned
+    *    manifest); one planned after sees the complete new layout with
+    *    the new count — never a mix;
+    *  - a crash at any stage heals at the next writer entry to exactly
+    *    old-everything or new-everything: the entry's
+    *    [[StagedCommit.heal]] finishes or discards the install and
+    *    [[Snapshots.heal]]'s pending journal carries the count, so
+    *    even the healed commit flips both together.
+    *
+    * `doclens`, `meta` and df/corpus stats are untouched (nothing
+    * denormalized depends on the router), so results are IDENTICAL
+    * before and after — only the pruning geometry changes. The old
+    * layout's files retire through the normal grace window (a retract
+    * inside that window rewrites up to 2× files — the documented
+    * takedown trade, briefly amplified). */
+  def rebucket(spark: SparkSession, indexDir: String,
+               newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"bucket count must be positive (got $newBuckets)")
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    StagedCommit.withWriterLock(fs, new Path(indexDir)) {
+      // the full writer-entry discipline (same as append): heal torn
+      // installs and journals, adopt unlisted files, re-apply a
+      // crashed retraction, THEN advance the group over the now-
+      // consistent heads — a crashed previous rebucket completes or
+      // aborts right here, before this one stages anything
+      StagedCommit.heal(fs, staging(indexDir))
+      Snapshots.heal(fs, new Path(s"$indexDir/postings"))
+      Snapshots.heal(fs, new Path(s"$indexDir/doclens"))
+      val adopted =
+        Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/postings")) |
+        Snapshots.adoptUnlisted(fs, new Path(s"$indexDir/doclens"))
+      if (adopted) compactIndex(spark, fs, indexDir, touched = None)
+      healTornRetract(spark, fs, indexDir)
+      advanceGroup(fs, indexDir)
+      if (nBucketsOf(spark, indexDir) == newBuckets) return
+      val root = new Path(s"$indexDir/postings")
+      val cur = Snapshots.currentFiles(fs, root).getOrElse {
+        throw new IllegalStateException(
+          s"rebucket requires a snapshot-managed postings table at $root")
+      }
+      if (cur.isEmpty) {
+        // nothing to move — the count flip is a bare commit
+        Snapshots.commit(fs, root, nbuckets = Some(newBuckets))
+        advanceGroup(fs, indexDir)
+        return
+      }
+      val stg = staging(indexDir)
+      fs.delete(stg, true)
+      val restaged = Snapshots.readTable(spark, root)
+        .drop("bucket")
+        .withColumn("bucket", termBucket(newBuckets))
+      writePostings(restaged, s"$stg/reb/postings")
+      val stagedRoot = new Path(s"$stg/reb/postings")
+      val moves = Compaction.partitionDirs(fs, stagedRoot).flatMap { d =>
+        Compaction.visibleFiles(fs, d).map { f =>
+          val rel = s"${d.getName}/${f.getPath.getName}"
+          (rel, StagedCommit.Move(f.getPath, new Path(root, rel)))
+        }
+      }
+      // journal BEFORE the install (replaced = every current file; the
+      // count rides the journal so a crash-healed rebucket still flips
+      // count and layout together), install all-or-nothing, commit
+      Snapshots.writePending(fs, root, replaced = cur,
+        merged = moves.map(_._1), nbuckets = Some(newBuckets))
+      StagedCommit.publishOps(fs, stg, moves.map(_._2))
+      Snapshots.commitPending(fs, root)
+      advanceGroup(fs, indexDir)
+    }
+  }
+
   /** Merge bucket dirs an append grew past [[Compaction.DefaultMaxFiles]]
     * (plus doclens and meta) down to one file each, preserving the
     * in-file doc_id clustering. */
@@ -270,7 +382,6 @@ object TextIndexApp {
           "derivation is evaluated more than once (bucket collect + " +
           "scoring join); materialize a sampled frame first"))
     }
-    val nBuckets = nBucketsOf(spark, indexDir)
     // pin BOTH member tables to one cross-table generation, resolved
     // ONCE at plan time: `pinned` carries an outer group's vector (the
     // hybrid tier); otherwise the index's own group names it; a
@@ -281,6 +392,9 @@ object TextIndexApp {
       Snapshots.resolveGroup(fs, groupRoot(indexDir))
         .map(v => (v.getOrElse("postings", 0), v.getOrElse("doclens", 0)))
         .filter { case (p, d) => p > 0 && d > 0 })
+    // the router geometry of the generation THIS query reads — across
+    // an online rebucket the head's count would prune wrong buckets
+    val nBuckets = nBucketsOf(spark, indexDir, pin.map(_._1))
     val qterms = probes.select(col("q_id"),
         explode(array_distinct(
           TextFunctions.tokens(TextFunctions.normalized(col("text")))))
