@@ -26,6 +26,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Upper median — the suite's convention throughout. */
+  private[graft] def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted; s(s.length / 2)
+  }
+
+  /** PER-PASS canary normalization (round 14). The round-13 scheme —
+    * `median_sum / median(canary samples)` — failed its own premise in
+    * its debut round: two same-tree runs produced normalized sums 38%
+    * apart while the RAW sums agreed within 8% (PLANS.md round 13),
+    * because a query's median and the canary's median can come from
+    * DIFFERENT passes under different ambient load, and dividing a
+    * 119-query sum by one noisy scalar injects that scalar's noise
+    * into everything. Here each query sample divides by the canary of
+    * ITS OWN pass (sampled adjacent to the queries it normalizes), so
+    * a pass-wide slowdown cancels exactly — see the invariance spec —
+    * and per-query medians are taken over already-normalized samples.
+    * Empty sample lists (errored queries) contribute 0, matching the
+    * raw-sum convention. */
+  private[graft] def normalizedSum(samples: Map[String, Seq[(Int, Double)]],
+                                   passCanaries: Map[Int, Double]): Double =
+    samples.values.map { ss =>
+      if (ss.isEmpty) 0.0
+      else medianOf(ss.map { case (p, t) => t / passCanaries(p) })
+    }.sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench")
@@ -48,38 +73,49 @@ object Bench {
     // clearCache() already kept back-to-back runs from sharing state,
     // so the interleave costs nothing extra.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val samples = scala.collection.mutable.Map[String, List[Double]]()
+    val samples = scala.collection.mutable.Map[String, List[(Int, Double)]]()
       .withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, String]()
     // canary warmup OUTSIDE the timed samples: it is one job, so the
     // first run's JIT/codegen cost would skew its median the way no
-    // single query's can (119 queries amortize warmup; 3 canary
-    // samples don't)
+    // single query's can (119 queries amortize warmup; the canary's
+    // few samples don't)
     canaryOnce(spark)
-    val canarySamples = scala.collection.mutable.ListBuffer[Double]()
+    // THREE canary samples per pass — start, mid, end — so the pass's
+    // canary (their median) is measured ADJACENT to the queries it
+    // normalizes and tracks load that shifts inside a pass, not just
+    // between passes (the round-13 single-sample-per-pass scheme's
+    // documented failure — see [[normalizedSum]])
+    val passCanaries = scala.collection.mutable.Map[Int, List[Double]]()
+      .withDefaultValue(Nil)
+    val mid = names.length / 2
     for (pass <- 1 to Runs) {
-      // one canary sample per pass — the same temporally-separated
-      // sampling the queries get, so ambient load hits both alike
-      canarySamples += canaryOnce(spark)
-      for ((name, fn) <- names if !errors.contains(name)) {
-        val t0 = System.nanoTime()
-        // noop sink materializes every output column (count() would let
-        // Catalyst prune computed columns and understate the work)
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable => // a failed query fails fast, not 3×
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      passCanaries(pass) = canaryOnce(spark) :: passCanaries(pass)
+      for (((name, fn), i) <- names.zipWithIndex) {
+        if (i == mid) passCanaries(pass) = canaryOnce(spark) :: passCanaries(pass)
+        if (!errors.contains(name)) {
+          val t0 = System.nanoTime()
+          // noop sink materializes every output column (count() would let
+          // Catalyst prune computed columns and understate the work)
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case e: Throwable => // a failed query fails fast, not 3×
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          // cache teardown (per-query persists must not leak) happens
+          // OUTSIDE the timed window — harness hygiene, not query cost
+          spark.catalog.clearCache()
+          if (!errors.contains(name)) samples(name) = (pass, elapsed) :: samples(name)
         }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // cache teardown (per-query persists must not leak) happens
-        // OUTSIDE the timed window — harness hygiene, not query cost
-        spark.catalog.clearCache()
-        if (!errors.contains(name)) samples(name) = elapsed :: samples(name)
       }
+      passCanaries(pass) = canaryOnce(spark) :: passCanaries(pass)
     }
-    val canarySorted = canarySamples.toList.sorted
-    val canary = canarySorted(canarySorted.length / 2)
+    val passCanary: Map[Int, Double] =
+      passCanaries.map { case (p, cs) => p -> medianOf(cs) }.toMap
+    val allCanaries = passCanaries.values.flatten.toList.sorted
+    val canary = medianOf(allCanaries)
     val results = names.map { case (name, _) =>
-      val sorted = samples(name).sorted
+      val sorted = samples(name).map(_._2).sorted
       val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
       (name, median, sorted.headOption.getOrElse(0.0),
         sorted.lastOption.getOrElse(0.0), errors.get(name))
@@ -114,11 +150,16 @@ object Bench {
       .map { case (k, med, mn, _, _) => s"""["$k",${r2(med)},${r2(mn)}]""" }
       .mkString("[", ",", "]")
     spark.stop()
-    // canary_s and median_sum_normalized are the CROSS-ROUND signal
-    // (BASELINE.md "Bench adjudication"): compare normalized sums
-    // round-over-round; raw sums only agree on equally-quiet machines.
-    val canMin = canarySorted.headOption.getOrElse(0.0)
-    println(s"""{"bench_summary":{"n":${results.length},"n_errors":$nErr,"median_sum":${r2(total)},"min_sum":${r2(minSum)},"canary_s":${r2(canary)},"canary_min_s":${r2(canMin)},"median_sum_normalized":${r2(total / canary)},"top10_by_median_with_min":$top}}""")
+    // canary_per_pass and median_sum_normalized are the CROSS-ROUND
+    // signal (BASELINE.md "Bench adjudication"): normalized sums are
+    // PER-PASS normalized (each pass's samples divided by its own
+    // adjacent canary median — see [[normalizedSum]]); raw sums only
+    // agree on equally-quiet machines.
+    val canMin = allCanaries.headOption.getOrElse(0.0)
+    val normSum = normalizedSum(samples.toMap, passCanary)
+    val perPass = (1 to Runs)
+      .map(p => r2(passCanary.getOrElse(p, 0.0))).mkString("[", ",", "]")
+    println(s"""{"bench_summary":{"n":${results.length},"n_errors":$nErr,"median_sum":${r2(total)},"min_sum":${r2(minSum)},"canary_s":${r2(canary)},"canary_min_s":${r2(canMin)},"canary_per_pass":$perPass,"median_sum_normalized":${r2(normSum)},"top10_by_median_with_min":$top}}""")
     if (nErr > 0) sys.exit(1)
   }
 }
