@@ -566,18 +566,45 @@ object Sinks {
     * shuffle-partition sizing the session uses. */
   val DefaultBucketTargetBytes: Long = 256L * 1024 * 1024
 
+  /** Default target ROW COUNT of one bucket — the rewrite-amplification
+    * bound the bytes target cannot see (r13 verdict "what's wrong #2").
+    * The 1000× mart probe measured the per-batch ceiling directly
+    * (PLANS.md round 13): at 2 M ultra-narrow state rows on 64 buckets
+    * (~31 k rows/bucket, still only megabytes) every 100-user batch
+    * rewrote the whole table — 42.4 s/batch — while 6400 buckets
+    * (~312 rows/bucket) restored the 1× wall (15.0 s). Per-batch merge
+    * cost is touchedBuckets × rowsPerBucket, so flatness requires
+    * rows-per-bucket bounded ABSOLUTELY (and the bucket count to
+    * exceed the batch's key count — a layout a few times wider than a
+    * batch keeps the rewrite batch-sized, not state-sized). 512 sits
+    * on the measured-flat side of the probe's decade; the opposing
+    * per-directory constant (≈3 s per batch at 6400 kilobyte-sized
+    * dirs, measured r11) only dominates for pipelines whose batches
+    * are enormous relative to state — such operators raise this knob
+    * alongside the bytes target. For wide-row tables the BYTES term
+    * usually recommends more buckets first; the max of the two terms
+    * applies the stricter bound. */
+  val DefaultBucketTargetRows: Long = 512L
+
   /** Recommend a bucket count for a snapshot-managed keyed table from
-    * its OWN pinned manifest: total data bytes / `targetBytesPerBucket`
-    * (min 1). Driver-side metadata only — file sizes come from the
-    * filesystem's status calls over the manifest's file list, no scan.
-    * The principled input to [[rebucket]]: widen when the table grew
-    * past its layout (recommended ≫ current), narrow a shrunken one —
+    * its OWN pinned manifest: the max of a bytes term (total data
+    * bytes / `targetBytesPerBucket` — scan cost) and a rows term
+    * (total rows / `targetRowsPerBucket` — per-batch rewrite
+    * amplification; see [[DefaultBucketTargetRows]] for the measured
+    * rationale), min 1. Bytes come from driver-side status calls over
+    * the manifest's file list; rows from one metadata-only count over
+    * the pinned snapshot (parquet footers — no data scan). The
+    * principled input to [[rebucket]]: widen when the table grew past
+    * its layout (recommended ≫ current), narrow a shrunken one —
     * instead of guessing a power of two. */
   def recommendedBuckets(spark: SparkSession, path: String,
-                         targetBytesPerBucket: Long = DefaultBucketTargetBytes)
+                         targetBytesPerBucket: Long = DefaultBucketTargetBytes,
+                         targetRowsPerBucket: Long = DefaultBucketTargetRows)
       : Int = {
     require(targetBytesPerBucket > 0,
       s"target bytes per bucket must be positive (got $targetBytesPerBucket)")
+    require(targetRowsPerBucket > 0,
+      s"target rows per bucket must be positive (got $targetRowsPerBucket)")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = Snapshots.currentFiles(fs, root).getOrElse {
@@ -592,7 +619,14 @@ object Sinks {
     val bytes = files.iterator
       .map(f => scala.util.Try(
         fs.getFileStatus(new Path(root, f)).getLen).getOrElse(0L)).sum
-    math.max(1L, (bytes + targetBytesPerBucket - 1) / targetBytesPerBucket)
+    // count() over parquet resolves from footer row counts (no column
+    // scan); the snapshot read pins the same file list the bytes saw —
+    // a file expired between the two resolutions reads as 0 both ways
+    val rows = scala.util.Try(Snapshots.readTable(spark, root).count())
+      .getOrElse(0L)
+    val byBytes = (bytes + targetBytesPerBucket - 1) / targetBytesPerBucket
+    val byRows = (rows + targetRowsPerBucket - 1) / targetRowsPerBucket
+    math.max(1L, math.max(byBytes, byRows))
       .min(Int.MaxValue.toLong).toInt
   }
 

@@ -282,6 +282,30 @@ class RebucketSpec extends SparkSpec {
     assert(Sinks.readCombined(spark, dir).count() == 256)
   }
 
+  test("recommendedBuckets is row-aware: the 1000x probe's narrow-row ceiling now recommends the widening it measured") {
+    // the PLANS.md round-13 scenario (r13 verdict "what's wrong #2"):
+    // 2 M ultra-narrow keyed-state rows on the stock 64-bucket layout
+    // are only megabytes of BYTES, so the byte term said 1 bucket while
+    // the measured per-batch wall said "widen" (42.4 s at 64 buckets
+    // vs 15.0 s after the online rebucket to 6400) — the penalty is
+    // ROW-driven rewrite amplification, invisible to byte sizing
+    val dir = Files.createTempDirectory("recbkt-rows").toString + "/t"
+    val users = spark.range(2000000L)
+      .select(col("id").as("k"), lit(1L).as("n"))
+    Sinks.upsertCombine(spark, users, Seq("k"), Seq(sum(col("n")).as("n")),
+      0L, dir, nBuckets = 64, snapshotted = true)
+    // bytes alone is still blind to the scenario — that was the bug
+    assert(Sinks.recommendedBuckets(spark, dir,
+      targetRowsPerBucket = Long.MaxValue) == 1,
+      "expected the pure-bytes recommendation to stay 1 for a " +
+        "megabytes-sized table (the documented blind spot)")
+    // the rows term sees it: ceil(2M / 512) — the 6400-class widening
+    // the probe measured, not a token bump
+    val rec = Sinks.recommendedBuckets(spark, dir)
+    assert(rec == 3907, s"expected ceil(2e6/512) = 3907, got $rec")
+    spark.catalog.clearCache()
+  }
+
   test("mart stamp-scheme enforcement: a pre-doubling table fails loudly, a fresh dir self-marks") {
     val dir = Files.createTempDirectory("stamp-scheme").toString
     // simulate a pre-upgrade build's output: a state table written with
