@@ -95,7 +95,17 @@ object ScaleProbe {
     try {
       val fs = new Path(destDir).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new Path(s"$destDir/_GENERATED"))) {
+      // the marker alone is not trusted: a dir populated by the
+      // docs-only `gendocs` mode used to write the SAME marker, making
+      // the full probe silently run against a dataset missing most
+      // tables (r13 ADVICE) — `gendocs` now writes its own marker AND
+      // the full probe verifies the whole table set before skipping
+      val allTables = Seq("region", "nation", "supplier", "part",
+        "customer", "orders", "lineitem", "events", "documents",
+        "embeddings")
+      val complete = fs.exists(new Path(s"$destDir/_GENERATED")) &&
+        allTables.forall(t => fs.exists(new Path(s"$destDir/$t.parquet")))
+      if (!complete) {
         gen(spark, srcDir, destDir, factor)
         fs.create(new Path(s"$destDir/_GENERATED"), true).close()
       }
@@ -161,7 +171,10 @@ object ScaleProbe {
                       factor: Int): Unit = {
     val fs = new Path(dst).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(s"$dst/_GENERATED"))) return
+    // a DISTINCT marker from the full generator's `_GENERATED`: a
+    // docs-only dir must never convince the full probe it holds the
+    // whole TPC-H set (r13 ADVICE)
+    if (fs.exists(new Path(s"$dst/_GENERATED_DOCS"))) return
     def widen(t: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$t.parquet")
       // chunked appends, not one factor-way union: a left-deep
@@ -184,7 +197,7 @@ object ScaleProbe {
         .withColumn("embedding",
           transform(col("embedding"),
             x => (x + lit(k * 0.0013f)).cast("float"))) }
-    fs.create(new Path(s"$dst/_GENERATED"), true).close()
+    fs.create(new Path(s"$dst/_GENERATED_DOCS"), true).close()
   }
 
   // ------------------------------------------------------------------ time
@@ -385,6 +398,11 @@ object ScaleProbe {
       s"manifestProbe creates its synthetic files with java.io.File, " +
         s"so the work dir must resolve to the local filesystem " +
         s"(got scheme '${fs.getScheme}' for $work)")
+    // the probe's whole point is to measure PAST the enforced ceiling
+    // (Snapshots.commit refuses growth beyond 10⁶ lines since r14) —
+    // lift it for exactly this run
+    sys.props("graft.snapshots.maxManifestLines") =
+      math.max(maxFiles.toLong, 1000000L).toString
     val out = scala.collection.mutable.LinkedHashMap[String, Double]()
     Seq(10000, 100000, 1000000, 10000000).filter(_ <= maxFiles).foreach { n =>
       val root = new Path(s"$work/mtab_$n")

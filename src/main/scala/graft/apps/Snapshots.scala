@@ -288,6 +288,24 @@ private[graft] object Snapshots {
     }
   }
 
+  /** The enforced manifest ceiling (r13 verdict task #5). The
+    * round-13 probe measured the tier's scaling directly (PLANS.md):
+    * 10⁶ lines commit in ~13 s and resolve sub-second — the practical
+    * ceiling — while the next decade is SUPERLINEAR (356 s commit,
+    * 8.1 s resolve at 10⁷: the 10 M-line sort, the 360 MB manifest
+    * string and the 156k-entries-per-dir listStatus compound). A
+    * table crossing the ceiling has outgrown its file granularity,
+    * and the sanctioned fix is the per-table graduation size
+    * ([[graft.sinks.Sinks.setCompactionTarget]] / the manifest
+    * `targetbytes` line): manifest lines ≈ tableBytes / targetBytes,
+    * so a 100 TB table graduating at 1 GiB stays near 10⁵ lines.
+    * Overridable (probes; an emergency brake) via the
+    * `graft.snapshots.maxManifestLines` system property. */
+  private def maxManifestLines: Long =
+    sys.props.get("graft.snapshots.maxManifestLines")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(1000000L)
+
   /** Commit the next snapshot version under the writer lock:
     * data = (all visible files) − `replaced` − (files already retired
     * or expiring at the current version); retired = `replaced`;
@@ -353,13 +371,33 @@ private[graft] object Snapshots {
         !fs.delete(f, false) && fs.exists(f)
       }
     }
+    // ceiling guard — LOUD, before anything is written. Only a commit
+    // that GROWS the manifest is refused: the way down from an
+    // over-ceiling table (inherited from a pre-guard build, or pushed
+    // over by an override) is a compaction at a larger targetbytes,
+    // whose own commit shrinks the line count and must not be blocked
+    // by the very guard that demands it.
+    val newLines = data.size + replaced.size + expiring.size + stubborn.size
+    val curLines = cur.map(m =>
+      m.data.size + m.retired.size + m.expiring.size).getOrElse(0)
+    require(newLines <= maxManifestLines || newLines <= curLines,
+      s"snapshot commit of $root would write $newLines manifest lines, " +
+        s"past the $maxManifestLines-line ceiling (the measured " +
+        "superlinear decade — PLANS.md round 13: 356 s commits at 10^7 " +
+        "lines). The table has outgrown its file granularity: raise its " +
+        "per-table compaction graduation size (Sinks.setCompactionTarget " +
+        "/ the manifest `targetbytes` line — lines ~ tableBytes/" +
+        "targetBytes), or override graft.snapshots.maxManifestLines " +
+        "if you accept the cost.")
     val dir = snapDir(root)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-v$n")
     // layout/config lines lead the manifest in a FIXED order (nbuckets
-    // first, targetbytes second) so the hot-path readers
-    // ([[currentBucketCount]], [[currentTargetBytes]]) read a bounded
-    // prefix, never the data list
+    // first, targetbytes second) so the bounded-prefix readers
+    // ([[currentBucketCount]], [[bucketCountAt]] — the only readers
+    // that resolve from the first line; [[currentTargetBytes]]
+    // deliberately full-parses via [[currentManifest]]) never touch
+    // the data list
     write(fs, tmp,
       (nb.toSeq.map(b => s"nbuckets $b") ++
         tb.toSeq.map(t => s"targetbytes $t") ++
@@ -565,12 +603,38 @@ private[graft] object Snapshots {
         // root — the back-pointer [[vacuum]] needs to tell a live
         // group's pin from one whose group was deleted out-of-band.
         val dst = new Path(dir, s"pin.$tag.$v")
-        if (!fs.exists(dst)) {
+        // an existing pin is rewritten IF it predates the back-pointer
+        // (body has no second line): without the rewrite a legacy pin
+        // would never acquire the back-pointer [[vacuum]] needs — its
+        // documented remedy ("re-run the group's maintenance cycle,
+        // the refresh rewrites the pin") used to be a no-op while the
+        // group vector was unchanged, leaving a pre-upgrade orphan
+        // permanently un-collectable (r13 ADVICE, medium)
+        val legacy = fs.exists(dst) &&
+          scala.util.Try(readLines(fs, dst)).toOption
+            .forall(_.drop(1).headOption.map(_.trim).forall(_.isEmpty))
+        if (!fs.exists(dst) || legacy) {
           fs.mkdirs(dir)
           val tmp = new Path(dir, s".pin-$tag.tmp")
           write(fs, tmp,
             s"$v\n${fs.makeQualified(groupRoot).toUri.toString}")
-          require(fs.rename(tmp, dst) || fs.exists(dst),
+          if (legacy) {
+            // upgrade WITHOUT an unpinned instant (rename-over-existing
+            // is not atomic here, and delete-then-rename would let a
+            // concurrent member commit's readPins see NO pin for v —
+            // the exact race the versioned-pin design closed): land the
+            // upgraded body as a sibling `…$v.u` first (readPins counts
+            // it — same first line), then delete the legacy body, then
+            // promote the sibling. A crash at any step leaves at least
+            // one readable pin for v, and the superseded-pin sweep
+            // below collects a stray sibling.
+            val up = new Path(dir, s"pin.$tag.$v.u")
+            fs.delete(up, false) // a crashed earlier upgrade's leftover
+            require(fs.rename(tmp, up), s"could not stage pin upgrade $up")
+            fs.delete(dst, false)
+            require(fs.rename(up, dst) || fs.exists(dst),
+              s"could not promote upgraded group pin $dst")
+          } else require(fs.rename(tmp, dst) || fs.exists(dst),
             s"could not publish group pin $dst")
         }
         // `cleanupSuperseded = false` is [[commitGroup]]'s pre-rename
@@ -649,11 +713,53 @@ private[graft] object Snapshots {
         Seq(("stale-tmp", s.getPath.toString))
       else Nil
     }
-    if (delete) findings.foreach {
+    if (delete) applyVacuum(fs, findings)
+    findings
+  }
+
+  /** [[vacuum]]'s delete pass, separated so the report→delete race
+    * window is spec-drivable. Orphan-pin liveness is re-checked
+    * IMMEDIATELY before each delete: the report pass's check is not
+    * atomic with this moment, and a group mid-publish (another
+    * process's first commitGroup pre-rename window, or a
+    * dropGroup+recreate) can have gone live since — deleting its pin
+    * then would leave a just-published generation unpinned until the
+    * next refresh cycle (r13 ADVICE). A pin whose group re-appeared
+    * (or whose body is now unreadable) is simply kept. */
+  private[apps] def applyVacuum(fs: FileSystem,
+                                findings: Seq[(String, String)]): Unit =
+    findings.foreach {
+      case ("orphan-pin", p) =>
+        val stillOrphan = scala.util.Try {
+          readLines(fs, new Path(p)).drop(1).headOption.map(_.trim)
+            .filter(_.nonEmpty)
+            .forall(uri => currentGroupFile(fs, new Path(uri)).isEmpty)
+        }.getOrElse(false)
+        if (stillOrphan) { fs.delete(new Path(p), false); () }
       case (kind, p) if kind != "legacy-pin" =>
         fs.delete(new Path(p), false); ()
       case _ => ()
     }
+
+  /** Where maintenance-cycle [[vacuumReport]] findings land. Default:
+    * log to stderr (report-only — DELETE stays a manual operator
+    * action; see [[vacuum]]). Specs replace it to capture; operators
+    * may route it into their telemetry. */
+  private[apps] var onVacuumFindings: (Path, Seq[(String, String)]) => Unit =
+    (root, findings) => if (findings.nonEmpty)
+      System.err.println(s"[graft.vacuum] ${findings.size} finding(s) " +
+        s"under $root/_snap: " +
+        findings.map { case (k, p) => s"$k $p" }.mkString("; "))
+
+  /** Report-mode [[vacuum]] wired to the findings hook — the form the
+    * hybrid/mart maintenance cycles call on their cadence (r13 verdict
+    * task #6): debris is SURFACED every cycle instead of waiting for
+    * an operator to think of auditing, while deletion keeps requiring
+    * a deliberate `vacuum(delete = true)`. One `_snap` listing per
+    * table — report cost is metadata-scale. */
+  def vacuumReport(fs: FileSystem, root: Path): Seq[(String, String)] = {
+    val findings = vacuum(fs, root)
+    onVacuumFindings(root, findings)
     findings
   }
 

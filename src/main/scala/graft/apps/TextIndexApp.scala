@@ -35,9 +35,12 @@ import graft.queries.TextQueries
   *     denormalized count to drift. (The stats agg is linear in the
   *     DOCUMENT count — metadata-scale next to the corpus.)
   *   - `meta/` — max doc_id indexed (watermark, replay guard);
-  *     `conf/` — nBuckets, frozen at build (the term router is the
-  *     index's one piece of trained-state-like geometry: changing it
-  *     moves every posting list, so appends must reuse it).
+  *     `conf/` — the BUILD-time nBuckets. The router count is
+  *     manifest-resolved and mutable via the online [[rebucket]]
+  *     (the `nbuckets` line rides the postings manifest, flipping
+  *     count and layout in one commit); `conf/` remains the fallback
+  *     for generations whose manifests predate the line — exactly the
+  *     pre-rebucket layouts its value describes.
   *
   * Appends stage under `_staging` and publish through [[StagedCommit]]
   * with the meta watermark last; `postings` and `doclens` are

@@ -532,6 +532,83 @@ class SnapshotGroupSpec extends SparkSpec {
       .forall(_._1 == "legacy-pin"), "vacuum did not converge")
   }
 
+  test("an idempotent advance upgrades a legacy pin in place, making vacuum's remedy real") {
+    // r13 ADVICE (medium): writeGroupPins used to skip when the pin
+    // file existed, so a pre-back-pointer pin was NEVER rewritten by
+    // refreshGroupPins or an idempotent commitGroup while the vector
+    // was unchanged — vacuum's documented remedy ("re-run the group's
+    // maintenance cycle, then vacuum again") could not work
+    val dir = Files.createTempDirectory("snapvac-legacy").toString
+    val a = s"$dir/a"
+    Sinks.upsertCombine(spark, (0 until 8).map(k => (k.toLong, 1L)).toDF("k", "n"),
+      Seq("k"), Seq(sum(col("n")).as("n")), 0L, a, nBuckets = 4,
+      snapshotted = true)
+    val grp = new Path(s"$dir/grp")
+    Snapshots.commitGroup(fs, grp, Seq("a" -> new Path(a)))
+    val pin = fs.listStatus(new Path(s"$a/_snap"))
+      .map(_.getPath).filter(_.getName.startsWith("pin.")).head
+    def body(): Seq[String] = {
+      val in = fs.open(pin)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val v = body().head
+    // regress the live pin to a legacy body (version only, no pointer)
+    val out = fs.create(pin, true)
+    try out.write(v.getBytes("UTF-8")) finally out.close()
+    assert(Snapshots.vacuum(fs, new Path(a), tmpOlderThanMs = -1)
+      .map(_._1) == Seq("legacy-pin"), "fixture: regression not seen")
+
+    // the remedy: one idempotent advance (vector unchanged) rewrites
+    // the pin with its back-pointer — atomically, never unpinned
+    Snapshots.commitGroup(fs, grp, Seq("a" -> new Path(a)))
+    assert(body().size == 2 && body().head == v &&
+      body()(1).contains("grp"),
+      s"legacy pin was not upgraded in place: ${body()}")
+    assert(Snapshots.vacuum(fs, new Path(a), tmpOlderThanMs = -1).isEmpty,
+      "vacuum still reports the upgraded pin")
+    // and no stray upgrade-sibling files survive
+    assert(fs.listStatus(new Path(s"$a/_snap"))
+      .map(_.getPath.getName).count(_.startsWith("pin.")) == 1)
+  }
+
+  test("vacuum --delete re-checks liveness at the delete instant (a re-published group keeps its pin)") {
+    // r13 ADVICE (low): the report pass's liveness check is not atomic
+    // with the delete — a group deleted and re-published in between
+    // must keep its pin
+    val dir = Files.createTempDirectory("snapvac-race").toString
+    val a = s"$dir/a"
+    Sinks.upsertCombine(spark, (0 until 8).map(k => (k.toLong, 1L)).toDF("k", "n"),
+      Seq("k"), Seq(sum(col("n")).as("n")), 0L, a, nBuckets = 4,
+      snapshotted = true)
+    val grp = new Path(s"$dir/grp")
+    Snapshots.commitGroup(fs, grp, Seq("a" -> new Path(a)))
+    // simulate the window: report sees the group dead…
+    val manifests = fs.listStatus(grp).map(_.getPath)
+      .filter(_.getName.startsWith("v"))
+    val parked = new Path(s"$dir/parked")
+    fs.mkdirs(parked)
+    manifests.foreach(m => fs.rename(m, new Path(parked, m.getName)))
+    val found = Snapshots.vacuum(fs, new Path(a), tmpOlderThanMs = -1)
+    assert(found.map(_._1) == Seq("orphan-pin"), s"fixture: $found")
+    // …then the group re-publishes between the report and the delete
+    // pass (another process's commitGroup landing in the window)
+    fs.listStatus(parked).foreach(m =>
+      fs.rename(m.getPath, new Path(grp, m.getPath.getName)))
+    // the delete pass re-checks liveness per pin and keeps it
+    Snapshots.applyVacuum(fs, found)
+    assert(fs.listStatus(new Path(s"$a/_snap"))
+      .exists(_.getPath.getName.startsWith("pin.")),
+      "vacuum deleted a pin whose group was live at the delete instant")
+    // control: with the group really gone the same findings delete
+    fs.listStatus(grp).filter(_.getPath.getName.startsWith("v"))
+      .foreach(m => fs.delete(m.getPath, false))
+    Snapshots.applyVacuum(fs, found)
+    assert(!fs.listStatus(new Path(s"$a/_snap"))
+      .exists(_.getPath.getName.startsWith("pin.")),
+      "the re-check kept a truly orphaned pin")
+  }
+
   // --------------------------------------------------- hybrid cross-index
 
   test("a hybrid query pins ONE corpus generation across both arms mid-cycle") {
