@@ -570,6 +570,15 @@ object EventMartStream {
     // full state-table scan, gated on its cadence knob — periodic
     // maintenance, never per-batch cost.
     if (batchId % math.max(1, retention.decaySweepEveryN) == 0) {
+      // snapshot-debris audit on the sweep cadence (r13 verdict task
+      // #6): report-only — findings go to the [[Snapshots
+      // .onVacuumFindings]] hook, deletion stays a manual operator
+      // action. A healthy tree reports nothing (soak-asserted).
+      Seq("uv_days", "ohlc", "decay_weeks", "trans_state",
+        "sess_state", "sess_grid").foreach { t =>
+        val r = new Path(s"$martDir/$t")
+        if (fs.exists(r)) Snapshots.vacuumReport(fs, r)
+      }
       val wkPath = s"$martDir/decay_weeks"
       val wk = Sinks.readCombined(spark, wkPath)
       val refW = wk.filter(col("__w") =!= SentinelWeek)

@@ -160,8 +160,18 @@ object HybridSearchApp {
       pauseBetweenAppends()
       VectorIndexApp.append(spark, vecs, vecIdx)
       advanceLocked(fs, textIdx, vecIdx, groupDir)
+      vacuumMembers(fs, textIdx, vecIdx)
     }
   }
+
+  /** Snapshot-debris audit on the cycle cadence (r13 verdict task #6):
+    * report-only — findings route to [[Snapshots.onVacuumFindings]],
+    * deletion stays a manual operator action. */
+  private def vacuumMembers(fs: org.apache.hadoop.fs.FileSystem,
+                            textIdx: String, vecIdx: String): Unit =
+    members(textIdx, vecIdx).foreach { case (_, root) =>
+      if (fs.exists(root)) Snapshots.vacuumReport(fs, root); ()
+    }
 
   /** Takedown from BOTH arms, then one group advance (same contract
     * as [[append]]; the in-place-rewrite trade of each arm's retract
@@ -175,6 +185,7 @@ object HybridSearchApp {
       TextIndexApp.retract(spark, ids, textIdx)
       VectorIndexApp.retract(spark, ids, vecIdx)
       advanceLocked(fs, textIdx, vecIdx, groupDir)
+      vacuumMembers(fs, textIdx, vecIdx)
     }
   }
 
