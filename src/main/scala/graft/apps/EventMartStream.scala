@@ -126,8 +126,20 @@ object EventMartStream {
   final case class Retention(decaySweepEveryN: Int = 64,
                              sessTtlUs: Option[Long] = None,
                              transTtlUs: Option[Long] = None,
-                             ttlSweepEveryN: Int = 8)
+                             ttlSweepEveryN: Int = 8,
+                             autoWiden: Boolean = true)
   object Retention { val default: Retention = Retention() }
+
+  /** The mart's state tables with their bucketing keys — the
+    * [[Sinks.autoWiden]] candidates the sweep cadence consults (and
+    * the rebucket targets an operator would widen by hand). */
+  private val StateTables: Seq[(String, Seq[String])] = Seq(
+    "uv_days" -> Seq("cur_date", "user_id"),
+    "ohlc" -> Seq("cur_date", "event_type"),
+    "decay_weeks" -> Seq("user_id", "__w"),
+    "trans_state" -> Seq("user_id"),
+    "sess_state" -> Seq("user_id"),
+    "sess_grid" -> Seq("entry_type", "exit_type"))
 
   /** The week value carrying a user's retired-decay carry inside
     * `decay_weeks` itself (single-table ⇒ the sweep is one atomic
@@ -574,10 +586,28 @@ object EventMartStream {
       // #6): report-only — findings go to the [[Snapshots
       // .onVacuumFindings]] hook, deletion stays a manual operator
       // action. A healthy tree reports nothing (soak-asserted).
-      Seq("uv_days", "ohlc", "decay_weeks", "trans_state",
-        "sess_state", "sess_grid").foreach { t =>
+      StateTables.foreach { case (t, _) =>
         val r = new Path(s"$martDir/$t")
         if (fs.exists(r)) Snapshots.vacuumReport(fs, r)
+      }
+      // AUTO-WIDEN on the same cadence (r13 verdict task #4): the
+      // round-13 probe had to rebucket by hand when 1000× state hit
+      // the 64-bucket per-batch ceiling — now the cycle consults the
+      // row/byte-aware recommendation itself and widens AT MOST ONE
+      // table per sweep (a rebucket is a full-table rewrite; one per
+      // cycle bounds the cycle's wall — the next sweep catches the
+      // next table). Not inside `mutate`: rebucket is atomic and
+      // replay-idempotent on its own (a replayed widened table
+      // no-ops on count equality), so it needs no stage stamp. Never
+      // narrows — see [[Sinks.autoWiden]].
+      if (retention.autoWiden) {
+        StateTables.iterator
+          .filter { case (t, _) => fs.exists(new Path(s"$martDir/$t")) }
+          .map { case (t, keys) =>
+            Sinks.autoWiden(spark, s"$martDir/$t", keys)
+              .map(n => s"$t -> $n buckets") }
+          .collectFirst { case Some(w) => w }
+          .foreach(w => System.err.println(s"[graft.mart] auto-widened $w"))
       }
       val wkPath = s"$martDir/decay_weeks"
       val wk = Sinks.readCombined(spark, wkPath)

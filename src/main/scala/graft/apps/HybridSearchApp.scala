@@ -147,7 +147,9 @@ object HybridSearchApp {
     * consistent — and the replayed cycle (idempotent appends)
     * completes and advances. */
   def append(spark: SparkSession, docs: DataFrame, vecs: DataFrame,
-             textIdx: String, vecIdx: String, groupDir: String): Unit = {
+             textIdx: String, vecIdx: String, groupDir: String,
+             textBucketTargetBytes: Long =
+               TextIndexApp.DefaultPostingsBucketBytes): Unit = {
     val fs = fsOf(spark, groupDir)
     withGroupLease(fs, groupDir) {
       // entry pin-refresh: the cycle's own commits (publish +
@@ -161,6 +163,17 @@ object HybridSearchApp {
       VectorIndexApp.append(spark, vecs, vecIdx)
       advanceLocked(fs, textIdx, vecIdx, groupDir)
       vacuumMembers(fs, textIdx, vecIdx)
+      // auto-widen the text arm's term router on the cycle cadence
+      // (r13 verdict task #4) — at most one widening per cycle, under
+      // this lease. Runs AFTER the advance: the hybrid group pins the
+      // pre-rebucket generation, and pinned queries prune with ITS
+      // geometry (Snapshots.bucketCountAt) until the next cycle's
+      // advance publishes the re-routed one — the exact sequence
+      // TextIndexRebucketSpec pins. The vector arm has no online count
+      // knob: its geometry is trained (see VectorIndexApp.retrain).
+      TextIndexApp.autoWiden(spark, textIdx, textBucketTargetBytes)
+        .foreach(n => System.err.println(
+          s"[graft.hybrid] auto-widened $textIdx -> $n buckets"))
     }
   }
 

@@ -325,6 +325,44 @@ object TextIndexApp {
     }
   }
 
+  /** Default target size of one POSTINGS bucket. The text index's
+    * cost model differs from the keyed sinks': appends only ADD delta
+    * files to bucket dirs (no touched-bucket rewrite, so no row-count
+    * amplification term), and the number that grows with corpus size
+    * at frozen geometry is the probed-bucket SCAN — the round-13
+    * 1000× probe's warm fused latency grew 2.5× across three decades
+    * purely from each probed bucket being 1000× bigger. 64 MB keeps a
+    * probed bucket a sub-second columnar scan while the bucket count
+    * stays two orders below the term cardinality. */
+  val DefaultPostingsBucketBytes: Long = 64L * 1024 * 1024
+
+  /** AUTO-WIDEN policy for the term router (r13 verdict task #4, the
+    * lexical twin of [[graft.sinks.Sinks.autoWiden]]): consult the
+    * postings table's pinned bytes against a per-bucket target and
+    * [[rebucket]] online when the recommendation exceeds the current
+    * count by `widenFactor` (hysteresis). Bytes only — see
+    * [[DefaultPostingsBucketBytes]] for why no rows term. Never
+    * narrows. Returns the new count when it widened. */
+  def autoWiden(spark: SparkSession, indexDir: String,
+                targetBytesPerBucket: Long = DefaultPostingsBucketBytes,
+                widenFactor: Double = 2.0): Option[Int] = {
+    require(targetBytesPerBucket > 0 && widenFactor >= 1.0,
+      s"bad autoWiden knobs ($targetBytesPerBucket, $widenFactor)")
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(s"$indexDir/postings")
+    val files = Snapshots.currentFiles(fs, root).getOrElse(return None)
+    val bytes = files.iterator
+      .map(f => scala.util.Try(
+        fs.getFileStatus(new Path(root, f)).getLen).getOrElse(0L)).sum
+    val rec = math.max(1L,
+      (bytes + targetBytesPerBucket - 1) / targetBytesPerBucket)
+      .min(Int.MaxValue.toLong).toInt
+    val cur = nBucketsOf(spark, indexDir)
+    if (rec >= cur * widenFactor) { rebucket(spark, indexDir, rec); Some(rec) }
+    else None
+  }
+
   /** Merge bucket dirs an append grew past [[Compaction.DefaultMaxFiles]]
     * (plus doclens and meta) down to one file each, preserving the
     * in-file doc_id clustering. */

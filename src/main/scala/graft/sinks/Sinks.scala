@@ -630,6 +630,37 @@ object Sinks {
       .min(Int.MaxValue.toLong).toInt
   }
 
+  /** AUTO-WIDEN policy (r13 verdict task #4) — the round-13 manual
+    * knob turned into a decision the maintenance cycle makes itself:
+    * consult [[recommendedBuckets]] against the table's recorded
+    * count and [[rebucket]] when the recommendation exceeds it by
+    * `widenFactor` (hysteresis — a recommendation drifting a few
+    * percent past the layout must not thrash a full-table rewrite
+    * every cycle). Never NARROWS: a narrow recommendation can be a
+    * transient (retention just swept; a probe table mid-load), and
+    * shrinking is a deliberate operator action with [[rebucket]].
+    * Returns the new count when it widened, None otherwise (missing
+    * table, raw layout, or within hysteresis). Callers bound the work
+    * per cycle — the mart widens at most ONE table per sweep. */
+  def autoWiden(spark: SparkSession, path: String, keys: Seq[String],
+                targetBytesPerBucket: Long = DefaultBucketTargetBytes,
+                targetRowsPerBucket: Long = DefaultBucketTargetRows,
+                widenFactor: Double = 2.0): Option[Int] = {
+    require(widenFactor >= 1.0,
+      s"widenFactor must be >= 1 (got $widenFactor)")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path)) ||
+      Snapshots.currentFiles(fs, new Path(path)).isEmpty) return None
+    val cur = readOrWriteBucketCount(fs, path, DefaultUpsertBuckets)
+    val rec = recommendedBuckets(spark, path, targetBytesPerBucket,
+      targetRowsPerBucket)
+    if (rec >= cur * widenFactor) {
+      rebucket(spark, path, keys, rec)
+      Some(rec)
+    } else None
+  }
+
   /** Read a table written by [[upsertKeyed]] without its layout column
     * (snapshot-pinned when managed — see [[readCombined]]). */
   def readKeyed(spark: SparkSession, path: String): DataFrame =
