@@ -58,6 +58,7 @@ private[graft] object Snapshots {
                                     retired: Seq[String],
                                     expiring: Seq[String],
                                     nbuckets: Option[Int],
+                                    trainedgen: Option[Int],
                                     targetbytes: Option[Long])
 
   /** Highest committed version under `root`, if any. */
@@ -86,6 +87,8 @@ private[graft] object Snapshots {
       lines.collect { case s if s.startsWith("expiring ") => s.drop(9) },
       lines.collectFirst { case s if s.startsWith("nbuckets ") =>
         s.drop(9).trim.toInt },
+      lines.collectFirst { case s if s.startsWith("trainedgen ") =>
+        s.drop(11).trim.toInt },
       lines.collectFirst { case s if s.startsWith("targetbytes ") =>
         s.drop(12).trim.toLong })
 
@@ -132,6 +135,45 @@ private[graft] object Snapshots {
         new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
       Option(br.readLine()).filter(_.startsWith("nbuckets "))
         .map(_.drop(9).trim.toInt)
+    } finally in.close()
+  }
+
+  /** The TRAINED-STATE GENERATION a manifest carries, if any — the
+    * geometry resolver for the vector index's staged online re-train
+    * ([[VectorIndexApp.retrain]]), the exact pattern of
+    * [[bucketCountAt]]: a codes layout and the codebook generation
+    * that encoded it flip in ONE manifest rename (the `trainedgen`
+    * line), and any reader — head or pinned — resolves the books of
+    * the generation THAT layout was encoded with, never a mix. Absent
+    * line = pre-retrain manifest = generation 0 (the build-time books
+    * at the index root). Bounded-prefix read: config lines lead the
+    * manifest in fixed order (nbuckets, trainedgen, targetbytes), so
+    * at most three line reads, never the data list. `version = None`
+    * resolves the newest manifest. */
+  def trainedGenAt(fs: FileSystem, root: Path,
+                   version: Option[Int] = None): Option[Int] = {
+    val dir = snapDir(root)
+    val p = version match {
+      case Some(v) => new Path(dir, f"v$v%08d")
+      case None =>
+        if (!fs.exists(dir)) return None
+        val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toInt)
+        if (vs.isEmpty) return None
+        new Path(dir, f"v${vs.max}%08d")
+    }
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+      Iterator.continually(Option(br.readLine())).take(3)
+        .takeWhile(_.exists(l => l.startsWith("nbuckets ") ||
+          l.startsWith("trainedgen ") || l.startsWith("targetbytes ")))
+        .flatten
+        .collectFirst { case l if l.startsWith("trainedgen ") =>
+          l.drop(11).trim.toInt }
     } finally in.close()
   }
 
@@ -322,15 +364,17 @@ private[graft] object Snapshots {
   def commit(fs: FileSystem, root: Path,
              replaced: Seq[String] = Nil,
              nbuckets: Option[Int] = None,
-             targetBytes: Option[Long] = None): Int = {
+             targetBytes: Option[Long] = None,
+             trainedGen: Option[Int] = None): Int = {
     val cur = currentManifest(fs, root)
     val n = cur.map(_.version).getOrElse(0) + 1
     // the bucket count rides the manifest so a rebucket flips count and
     // layout in ONE rename; every other commit carries it forward —
-    // and the per-table compaction graduation size rides the same way
-    // (r11 verdict task #5: one 100 TB table graduates at 1 GiB while
-    // small state tables keep the global default)
+    // the per-table compaction graduation size and the trained-state
+    // generation ([[trainedGenAt]]) ride the same way (r11 verdict
+    // task #5; r13 verdict task #3)
     val nb = nbuckets.orElse(cur.flatMap(_.nbuckets))
+    val tg = trainedGen.orElse(cur.flatMap(_.trainedgen))
     val tb = targetBytes.orElse(cur.flatMap(_.targetbytes))
     val expiring = cur.map(_.retired).getOrElse(Nil) // one commit old
     val dying = cur.map(_.expiring).getOrElse(Nil)   // two commits old
@@ -392,14 +436,15 @@ private[graft] object Snapshots {
     val dir = snapDir(root)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-v$n")
-    // layout/config lines lead the manifest in a FIXED order (nbuckets
-    // first, targetbytes second) so the bounded-prefix readers
-    // ([[currentBucketCount]], [[bucketCountAt]] — the only readers
-    // that resolve from the first line; [[currentTargetBytes]]
-    // deliberately full-parses via [[currentManifest]]) never touch
-    // the data list
+    // layout/config lines lead the manifest in a FIXED order (nbuckets,
+    // trainedgen, targetbytes) so the bounded-prefix readers
+    // ([[currentBucketCount]]/[[bucketCountAt]] resolve from the first
+    // line; [[trainedGenAt]] scans at most the three config lines;
+    // [[currentTargetBytes]] deliberately full-parses via
+    // [[currentManifest]]) never touch the data list
     write(fs, tmp,
       (nb.toSeq.map(b => s"nbuckets $b") ++
+        tg.toSeq.map(g => s"trainedgen $g") ++
         tb.toSeq.map(t => s"targetbytes $t") ++
         data.sorted.map(p => s"data $p") ++
         replaced.sorted.map(p => s"retired $p") ++
@@ -798,10 +843,12 @@ private[graft] object Snapshots {
   def writePending(fs: FileSystem, root: Path, replaced: Seq[String],
                    merged: Seq[String],
                    nbuckets: Option[Int] = None,
-                   targetBytes: Option[Long] = None): Unit = {
+                   targetBytes: Option[Long] = None,
+                   trainedGen: Option[Int] = None): Unit = {
     fs.mkdirs(snapDir(root))
     write(fs, pendingPath(root),
       (nbuckets.toSeq.map(b => s"nbuckets $b") ++
+        trainedGen.toSeq.map(g => s"trainedgen $g") ++
         targetBytes.toSeq.map(t => s"targetbytes $t") ++
         replaced.map(p => s"replaced $p") ++
         merged.map(p => s"merged $p")).mkString("\n"))
@@ -821,7 +868,9 @@ private[graft] object Snapshots {
       nbuckets = lines.collectFirst { case s if s.startsWith("nbuckets ") =>
         s.drop(9).trim.toInt },
       targetBytes = lines.collectFirst { case s if s.startsWith("targetbytes ") =>
-        s.drop(12).trim.toLong })
+        s.drop(12).trim.toLong },
+      trainedGen = lines.collectFirst { case s if s.startsWith("trainedgen ") =>
+        s.drop(11).trim.toInt })
     fs.delete(p, false)
   }
 

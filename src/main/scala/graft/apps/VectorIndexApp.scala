@@ -52,6 +52,30 @@ object VectorIndexApp {
     * queries ADC-scan the probed cells ([[SimilarityOps.ivfPqAnn]]). */
   final case class PqGeometry(m: Int, subDim: Int, k: Int, iters: Int)
 
+  /** Where trained-state generation `gen`'s frozen books live:
+    * generation 0 is the BUILD's books at the index root (the
+    * pre-retrain layout, unchanged); generation N ≥ 1 is a
+    * [[retrain]]'s `trained/g<N>/` subtree. Which generation a reader
+    * resolves rides the CODES MANIFEST (`trainedgen` line,
+    * [[Snapshots.trainedGenAt]]) — committed atomically with the
+    * re-encoded layout it describes, the [[graft.sinks.Sinks
+    * .rebucket]] convention — so head and pinned readers alike always
+    * pair a codes layout with the exact books that encoded it. Old
+    * generations' books are kilobyte-scale and are left in place (a
+    * pinned query may still read them); an operator may delete a
+    * `trained/g<N>` dir once no group pin names a codes version of
+    * that generation. */
+  private def trainedDir(indexDir: String, gen: Int): String =
+    if (gen == 0) indexDir else s"$indexDir/trained/g$gen"
+
+  /** The trained-state generation of the codes manifest at `version`
+    * (None = newest) — 0 for pre-retrain manifests. */
+  private def trainedGenOf(fs: org.apache.hadoop.fs.FileSystem,
+                           indexDir: String,
+                           version: Option[Int] = None): Int =
+    Snapshots.trainedGenAt(fs, new Path(s"$indexDir/codes"), version)
+      .getOrElse(0)
+
   /** Train the codebook on `corpus` and materialize the full index. A
     * crash mid-build is healed by re-running (all writes overwrite).
     * `pq` selects the IVFADC flavor: the per-sub-block codebooks are
@@ -63,6 +87,11 @@ object VectorIndexApp {
     val fs = new Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(staging(indexDir), true) // superseded, not healed
+    // a REBUILD starts a fresh trained-state history: the codes
+    // overwrite below wipes `codes/_snap` (so the new v1 carries no
+    // trainedgen = generation 0), and stale retrain books must not
+    // outlive the manifests that referenced them
+    fs.delete(new Path(s"$indexDir/trained"), true)
     SimilarityOps.kmeansCodebook(corpus, kCells, iters)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     // encode against the books READ BACK from the index, not the lazy
@@ -76,16 +105,8 @@ object VectorIndexApp {
       fs.delete(new Path(s"$indexDir/pqbook"), true)
       fs.delete(new Path(s"$indexDir/pqmeta"), true)
     }
-    pq.foreach { g =>
-      SimilarityOps.pqCodebookEntries(
-          SimilarityOps.pqCodebook(corpus, g.m, g.subDim, g.k, g.iters))
-        .write.mode("overwrite").parquet(s"$indexDir/pqbook")
-      spark.range(1)
-        .select(lit(g.m).as("m"), lit(g.subDim).as("sub_dim"),
-          lit(g.k).as("k"))
-        .write.mode("overwrite").parquet(s"$indexDir/pqmeta")
-    }
-    val codes = pqState(spark, indexDir) match {
+    pq.foreach(g => writePqBooks(spark, corpus, g, indexDir))
+    val codes = pqState(spark, indexDir, gen = 0) match {
       case Some((cb, m, subDim, _)) =>
         SimilarityOps.ivfPqCodes(corpus, cents, cb, m, subDim)
       case None => SimilarityOps.ivfCodes(corpus, cents)
@@ -100,21 +121,36 @@ object VectorIndexApp {
     ()
   }
 
-  /** The frozen PQ state of an IVFADC-flavored index: the rebuilt
-    * one-row codebook frame plus (m, subDim, k); None for the int8
-    * default. The geometry is read from `pqmeta`, never inferred from
-    * the entries — a codeword dropped in training must not shift the
-    * dense ADC slot layout ([[SimilarityOps.pqLuts]]). */
-  private def pqState(spark: SparkSession, indexDir: String)
+  /** Train + persist the PQ books for one trained-state root (the
+    * build's index root, or a retrain's `trained/g<N>`). */
+  private def writePqBooks(spark: SparkSession, corpus: DataFrame,
+                           g: PqGeometry, root: String): Unit = {
+    SimilarityOps.pqCodebookEntries(
+        SimilarityOps.pqCodebook(corpus, g.m, g.subDim, g.k, g.iters))
+      .write.mode("overwrite").parquet(s"$root/pqbook")
+    spark.range(1)
+      .select(lit(g.m).as("m"), lit(g.subDim).as("sub_dim"),
+        lit(g.k).as("k"))
+      .write.mode("overwrite").parquet(s"$root/pqmeta")
+  }
+
+  /** The frozen PQ state of an IVFADC-flavored index AT a trained
+    * generation: the rebuilt one-row codebook frame plus (m, subDim,
+    * k); None for the int8 flavor (no pqbook at that generation). The
+    * geometry is read from `pqmeta`, never inferred from the entries —
+    * a codeword dropped in training must not shift the dense ADC slot
+    * layout ([[SimilarityOps.pqLuts]]). */
+  private def pqState(spark: SparkSession, indexDir: String, gen: Int)
       : Option[(DataFrame, Int, Int, Int)] = {
     val fs = new Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(s"$indexDir/pqbook"))) None
+    val root = trainedDir(indexDir, gen)
+    if (!fs.exists(new Path(s"$root/pqbook"))) None
     else {
-      val g = spark.read.parquet(s"$indexDir/pqmeta")
+      val g = spark.read.parquet(s"$root/pqmeta")
         .select(col("m"), col("sub_dim"), col("k")).head()
       Some((SimilarityOps.pqCodebookFromEntries(
-          spark.read.parquet(s"$indexDir/pqbook")),
+          spark.read.parquet(s"$root/pqbook")),
         g.getInt(0), g.getInt(1), g.getInt(2)))
     }
   }
@@ -159,7 +195,14 @@ object VectorIndexApp {
             "materialize a sampled frame first")
       case _ => ()
     }
-    val cents = spark.read.parquet(s"$indexDir/centroids")
+    // the trained generation of the GENERATION THIS QUERY READS — a
+    // pinned query planned across an online retrain must assign cells
+    // and build LUTs with the books that encoded its pinned layout,
+    // never the head's (the bucketCountAt pattern, r13 verdict task #3)
+    val fs2 = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val gen = trainedGenOf(fs2, indexDir, pinnedCodes)
+    val cents = spark.read.parquet(s"${trainedDir(indexDir, gen)}/centroids")
     // The probe frame is never collect()ed wholesale: the only
     // per-query driver collect is the DISTINCT CELL list — bounded by
     // the CODEBOOK size (≤ kCells values), not the probe count. The
@@ -173,7 +216,7 @@ object VectorIndexApp {
     // build), both narrow map-side passes over corpus.filter(isProbe),
     // because a persist with no caller-accessible handle would leak
     // one cache entry per query in a serving loop.
-    val pqs = pqState(spark, indexDir)
+    val pqs = pqState(spark, indexDir, gen)
     val qprobes = pqs match {
       case Some((cb, m, subDim, k)) =>
         SimilarityOps.ivfPqProbes(corpus, cents, cb, isProbe, nprobe,
@@ -249,13 +292,17 @@ object VectorIndexApp {
       if (maxDelta <= maxBase) return // replayed, fully-applied batch
       require(minDelta > maxBase,
         s"delta vec_ids must exceed the indexed max ($minDelta <= $maxBase)")
-      val cents = spark.read.parquet(s"$indexDir/centroids")
+      // appends land on the HEAD layout, so they encode against the
+      // head's trained generation (post-retrain: the new books)
+      val gen = trainedGenOf(fs, indexDir)
+      val cents = spark.read.parquet(
+        s"${trainedDir(indexDir, gen)}/centroids")
       val stg = staging(indexDir)
       fs.delete(stg, true)
       // the delta encodes against the index's FROZEN books (coarse and,
       // in the IVFADC flavor, PQ) — encode is a pure per-vector
       // function of them, which is what makes append == rebuild
-      val deltaCodes = pqState(spark, indexDir) match {
+      val deltaCodes = pqState(spark, indexDir, gen) match {
         case Some((cb, m, subDim, _)) =>
           SimilarityOps.ivfPqCodes(delta, cents, cb, m, subDim)
         case None => SimilarityOps.ivfCodes(delta, cents)
@@ -283,6 +330,108 @@ object VectorIndexApp {
       // of linear in micro-batch count. A crash here is healed (same
       // staging, same manifest machinery) before the next append reads.
       compactIndex(spark, fs, indexDir, Some(touched))
+    }
+  }
+
+  /** TEST-ONLY crash injection: die after the new generation's books
+    * are trained and persisted but before any codes re-encode/install
+    * — stage 1 of the retrain's two crash windows (stage 2, the torn
+    * install, is driven via [[StagedCommit.crashAfterMoves]]). */
+  private[apps] var crashAfterRetrainBooks: Boolean = false
+
+  /** STAGED ONLINE RE-TRAIN (r13 verdict task #3) — the vector twin of
+    * the text index's online [[TextIndexApp.rebucket]], for the knob
+    * that is BY NATURE a rebuild: kCells is trained geometry
+    * (centroids), so widening it means re-training and re-encoding
+    * every vector. The full re-encode is the irreducible cost; what
+    * this buys is doing it LIVE, against a served index, with no
+    * offline window:
+    *
+    *  - codebook v(gen+1) (and, for the IVFADC flavor, PQ books) is
+    *    trained and persisted BESIDE the live index under
+    *    `trained/g<gen+1>/` — inert until referenced, so a crash here
+    *    leaves the index byte-identical;
+    *  - the corpus is re-encoded against the new books and staged; the
+    *    new layout installs all-or-nothing through [[StagedCommit]]
+    *    and flips in ONE snapshot commit whose `trainedgen` line names
+    *    the books that encoded it ([[Snapshots.trainedGenAt]] — the
+    *    manifest-rides-the-geometry convention of
+    *    [[graft.sinks.Sinks.rebucket]]);
+    *  - a reader planned before the flip (head or group-pinned)
+    *    executes the complete OLD layout with the OLD books; one
+    *    planned after sees the complete new pair — never centroids of
+    *    one generation against codes of another (the torn-read the
+    *    r13 verdict's commitGroup sketch needed a group advance for;
+    *    riding the codes manifest makes the flip single-rename-atomic
+    *    and pins compose for free: a hybrid group pinning `codes`
+    *    pins the books THROUGH it);
+    *  - a crash at any stage heals at the next writer entry to exactly
+    *    old-everything or new-everything — the pending journal carries
+    *    the generation, so even a healed flip pairs layout and books.
+    *
+    * PURE RE-ENCODE contract: `corpus` must be the indexed corpus
+    * (same watermark — append new vectors first, retract before or
+    * after); enforced against the meta watermark. Prior generations'
+    * books stay in place for pinned readers (kilobytes; see
+    * [[trainedDir]]). */
+  def retrain(spark: SparkSession, corpus: DataFrame, indexDir: String,
+              kCells: Int, iters: Int,
+              pq: Option[PqGeometry] = None): Unit = {
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    StagedCommit.withWriterLock(fs, new Path(indexDir)) {
+      // writer-entry discipline (same as append): finish or discard a
+      // torn previous install, complete a journaled flip, adopt a torn
+      // append's unlisted files
+      StagedCommit.heal(fs, staging(indexDir))
+      val codesRoot = new Path(s"$indexDir/codes")
+      Snapshots.heal(fs, codesRoot)
+      if (Snapshots.adoptUnlisted(fs, codesRoot))
+        compactIndex(spark, fs, indexDir, touched = None)
+      require(fs.exists(new Path(s"$indexDir/meta")),
+        s"retrain requires a built index at $indexDir")
+      val maxBase = spark.read.parquet(s"$indexDir/meta")
+        .agg(max(col("max_vec_id"))).head.getLong(0)
+      val maxCorpus = corpus.agg(max(col("vec_id"))).head.getLong(0)
+      require(maxCorpus == maxBase,
+        s"retrain is a pure re-encode: the corpus watermark " +
+          s"($maxCorpus) must equal the indexed one ($maxBase) — " +
+          "append new vectors first, then retrain")
+      val gen = trainedGenOf(fs, indexDir) + 1
+      val books = trainedDir(indexDir, gen)
+      // a crashed previous attempt's books at this generation are
+      // inert (no committed manifest references them) — rebuild them
+      fs.delete(new Path(books), true)
+      SimilarityOps.kmeansCodebook(corpus, kCells, iters)
+        .write.mode("overwrite").parquet(s"$books/centroids")
+      pq.foreach(g => writePqBooks(spark, corpus, g, books))
+      if (crashAfterRetrainBooks) throw new IllegalStateException(
+        "injected crash: retrain books persisted, codes not re-encoded")
+      val cents = spark.read.parquet(s"$books/centroids")
+      val stg = staging(indexDir)
+      fs.delete(stg, true)
+      val codes = pqState(spark, indexDir, gen) match {
+        case Some((cb, m, subDim, _)) =>
+          SimilarityOps.ivfPqCodes(corpus, cents, cb, m, subDim)
+        case None => SimilarityOps.ivfCodes(corpus, cents)
+      }
+      writeCodes(codes, s"$stg/rt/codes")
+      val stagedRoot = new Path(s"$stg/rt/codes")
+      val moves = Compaction.partitionDirs(fs, stagedRoot).flatMap { d =>
+        Compaction.visibleFiles(fs, d).map { f =>
+          val rel = s"${d.getName}/${f.getPath.getName}"
+          (rel, StagedCommit.Move(f.getPath, new Path(codesRoot, rel)))
+        }
+      }
+      // journal BEFORE the install (replaced = every current file; the
+      // generation rides the journal so a crash-healed retrain still
+      // flips books and layout together), install all-or-nothing,
+      // commit — the flip
+      val cur = Snapshots.currentFiles(fs, codesRoot).getOrElse(Nil)
+      Snapshots.writePending(fs, codesRoot, replaced = cur,
+        merged = moves.map(_._1), trainedGen = Some(gen))
+      StagedCommit.publishOps(fs, stg, moves.map(_._2))
+      Snapshots.commitPending(fs, codesRoot)
     }
   }
 
