@@ -56,7 +56,8 @@ import graft.queries.TextQueries
 object TextIndexApp {
 
   /** The term router — ONE definition (build/append and query must
-    * route identically forever; the geometry is frozen at build).
+    * route identically against any one layout; the count is
+    * manifest-resolved per generation and mutable via [[rebucket]]).
     * [[StableHash.bucket60]] is the engine's canonical bucket id. */
   private def termBucket(nBuckets: Int) =
     StableHash.bucket60(col("token"), nBuckets).as("bucket")
