@@ -64,6 +64,15 @@ object ScaleProbe {
         try martProbe(spark, args(1), args.lift(2).map(_.toInt).getOrElse(100))
         finally spark.stop()
         return
+      case Some("mart-auto") =>
+        // `mart-auto <workDir> [factor]` — the r13-task-#4 soak: state
+        // grows to `factor`× across batches, the shipped auto-widen
+        // policy does every rebucket, per-batch wall probed per decade
+        val spark = GraftSession.local("graft-scale-probe")
+        try martAutoProbe(spark, args(1),
+          args.lift(2).map(_.toInt).getOrElse(1000))
+        finally spark.stop()
+        return
       case Some("manifest") =>
         val spark = GraftSession.local("graft-scale-probe")
         // optional max-tier arg: `manifest <work> 10000000` adds the
@@ -376,6 +385,90 @@ object ScaleProbe {
     }
     val fields = out.map { case (k, v) => f""""$k":${v}%.2f""" }
     println(s"""{"mart_probe":{${fields.mkString(",")}}}""")
+  }
+
+  /** The AUTO-WIDEN soak (r13 verdict task #4's "done" criterion):
+    * mart state grows 1000× ACROSS BATCHES — decade jumps 1× → 10× →
+    * 100× → 1000× of the 2k-user base — with the sweep cadence (and
+    * therefore [[graft.sinks.Sinks.autoWiden]]) running every batch
+    * and ZERO manual rebucket calls anywhere, then per-batch wall is
+    * probed at each decade. The round-13 probe measured what happens
+    * WITHOUT the policy (42.4 s/batch at 2 M rows on the 64-bucket
+    * build layout, 15.0 s after a MANUAL widen to 6400); this soak's
+    * claim is that the policy makes that intervention automatic: the
+    * final-decade probe batches must sit in the widened-wall class,
+    * and the per-table counts must have been chosen by the policy.
+    *
+    * Deliberate differences from [[martProbe]]: all state lives in one
+    * RECENT week (no decay-expiry work — the sweep COST at scale is
+    * the r13 probe's own row, `mart_sweep_1000x`; here the sweep runs
+    * every batch, so it must stay state-scan-cheap to keep the soak's
+    * wall about the policy, not about retirement), and per-decade
+    * SETTLE cycles are timed separately from the probe batches — the
+    * policy widens at most one table per cycle, so the settle sum is
+    * the honest price of the widening wave (rebuckets included) while
+    * `batch_<d>x` is the steady-state per-batch wall the policy
+    * exists to keep flat. */
+  private def martAutoProbe(spark: SparkSession, work: String,
+                            factor: Int): Unit = {
+    val WeekUs = 7L * 86400 * 1000 * 1000
+    val fs = new Path(work).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val dir = s"$work/mart_auto"
+    fs.delete(new Path(dir), true)
+    // sweep (→ vacuum report + auto-widen consult) EVERY batch;
+    // autoWiden is the Retention default — the soak runs the policy
+    // exactly as shipped
+    val ret = EventMartStream.Retention(decaySweepEveryN = 1,
+      ttlSweepEveryN = Int.MaxValue)
+    val retOff = EventMartStream.Retention(
+      decaySweepEveryN = Int.MaxValue, ttlSweepEveryN = Int.MaxValue)
+    var batch = 0L
+    var eventOff = 0L
+    def run(users: Long, userOff: Long,
+            r: EventMartStream.Retention): Double = {
+      batch += 1
+      val ev = spark.range(users).select(
+        (col("id") + lit(userOff)).as("user_id"),
+        timestamp_micros(lit(72L * WeekUs) +
+          pmod(col("id") * lit(1000L), lit(WeekUs))).as("ts"),
+        (col("id") + lit(eventOff)).as("event_id"),
+        concat(lit("t"), (col("id") % 3).cast("string")).as("event_type"),
+        (col("id") % 7).cast("double").as("value"))
+      eventOff += users
+      time(EventMartStream.processBatch(ev, batch, dir, r))
+    }
+    val tables = Seq("uv_days", "decay_weeks", "trans_state", "sess_state")
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val base = 2000L
+    var total = base
+    out("seed_1x") = run(base, 0L, ret)
+    val decades = Seq(1, 10, 100, 1000).filter(_ <= factor) :+ factor
+    decades.distinct.foreach { d =>
+      val label = s"${d}x"
+      val target = base * d
+      if (target > total) {
+        out(s"grow_$label") = run(target - total, total, ret)
+        total = target
+      }
+      // five settle cycles: four growing tables × one widening per
+      // cycle, plus one cycle proving the wave is over (hysteresis
+      // no-op). 100-user batches against EXISTING users — state does
+      // not grow, the policy just gets its cadence.
+      out(s"settle_sum_$label") = (1 to 5).map(_ => run(100, 0L, ret)).sum
+      // steady-state per-batch wall, sweep off (the martProbe
+      // convention: maintenance cost is timed above, per-batch here)
+      out(s"batch_$label") = (1 to 3).map(_ => run(100, 0L, retOff)).min
+      tables.foreach { t =>
+        out(s"buckets_${label}_$t") = Snapshots.currentBucketCount(
+          fs, new Path(s"$dir/$t")).getOrElse(64).toDouble
+      }
+      println(f"[scale-probe] mart-auto $label%-6s batch ${out(s"batch_$label")}%7.2f s" +
+        f"  settle ${out(s"settle_sum_$label")}%8.2f s  buckets " +
+        tables.map(t => out(s"buckets_${label}_$t").toInt).mkString("/"))
+    }
+    val fields = out.map { case (k, v) => f""""$k":${v}%.2f""" }
+    println(s"""{"mart_auto_probe":{${fields.mkString(",")}}}""")
   }
 
   /** Task #3 — the Snapshots manifest's scale ceiling, measured: commit
