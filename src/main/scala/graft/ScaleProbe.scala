@@ -96,6 +96,14 @@ object ScaleProbe {
         try hybridLatencyProbe(spark, args(1), args(2), args(3))
         finally spark.stop()
         return
+      case Some("hybrid-widen") =>
+        // `hybrid-widen <src> <big> <work>` — what the two ONLINE
+        // geometry knobs (text rebucket, vector retrain) buy back of
+        // the serving-latency decade, measured live on the big corpus
+        val spark = GraftSession.local("graft-scale-probe")
+        try hybridWidenProbe(spark, args(1), args(2), args(3))
+        finally spark.stop()
+        return
       case _ => ()
     }
     val Array(srcDir, destDir) = args.take(2)
@@ -571,6 +579,105 @@ object ScaleProbe {
     }
     val fields = out.map { case (k, v) => f""""$k":${v}%.2f""" }
     println(s"""{"hybrid_latency_probe":{${fields.mkString(",")}}}""")
+  }
+
+  /** The SERVING-DECADE CLOSURE probe (round 14). The r13 hybrid probe
+    * measured warm fused latency growing 2.5× across three decades of
+    * corpus at FROZEN geometry (64 term buckets / 64 cells) — the
+    * probed-bucket/cell scan term, since each probed unit is 1000×
+    * bigger. Rounds 13–14 built the two ONLINE widening knobs: the
+    * text router rebucket ([[TextIndexApp.autoWiden]]/`rebucket`) and
+    * the vector re-train ([[VectorIndexApp.retrain]]). This probe
+    * measures what they buy LIVE on the big corpus, with no offline
+    * window: build at the frozen geometry, measure warm; widen both
+    * arms online (the text arm through the shipped auto-widen
+    * recommendation at its default 64 MB/bucket target, the vector
+    * arm to 8× the cells); advance the group; measure warm again.
+    * The widen walls are reported too — the price an operator pays,
+    * off the serving path (pinned queries keep reading the old
+    * geometry until the advance).
+    *
+    * Honest bound: local training cost caps kCells at 512 here, so
+    * rows-per-cell is still ~100× the 1× corpus's — this measures
+    * what ONE online widening step restores, not perfect flatness
+    * (which needs cells ∝ corpus, amortized over many cycles). */
+  private def hybridWidenProbe(spark: SparkSession, src: String,
+                               big: String, work: String): Unit = {
+    val fs = new Path(work).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val probeIds = (0L until 8L).toSeq
+    def measure(label: String, dir: String, tIdx: String, vIdx: String,
+                grp: String): Unit = {
+      val docs = Tables.documents(spark, dir)
+      val vecs = Tables.embeddings(spark, dir)
+      val walls = (0 until 8).map { _ =>
+        time {
+          HybridSearchApp.query(spark, probeIds, docs, vecs, tIdx, vIdx,
+              topK = 5, armK = 20, k0 = 60, nprobe = 4, rerankK = 40,
+              groupDir = Some(grp))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val warm = walls.drop(1).sorted.apply(walls.length / 2 - 1)
+      out(s"cold_$label") = walls.head
+      out(s"warm_$label") = warm
+      println(f"[scale-probe] hybrid-widen $label%-12s cold ${walls.head}%6.2f s" +
+        f"  warm(median of ${walls.length - 1}) ${warm}%6.2f s")
+    }
+    Seq(("1x", src), ("big", big)).foreach { case (label, dir) =>
+      val (tIdx, vIdx, grp) =
+        (s"$work/$label/text", s"$work/$label/vec", s"$work/$label/_grp")
+      // unlike hybridLatencyProbe, this probe MUTATES the big index
+      // after building — a `_BUILT` dir that already went through the
+      // widening pass would be measured as "frozen" and report a ~0
+      // delta; rebuild it from scratch instead of trusting the marker
+      if (fs.exists(new Path(s"$work/$label/_WIDENED")))
+        fs.delete(new Path(s"$work/$label"), true)
+      if (!fs.exists(new Path(s"$work/$label/_BUILT"))) {
+        TextIndexApp.build(spark, Tables.documents(spark, dir), tIdx,
+          nBuckets = 64)
+        VectorIndexApp.build(spark, Tables.embeddings(spark, dir), vIdx,
+          kCells = 64, iters = 2)
+        HybridSearchApp.commitGroup(spark, tIdx, vIdx, grp)
+        fs.create(new Path(s"$work/$label/_BUILT"), true).close()
+      }
+      measure(s"${label}_frozen", dir, tIdx, vIdx, grp)
+      if (label == "big") {
+        // the ONLINE widening pass — the shipped policy for the text
+        // arm (its default target now sees gigabytes of postings and
+        // recommends the wider router), an 8× re-train for the dense
+        // arm; group-pinned readers stay on the frozen generation
+        // until the advance below
+        // target sized for an 8× widening (symmetric with the vector
+        // arm) rather than the shipped 64 MB default: the default is a
+        // throughput tuning that tolerates 64 MB probed buckets; this
+        // probe measures the LATENCY knob, so it asks for 512 buckets
+        // explicitly via the same policy entry point
+        val pRoot = new Path(s"$tIdx/postings")
+        val pBytes = Snapshots.currentFiles(fs, pRoot).getOrElse(Nil)
+          .map(f => fs.getFileStatus(new Path(pRoot, f)).getLen).sum
+        out("rebucket_s") = time {
+          TextIndexApp.autoWiden(spark, tIdx,
+              targetBytesPerBucket = math.max(1L, pBytes / 512))
+            .foreach(n =>
+              println(s"[scale-probe] text router auto-widened -> $n"))
+        }
+        out("retrain_s") = time {
+          VectorIndexApp.retrain(spark, Tables.embeddings(spark, dir),
+            vIdx, kCells = 512, iters = 2)
+        }
+        out("advance_s") = time {
+          HybridSearchApp.commitGroup(spark, tIdx, vIdx, grp)
+        }
+        fs.create(new Path(s"$work/$label/_WIDENED"), true).close()
+        println(f"[scale-probe] widen walls: rebucket ${out("rebucket_s")}%.2f s" +
+          f"  retrain ${out("retrain_s")}%.2f s  advance ${out("advance_s")}%.2f s")
+        measure("big_widened", dir, tIdx, vIdx, grp)
+      }
+    }
+    val fields = out.map { case (k, v) => f""""$k":${v}%.2f""" }
+    println(s"""{"hybrid_widen_probe":{${fields.mkString(",")}}}""")
   }
 
   // ---------------------------------------------------------------- report

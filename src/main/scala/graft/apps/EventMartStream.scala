@@ -137,6 +137,7 @@ object EventMartStream {
     "uv_days" -> Seq("cur_date", "user_id"),
     "ohlc" -> Seq("cur_date", "event_type"),
     "decay_weeks" -> Seq("user_id", "__w"),
+    "trans_counts" -> Seq("prev_type", "curr_type"),
     "trans_state" -> Seq("user_id"),
     "sess_state" -> Seq("user_id"),
     "sess_grid" -> Seq("entry_type", "exit_type"))

@@ -61,22 +61,37 @@ private[graft] object Snapshots {
                                     trainedgen: Option[Int],
                                     targetbytes: Option[Long])
 
-  /** Highest committed version under `root`, if any. */
-  private def currentManifest(fs: FileSystem, root: Path): Option[Manifest] = {
-    val dir = snapDir(root)
+  /** Highest committed version number under a `_snap` dir, if any —
+    * THE manifest-naming convention (`v%08d`, digit-checked), in one
+    * place: [[currentManifest]], [[currentBucketCount]] and
+    * [[trainedGenAt]] all resolve the head through it, so the listing
+    * convention cannot drift between readers (round-14 review). */
+  private def newestVersion(fs: FileSystem, dir: Path): Option[Int] = {
     if (!fs.exists(dir)) return None
     val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toInt)
-    if (vs.isEmpty) None
-    else {
-      val n = vs.max
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Highest committed version NUMBER of `root`, if any — the cheap
+    * (listing-only) head resolver for callers that must pin a version
+    * ONCE and reuse it across several reads (e.g. the vector query's
+    * books-then-codes pair, which must never straddle a retrain
+    * flip). */
+  def currentVersion(fs: FileSystem, root: Path): Option[Int] =
+    newestVersion(fs, snapDir(root))
+
+  /** Highest committed version under `root`, if any. */
+  private def currentManifest(fs: FileSystem, root: Path): Option[Manifest] = {
+    val dir = snapDir(root)
+    newestVersion(fs, dir).map { n =>
       val lines = readLines(fs, new Path(dir, f"v$n%08d"))
       // a pre-expiring-generation manifest simply has no `expiring`
       // lines — its retirees get one extra commit of grace, never less;
       // a pre-rebucket manifest has no `nbuckets` line — the sidecar
       // `.nbuckets` file stays authoritative for it
-      Some(parseManifest(n, lines))
+      parseManifest(n, lines)
     }
   }
 
@@ -102,13 +117,8 @@ private[graft] object Snapshots {
     * put a data-list-sized read on the hot per-batch path. */
   def currentBucketCount(fs: FileSystem, root: Path): Option[Int] = {
     val dir = snapDir(root)
-    if (!fs.exists(dir)) return None
-    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toInt)
-    if (vs.isEmpty) None
-    else {
-      val in = fs.open(new Path(dir, f"v${vs.max}%08d"))
+    newestVersion(fs, dir).flatMap { n =>
+      val in = fs.open(new Path(dir, f"v$n%08d"))
       try {
         val br = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
@@ -153,15 +163,9 @@ private[graft] object Snapshots {
   def trainedGenAt(fs: FileSystem, root: Path,
                    version: Option[Int] = None): Option[Int] = {
     val dir = snapDir(root)
-    val p = version match {
+    val p = version.orElse(newestVersion(fs, dir)) match {
       case Some(v) => new Path(dir, f"v$v%08d")
-      case None =>
-        if (!fs.exists(dir)) return None
-        val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-          .map(_.drop(1).toInt)
-        if (vs.isEmpty) return None
-        new Path(dir, f"v${vs.max}%08d")
+      case None => return None
     }
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -365,7 +369,8 @@ private[graft] object Snapshots {
              replaced: Seq[String] = Nil,
              nbuckets: Option[Int] = None,
              targetBytes: Option[Long] = None,
-             trainedGen: Option[Int] = None): Int = {
+             trainedGen: Option[Int] = None,
+             enforceCeiling: Boolean = true): Int = {
     val cur = currentManifest(fs, root)
     val n = cur.map(_.version).getOrElse(0) + 1
     // the bucket count rides the manifest so a rebucket flips count and
@@ -380,6 +385,34 @@ private[graft] object Snapshots {
     val dying = cur.map(_.expiring).getOrElse(Nil)   // two commits old
     val gone = (replaced ++ expiring ++ dying).toSet
     val data = visible(fs, root).filterNot(gone)
+    // ceiling guard — LOUD, and BEFORE any mutation (the grace-window
+    // delete pass below physically removes expiring files; a refused
+    // commit must leave the table EXACTLY as it was, data included).
+    // The guarded quantity is the DATA line count — the table's
+    // steady-state manifest size; retired/expiring lines wash out
+    // within two commits, bounding the transient total at ~2× data.
+    // Only a commit that GROWS the data list past the ceiling is
+    // refused: the way down from an over-ceiling table is a compaction
+    // at a larger targetbytes, whose commit SHRINKS the data list, and
+    // the remedy's own config commit ([[graft.sinks.Sinks
+    // .setCompactionTarget]]) keeps it equal — neither may be blocked
+    // by the very guard that demands them. `enforceCeiling = false` is
+    // [[commitPending]]'s escape: a journaled install has already
+    // published its files ([[StagedCommit.publishOps]]), so refusing
+    // ITS commit could only wedge the heal loop — journaled flows are
+    // guarded in [[writePending]] instead, before anything installs.
+    if (enforceCeiling) {
+      val curData = cur.map(_.data.size).getOrElse(0)
+      require(data.size <= maxManifestLines || data.size <= curData,
+        s"snapshot commit of $root would track ${data.size} data files, " +
+          s"past the $maxManifestLines-line manifest ceiling (the " +
+          "measured superlinear decade — PLANS.md round 13: 356 s " +
+          "commits at 10^7 lines). The table has outgrown its file " +
+          "granularity: raise its per-table compaction graduation size " +
+          "(Sinks.setCompactionTarget / the manifest `targetbytes` " +
+          "line — lines ~ tableBytes/targetBytes), or override " +
+          "graft.snapshots.maxManifestLines if you accept the cost.")
+    }
     // GROUP-PIN protection (r11 verdict task #2 — the lag-liveness
     // edge): a version some GROUP manifest still NAMES must stay
     // resolvable, and its data files alive, for ANY commit lag a
@@ -415,24 +448,6 @@ private[graft] object Snapshots {
         !fs.delete(f, false) && fs.exists(f)
       }
     }
-    // ceiling guard — LOUD, before anything is written. Only a commit
-    // that GROWS the manifest is refused: the way down from an
-    // over-ceiling table (inherited from a pre-guard build, or pushed
-    // over by an override) is a compaction at a larger targetbytes,
-    // whose own commit shrinks the line count and must not be blocked
-    // by the very guard that demands it.
-    val newLines = data.size + replaced.size + expiring.size + stubborn.size
-    val curLines = cur.map(m =>
-      m.data.size + m.retired.size + m.expiring.size).getOrElse(0)
-    require(newLines <= maxManifestLines || newLines <= curLines,
-      s"snapshot commit of $root would write $newLines manifest lines, " +
-        s"past the $maxManifestLines-line ceiling (the measured " +
-        "superlinear decade — PLANS.md round 13: 356 s commits at 10^7 " +
-        "lines). The table has outgrown its file granularity: raise its " +
-        "per-table compaction graduation size (Sinks.setCompactionTarget " +
-        "/ the manifest `targetbytes` line — lines ~ tableBytes/" +
-        "targetBytes), or override graft.snapshots.maxManifestLines " +
-        "if you accept the cost.")
     val dir = snapDir(root)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-v$n")
@@ -845,6 +860,25 @@ private[graft] object Snapshots {
                    nbuckets: Option[Int] = None,
                    targetBytes: Option[Long] = None,
                    trainedGen: Option[Int] = None): Unit = {
+    // the journaled flow's ceiling guard — HERE, before any file
+    // installs: once [[StagedCommit.publishOps]] runs, the journal
+    // must be completable unconditionally ([[commitPending]] commits
+    // with `enforceCeiling = false`), or a refused completion would
+    // wedge every subsequent writer entry's [[heal]]. Projected from
+    // the manifest alone (adopted unlisted files are not visible here;
+    // they are torn-append debris, bounded by one batch) — same
+    // data-line quantity, same shrink-always-allowed escape as
+    // [[commit]]'s guard.
+    val curData = currentManifest(fs, root).map(_.data.size).getOrElse(0)
+    val projected = curData - replaced.size + merged.size
+    require(projected <= maxManifestLines || projected <= curData,
+      s"journaled snapshot commit of $root would track ~$projected data " +
+        s"files, past the $maxManifestLines-line manifest ceiling " +
+        "(PLANS.md round 13: superlinear past 10^6). Raise the " +
+        "per-table compaction graduation size (Sinks." +
+        "setCompactionTarget / the manifest `targetbytes` line), or " +
+        "override graft.snapshots.maxManifestLines if you accept the " +
+        "cost.")
     fs.mkdirs(snapDir(root))
     write(fs, pendingPath(root),
       (nbuckets.toSeq.map(b => s"nbuckets $b") ++
@@ -863,6 +897,10 @@ private[graft] object Snapshots {
     val p = pendingPath(root)
     if (!fs.exists(p)) return
     val lines = readLines(fs, p)
+    // enforceCeiling = false: the journaled install already published
+    // its files, so this commit MUST complete (the guard ran in
+    // [[writePending]], before anything installed) — refusing here
+    // would wedge the heal loop forever
     commit(fs, root,
       replaced = lines.collect { case s if s.startsWith("replaced ") => s.drop(9) },
       nbuckets = lines.collectFirst { case s if s.startsWith("nbuckets ") =>
@@ -870,7 +908,8 @@ private[graft] object Snapshots {
       targetBytes = lines.collectFirst { case s if s.startsWith("targetbytes ") =>
         s.drop(12).trim.toLong },
       trainedGen = lines.collectFirst { case s if s.startsWith("trainedgen ") =>
-        s.drop(11).trim.toInt })
+        s.drop(11).trim.toInt },
+      enforceCeiling = false)
     fs.delete(p, false)
   }
 

@@ -198,10 +198,18 @@ object VectorIndexApp {
     // the trained generation of the GENERATION THIS QUERY READS — a
     // pinned query planned across an online retrain must assign cells
     // and build LUTs with the books that encoded its pinned layout,
-    // never the head's (the bucketCountAt pattern, r13 verdict task #3)
+    // never the head's (the bucketCountAt pattern, r13 verdict task #3).
+    // HEAD queries resolve the newest committed codes version ONCE,
+    // here, and use it for BOTH the books lookup and the codes read:
+    // two independent newest-manifest reads could straddle a concurrent
+    // retrain flip and pair one generation's books with the other's
+    // codes — silently wrong cell assignment, the exact torn read the
+    // trainedgen line exists to prevent (round-14 review).
     val fs2 = new Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val gen = trainedGenOf(fs2, indexDir, pinnedCodes)
+    val codesVer = pinnedCodes.orElse(
+      Snapshots.currentVersion(fs2, new Path(s"$indexDir/codes")))
+    val gen = trainedGenOf(fs2, indexDir, codesVer)
     val cents = spark.read.parquet(s"${trainedDir(indexDir, gen)}/centroids")
     // The probe frame is never collect()ed wholesale: the only
     // per-query driver collect is the DISTINCT CELL list — bounded by
@@ -225,7 +233,7 @@ object VectorIndexApp {
     }
     val cells = qprobes.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)) // ≤ kCells values, never per-probe
-    val codes = codesFrame(spark, indexDir, Some(cells.toSet), pinnedCodes)
+    val codes = codesFrame(spark, indexDir, Some(cells.toSet), codesVer)
       .filter(col("cluster").isin(cells.toSeq: _*))
     pqs match {
       case Some((_, m, _, k)) =>
@@ -373,7 +381,10 @@ object VectorIndexApp {
     * (same watermark — append new vectors first, retract before or
     * after); enforced against the meta watermark. Prior generations'
     * books stay in place for pinned readers (kilobytes; see
-    * [[trainedDir]]). */
+    * [[trainedDir]]). `pq = None` INHERITS the current flavor — an
+    * IVFADC index re-trains its PQ books at the inherited geometry
+    * (changing flavor is a [[build]] decision); pass a geometry to
+    * change the PQ shape alongside the cells. */
   def retrain(spark: SparkSession, corpus: DataFrame, indexDir: String,
               kCells: Int, iters: Int,
               pq: Option[PqGeometry] = None): Unit = {
@@ -397,14 +408,24 @@ object VectorIndexApp {
         s"retrain is a pure re-encode: the corpus watermark " +
           s"($maxCorpus) must equal the indexed one ($maxBase) — " +
           "append new vectors first, then retrain")
-      val gen = trainedGenOf(fs, indexDir) + 1
+      val curGen = trainedGenOf(fs, indexDir)
+      val gen = curGen + 1
+      // FLAVOR INHERITANCE (round-14 review): omitting `pq` keeps the
+      // index's CURRENT flavor — an IVFADC index re-trains its PQ
+      // books at the inherited (m, subDim, k) with this call's iters.
+      // The old default (None = int8) silently downgraded an IVFADC
+      // index whose operator widened kCells and forgot the argument —
+      // a recall/latency class change with no error. Changing flavor
+      // is a rebuild decision ([[build]]), not a retrain default.
+      val effPq = pq.orElse(pqState(spark, indexDir, curGen)
+        .map { case (_, m, subDim, k) => PqGeometry(m, subDim, k, iters) })
       val books = trainedDir(indexDir, gen)
       // a crashed previous attempt's books at this generation are
       // inert (no committed manifest references them) — rebuild them
       fs.delete(new Path(books), true)
       SimilarityOps.kmeansCodebook(corpus, kCells, iters)
         .write.mode("overwrite").parquet(s"$books/centroids")
-      pq.foreach(g => writePqBooks(spark, corpus, g, books))
+      effPq.foreach(g => writePqBooks(spark, corpus, g, books))
       if (crashAfterRetrainBooks) throw new IllegalStateException(
         "injected crash: retrain books persisted, codes not re-encoded")
       val cents = spark.read.parquet(s"$books/centroids")

@@ -195,7 +195,7 @@ class VectorIndexRetrainSpec extends SparkSpec {
       "a round-trip retrain (4→8→16→4) did not return to the original")
   }
 
-  test("the IVFADC flavor retrains books and codes together") {
+  test("the IVFADC flavor retrains books and codes together; omitted pq INHERITS the flavor") {
     val geo = VectorIndexApp.PqGeometry(m = 2, subDim = 4, k = 8, iters = 2)
     val idx = Files.createTempDirectory("vidx-rt-pq").toString
     VectorIndexApp.build(spark, corpus, idx, kCells = 4, iters = 2,
@@ -208,5 +208,19 @@ class VectorIndexRetrainSpec extends SparkSpec {
       pq = Some(geo))
     assert(q(idx) == q(fresh),
       "PQ retrain diverged from a fresh PQ build at the new geometry")
+
+    // a retrain that OMITS pq must keep the IVFADC flavor (inherited
+    // geometry, this call's iters) — the old None-means-int8 default
+    // silently changed the index's recall/latency class (round-14
+    // review). Identity vs a fresh PQ build at the widened cells.
+    VectorIndexApp.retrain(spark, corpus, idx, kCells = 16, iters = 2)
+    assert(genOf(idx).contains(2))
+    assert(fs.exists(new Path(s"$idx/trained/g2/pqbook")),
+      "omitting pq dropped the PQ books — flavor not inherited")
+    val fresh16 = Files.createTempDirectory("vidx-rt-pqf16").toString
+    VectorIndexApp.build(spark, corpus, fresh16, kCells = 16, iters = 2,
+      pq = Some(geo))
+    assert(q(idx) == q(fresh16),
+      "pq-inheriting retrain diverged from a fresh PQ build")
   }
 }
