@@ -149,7 +149,10 @@ object HybridSearchApp {
   def append(spark: SparkSession, docs: DataFrame, vecs: DataFrame,
              textIdx: String, vecIdx: String, groupDir: String,
              textBucketTargetBytes: Long =
-               TextIndexApp.DefaultPostingsBucketBytes): Unit = {
+               TextIndexApp.DefaultPostingsBucketBytes,
+             fullVecCorpus: Option[DataFrame] = None,
+             vecTargetRowsPerCell: Long =
+               VectorIndexApp.DefaultRowsPerCell): Unit = {
     val fs = fsOf(spark, groupDir)
     withGroupLease(fs, groupDir) {
       // entry pin-refresh: the cycle's own commits (publish +
@@ -174,6 +177,19 @@ object HybridSearchApp {
       TextIndexApp.autoWiden(spark, textIdx, textBucketTargetBytes)
         .foreach(n => System.err.println(
           s"[graft.hybrid] auto-widened $textIdx -> $n buckets"))
+      // the dense arm's policy ([[VectorIndexApp.autoRetrain]]) —
+      // consulted only when the caller can provide the FULL indexed
+      // corpus (a retrain re-encodes every vector; the API keeps that
+      // dependency explicit instead of hiding a full-corpus pass
+      // behind a maintenance flag). Same publication contract as the
+      // text widening above: the re-trained generation is pinned away
+      // from group readers until the next cycle's advance.
+      fullVecCorpus.foreach { c =>
+        VectorIndexApp.autoRetrain(spark, c, vecIdx,
+            targetRowsPerCell = vecTargetRowsPerCell)
+          .foreach(n => System.err.println(
+            s"[graft.hybrid] auto-retrained $vecIdx -> $n cells"))
+      }
     }
   }
 

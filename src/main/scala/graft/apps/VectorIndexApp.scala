@@ -27,7 +27,9 @@ import graft.operators.SimilarityOps
   * The index APPENDS like the corpus release: new vectors are assigned
   * and quantized against the FROZEN codebook (the standard IVF serving
   * trade — re-training moves cell boundaries and would rewrite every
-  * list; operators re-train offline and swap the whole index), written
+  * list; widening the cells is a [[retrain]]: staged beside the live
+  * index, flipped in one manifest rename, consulted automatically by
+  * [[autoRetrain]]), written
   * under `_staging`, and published by [[StagedCommit]] with the meta
   * watermark last — a replayed micro-batch heals a torn append and
   * no-ops an applied one, exactly [[IncrementalReleaseApp]]'s contract.
@@ -454,6 +456,57 @@ object VectorIndexApp {
       StagedCommit.publishOps(fs, stg, moves.map(_._2))
       Snapshots.commitPending(fs, codesRoot)
     }
+  }
+
+  /** Default target ROW COUNT of one IVF cell — the serving-latency
+    * bound the [[autoRetrain]] policy maintains. A probe scans nprobe
+    * cells, so per-probe candidate work is nprobe × rowsPerCell; 4096
+    * keeps a default nprobe=4 probe at ≈16k codes (a milliseconds-
+    * class columnar scan) while the codebook (≈ rows/4096 centroids)
+    * stays broadcast-size up to ~10⁹ vectors. The hybrid-widen probe's
+    * measured point sits on this line (PLANS.md round 14): 2 M rows at
+    * 512 cells ≈ 3.9k rows/cell cut the 1000×-corpus warm fused
+    * latency from 6.64 s to 4.71 s. */
+  val DefaultRowsPerCell: Long = 4096L
+
+  /** AUTO-RETRAIN policy — the dense arm's twin of [[graft.sinks
+    * .Sinks.autoWiden]]/[[TextIndexApp.autoWiden]], for the geometry
+    * knob that is BY NATURE a rebuild (see [[retrain]]): consult
+    * rows-per-cell over the pinned codes snapshot (footer-only count)
+    * against `targetRowsPerCell` and [[retrain]] to the recommendation
+    * when it exceeds the current cell count by `widenFactor`
+    * (hysteresis). Never narrows. Returns the new cell count when it
+    * re-trained.
+    *
+    * `corpus` is an explicit REQUIRED dependency because a retrain
+    * re-encodes every vector — there is no cheap re-route here, and an
+    * API that pretended otherwise would hide a full-corpus pass behind
+    * a maintenance flag. The hysteresis bounds the amortized cost at
+    * ≤ one re-encode per `widenFactor`× corpus growth — the standard
+    * grow-by-doubling amortization — and the whole pass runs OFF the
+    * serving path (pinned readers flip at the group advance).
+    * The PQ flavor is inherited ([[retrain]]'s `pq = None`). */
+  def autoRetrain(spark: SparkSession, corpus: DataFrame, indexDir: String,
+                  targetRowsPerCell: Long = DefaultRowsPerCell,
+                  widenFactor: Double = 2.0,
+                  iters: Int = 4): Option[Int] = {
+    require(targetRowsPerCell > 0 && widenFactor >= 1.0,
+      s"bad autoRetrain knobs ($targetRowsPerCell, $widenFactor)")
+    val fs = new Path(indexDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$indexDir/meta"))) return None
+    val rows = scala.util.Try(
+      Snapshots.readTable(spark, new Path(s"$indexDir/codes")).count())
+      .getOrElse(0L)
+    val gen = trainedGenOf(fs, indexDir)
+    val curCells = spark.read
+      .parquet(s"${trainedDir(indexDir, gen)}/centroids").count()
+    val rec = math.max(1L, (rows + targetRowsPerCell - 1) / targetRowsPerCell)
+      .min(Int.MaxValue.toLong)
+    if (rec >= curCells * widenFactor) {
+      retrain(spark, corpus, indexDir, kCells = rec.toInt, iters = iters)
+      Some(rec.toInt)
+    } else None
   }
 
   /** Merge every codes cell dir (and the meta dir) holding more than

@@ -195,6 +195,62 @@ class VectorIndexRetrainSpec extends SparkSpec {
       "a round-trip retrain (4→8→16→4) did not return to the original")
   }
 
+  test("autoRetrain: stable scale no-ops; crossed rows-per-cell re-trains to the recommendation; hybrid wiring") {
+    val idx = Files.createTempDirectory("vidx-art").toString
+    VectorIndexApp.build(spark, corpus, idx, kCells = 4, iters = 2)
+
+    // 300 rows / 4 cells = 75 rows/cell: a 100-row target recommends 3
+    // cells — inside the 2× hysteresis (and a narrowing), so no-op
+    assert(VectorIndexApp.autoRetrain(spark, corpus, idx,
+      targetRowsPerCell = 100).isEmpty, "stable scale re-trained")
+    assert(genOf(idx).isEmpty)
+
+    // a 16-row target recommends ceil(300/16) = 19 ≥ 2×4: re-trains,
+    // and the result equals a fresh build at the recommended count
+    assert(VectorIndexApp.autoRetrain(spark, corpus, idx,
+      targetRowsPerCell = 16, iters = 2).contains(19))
+    assert(genOf(idx).contains(1))
+    val fresh = Files.createTempDirectory("vidx-art-f").toString
+    VectorIndexApp.build(spark, corpus, fresh, kCells = 19, iters = 2)
+    assert(q(idx) == q(fresh),
+      "auto-retrained index diverged from a fresh build at the rec")
+
+    // same scale, same target: hysteresis holds (rec 19 < 2×19)
+    assert(VectorIndexApp.autoRetrain(spark, corpus, idx,
+      targetRowsPerCell = 16, iters = 2).isEmpty,
+      "a same-scale consult re-trained")
+    assert(genOf(idx).contains(1))
+
+    // hybrid wiring: without fullVecCorpus the cycle never consults
+    // the policy; with it, the policy runs after the advance
+    def textOf(id: Long): String = s"alpha w${id % 7} common w${id % 5}"
+    def docsOf(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, textOf(i))).toDF("doc_id", "text")
+    val work = Files.createTempDirectory("vidx-art-grp").toString
+    val (tIdx, vIdx, grp) = (s"$work/text", s"$work/vec", s"$work/grp")
+    TextIndexApp.build(spark, docsOf(0L until 60L), tIdx, nBuckets = 4)
+    VectorIndexApp.build(spark, vecsOf(0L until 60L), vIdx,
+      kCells = 2, iters = 2)
+    HybridSearchApp.commitGroup(spark, tIdx, vIdx, grp)
+    HybridSearchApp.append(spark, docsOf(60L until 80L),
+      vecsOf(60L until 80L), tIdx, vIdx, grp)
+    assert(genOf(vIdx).isEmpty, "the cycle re-trained without a corpus")
+    // with the corpus AND a crossed target the cycle itself re-trains
+    // (90 rows / 10-row target → 9 cells ≥ 2×2), zero direct calls;
+    // the group still pins the pre-retrain generation until the next
+    // cycle's advance (the text autoWiden publication contract)
+    HybridSearchApp.append(spark, docsOf(80L until 90L),
+      vecsOf(80L until 90L), tIdx, vIdx, grp,
+      fullVecCorpus = Some(vecsOf(0L until 90L)),
+      vecTargetRowsPerCell = 10)
+    assert(genOf(vIdx).contains(1), "the cycle did not auto-retrain")
+    val freshG = Files.createTempDirectory("vidx-art-gf").toString
+    VectorIndexApp.build(spark, vecsOf(0L until 90L), freshG,
+      kCells = 9, iters = 4)
+    assert(q(vIdx, vecsOf(0L until 90L)) == q(freshG, vecsOf(0L until 90L)),
+      "the cycle's auto-retrain diverged from a fresh build at the rec")
+  }
+
   test("the IVFADC flavor retrains books and codes together; omitted pq INHERITS the flavor") {
     val geo = VectorIndexApp.PqGeometry(m = 2, subDim = 4, k = 8, iters = 2)
     val idx = Files.createTempDirectory("vidx-rt-pq").toString
