@@ -145,7 +145,14 @@ object HybridSearchApp {
     * crash between the two appends (or before the advance) leaves
     * group-pinned queries on the pre-cycle generation — both arms
     * consistent — and the replayed cycle (idempotent appends)
-    * completes and advances. */
+    * completes and advances.
+    *
+    * `fullVecCorpus`, when provided, lets the cycle consult the dense
+    * arm's [[VectorIndexApp.autoRetrain]] policy. It must be the full
+    * indexed corpus AS OF THE END OF THIS CYCLE — including this
+    * call's `vecs` delta and excluding every retracted vector;
+    * [[VectorIndexApp.retrain]] enforces both (watermark + count
+    * identity) loudly. */
   def append(spark: SparkSession, docs: DataFrame, vecs: DataFrame,
              textIdx: String, vecIdx: String, groupDir: String,
              textBucketTargetBytes: Long =

@@ -356,9 +356,7 @@ object TextIndexApp {
     val bytes = files.iterator
       .map(f => scala.util.Try(
         fs.getFileStatus(new Path(root, f)).getLen).getOrElse(0L)).sum
-    val rec = math.max(1L,
-      (bytes + targetBytesPerBucket - 1) / targetBytesPerBucket)
-      .min(Int.MaxValue.toLong).toInt
+    val rec = graft.sinks.Sinks.unitsFor(bytes, targetBytesPerBucket)
     val cur = nBucketsOf(spark, indexDir)
     if (rec >= cur * widenFactor) { rebucket(spark, indexDir, rec); Some(rec) }
     else None

@@ -96,6 +96,7 @@ object VectorIndexApp {
     fs.delete(new Path(s"$indexDir/trained"), true)
     SimilarityOps.kmeansCodebook(corpus, kCells, iters)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    writeKMeta(spark, kCells, indexDir)
     // encode against the books READ BACK from the index, not the lazy
     // training frames — otherwise the codes job re-runs the whole
     // training inside its own plan (the write is the materialization)
@@ -121,6 +122,28 @@ object VectorIndexApp {
     // deleting a file a planned query still references
     Snapshots.commit(fs, new Path(s"$indexDir/codes"))
     ()
+  }
+
+  /** Persist the REQUESTED cell count beside a trained-state root's
+    * centroids. k-means drops empty clusters, so the achieved centroid
+    * count can be far below the request on a degenerate (duplicate-
+    * heavy) corpus — [[autoRetrain]] compares its recommendation
+    * against the REQUEST, or such a corpus would trigger a futile
+    * full re-encode every maintenance cycle forever (round-14
+    * review). */
+  private def writeKMeta(spark: SparkSession, kCells: Int,
+                         root: String): Unit =
+    spark.range(1).select(lit(kCells).as("kcells"))
+      .write.mode("overwrite").parquet(s"$root/kmeta")
+
+  /** The requested cell count of a trained-state root; falls back to
+    * the ACHIEVED centroid count for books that predate `kmeta`. */
+  private def requestedCells(spark: SparkSession, root: String): Long = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$root/kmeta")))
+      spark.read.parquet(s"$root/kmeta").head.getInt(0).toLong
+    else spark.read.parquet(s"$root/centroids").count()
   }
 
   /** Train + persist the PQ books for one trained-state root (the
@@ -405,11 +428,25 @@ object VectorIndexApp {
         s"retrain requires a built index at $indexDir")
       val maxBase = spark.read.parquet(s"$indexDir/meta")
         .agg(max(col("max_vec_id"))).head.getLong(0)
-      val maxCorpus = corpus.agg(max(col("vec_id"))).head.getLong(0)
+      val cAgg = corpus.agg(max(col("vec_id")), count(lit(1))).head
+      val (maxCorpus, nCorpus) = (cAgg.getLong(0), cAgg.getLong(1))
       require(maxCorpus == maxBase,
         s"retrain is a pure re-encode: the corpus watermark " +
           s"($maxCorpus) must equal the indexed one ($maxBase) — " +
-          "append new vectors first, then retrain")
+          "append new vectors first, then retrain (a maintenance " +
+          "cycle's fullVecCorpus must include the cycle's own delta)")
+      // count identity too (round-14 review): retract keeps the max
+      // watermark, so a corpus still carrying RETRACTED vectors passes
+      // the max check alone — and the re-encode would write taken-down
+      // vectors back into the served index. Count equality catches it
+      // (residual risk: a count-preserving substitution — outside the
+      // pure-re-encode contract either way).
+      val nIndexed = codesFrame(spark, indexDir).count()
+      require(nCorpus == nIndexed,
+        s"retrain is a pure re-encode: the corpus has $nCorpus vectors " +
+          s"but the index holds $nIndexed — a corpus still carrying " +
+          "retracted vectors would re-encode takedowns back in; " +
+          "rebuild the corpus from the surviving set")
       val curGen = trainedGenOf(fs, indexDir)
       val gen = curGen + 1
       // FLAVOR INHERITANCE (round-14 review): omitting `pq` keeps the
@@ -427,6 +464,7 @@ object VectorIndexApp {
       fs.delete(new Path(books), true)
       SimilarityOps.kmeansCodebook(corpus, kCells, iters)
         .write.mode("overwrite").parquet(s"$books/centroids")
+      writeKMeta(spark, kCells, books)
       effPq.foreach(g => writePqBooks(spark, corpus, g, books))
       if (crashAfterRetrainBooks) throw new IllegalStateException(
         "injected crash: retrain books persisted, codes not re-encoded")
@@ -495,17 +533,30 @@ object VectorIndexApp {
     val fs = new Path(indexDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$indexDir/meta"))) return None
-    val rows = scala.util.Try(
-      Snapshots.readTable(spark, new Path(s"$indexDir/codes")).count())
-      .getOrElse(0L)
+    // an unreadable codes table SKIPS this cycle LOUDLY instead of
+    // silently computing rows=0 (which would disable the policy
+    // forever on a persistent fault — the serving-latency regression
+    // it exists to prevent); the tolerated case is the unlocked
+    // advisory race with a concurrent commit, which the next cycle
+    // retries (round-14 review)
+    val rows = scala.util.Try(codesFrame(spark, indexDir).count()) match {
+      case scala.util.Success(n) => n
+      case scala.util.Failure(e) =>
+        System.err.println(s"[graft.vecindex] autoRetrain skipped this " +
+          s"cycle: codes count failed under $indexDir: ${e.getMessage}")
+        return None
+    }
+    // compare against the REQUESTED cell count, not the achieved one:
+    // k-means drops empty clusters, so a duplicate-heavy corpus can
+    // achieve 1 cell no matter the request — measuring the achieved
+    // count would re-trigger a futile full re-encode every cycle
+    // (round-14 review; [[writeKMeta]])
     val gen = trainedGenOf(fs, indexDir)
-    val curCells = spark.read
-      .parquet(s"${trainedDir(indexDir, gen)}/centroids").count()
-    val rec = math.max(1L, (rows + targetRowsPerCell - 1) / targetRowsPerCell)
-      .min(Int.MaxValue.toLong)
-    if (rec >= curCells * widenFactor) {
-      retrain(spark, corpus, indexDir, kCells = rec.toInt, iters = iters)
-      Some(rec.toInt)
+    val cur = requestedCells(spark, trainedDir(indexDir, gen))
+    val rec = graft.sinks.Sinks.unitsFor(rows, targetRowsPerCell)
+    if (rec >= cur * widenFactor) {
+      retrain(spark, corpus, indexDir, kCells = rec, iters = iters)
+      Some(rec)
     } else None
   }
 

@@ -586,6 +586,15 @@ object Sinks {
     * applies the stricter bound. */
   val DefaultBucketTargetRows: Long = 512L
 
+  /** ceil(total / perUnit), clamped to [1, Int.MaxValue] — THE
+    * units-for-a-target arithmetic every widening policy shares
+    * ([[recommendedBuckets]], [[graft.apps.TextIndexApp.autoWiden]],
+    * [[graft.apps.VectorIndexApp.autoRetrain]]); one definition so the
+    * rounding/clamp semantics cannot drift between tiers. */
+  private[graft] def unitsFor(total: Long, perUnit: Long): Int =
+    math.max(1L, (total + perUnit - 1) / perUnit)
+      .min(Int.MaxValue.toLong).toInt
+
   /** Recommend a bucket count for a snapshot-managed keyed table from
     * its OWN pinned manifest: the max of a bytes term (total data
     * bytes / `targetBytesPerBucket` — scan cost) and a rows term
@@ -624,10 +633,8 @@ object Sinks {
     // a file expired between the two resolutions reads as 0 both ways
     val rows = scala.util.Try(Snapshots.readTable(spark, root).count())
       .getOrElse(0L)
-    val byBytes = (bytes + targetBytesPerBucket - 1) / targetBytesPerBucket
-    val byRows = (rows + targetRowsPerBucket - 1) / targetRowsPerBucket
-    math.max(1L, math.max(byBytes, byRows))
-      .min(Int.MaxValue.toLong).toInt
+    math.max(unitsFor(bytes, targetBytesPerBucket),
+      unitsFor(rows, targetRowsPerBucket))
   }
 
   /** AUTO-WIDEN policy (r13 verdict task #4) — the round-13 manual

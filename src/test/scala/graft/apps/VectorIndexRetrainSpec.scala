@@ -251,6 +251,49 @@ class VectorIndexRetrainSpec extends SparkSpec {
       "the cycle's auto-retrain diverged from a fresh build at the rec")
   }
 
+  test("retrain refuses a corpus still carrying retracted vectors (takedown stays a verdict)") {
+    val idx = Files.createTempDirectory("vidx-rt-ret").toString
+    VectorIndexApp.build(spark, corpus, idx, kCells = 4, iters = 2)
+    VectorIndexApp.retract(spark, Seq(10L, 11L, 12L), idx)
+    // the original corpus passes the MAX watermark check (retract
+    // keeps it) — only the count identity catches the re-encode that
+    // would write the takedowns back into the served index
+    val e = intercept[IllegalArgumentException] {
+      VectorIndexApp.retrain(spark, corpus, idx, kCells = 8, iters = 2)
+    }
+    assert(e.getMessage.contains("retracted"), e.getMessage)
+    // the surviving corpus retrains fine and the takedowns stay out
+    val surviving = vecsOf(baseIds.filterNot(Set(10L, 11L, 12L)))
+    VectorIndexApp.retrain(spark, surviving, idx, kCells = 8, iters = 2)
+    assert(genOf(idx).contains(1))
+    assert(!q(idx, surviving).exists { case (_, v, _, _) =>
+      Set(10L, 11L, 12L)(v) }, "a retracted vector resurfaced")
+  }
+
+  test("autoRetrain does not loop on a degenerate (collapsed) codebook") {
+    // every embedding identical: k-means assigns all vectors to one
+    // cell (tie-break cid asc) and drops the empty clusters, so the
+    // ACHIEVED centroid count is 1 whatever the request — the policy
+    // must compare against the REQUESTED count or it would pay a full
+    // re-encode every cycle forever
+    val flat = (0L until 300L).toSeq.toDF("vec_id").select(col("vec_id"),
+      array((0 until 8).map(_ => lit(0.5f)): _*)
+        .cast("array<float>").as("embedding"))
+    val idx = Files.createTempDirectory("vidx-art-deg").toString
+    VectorIndexApp.build(spark, flat, idx, kCells = 4, iters = 2)
+    assert(spark.read.parquet(s"$idx/centroids").count() == 1,
+      "fixture did not collapse the codebook")
+    assert(VectorIndexApp.autoRetrain(spark, flat, idx,
+      targetRowsPerCell = 16, iters = 2).contains(19))
+    assert(genOf(idx).contains(1))
+    // same scale again: the request (19) is the comparison base, so
+    // the consult no-ops even though only 1 cell was achieved
+    assert(VectorIndexApp.autoRetrain(spark, flat, idx,
+      targetRowsPerCell = 16, iters = 2).isEmpty,
+      "the degenerate codebook re-triggered a retrain")
+    assert(genOf(idx).contains(1))
+  }
+
   test("the IVFADC flavor retrains books and codes together; omitted pq INHERITS the flavor") {
     val geo = VectorIndexApp.PqGeometry(m = 2, subDim = 4, k = 8, iters = 2)
     val idx = Files.createTempDirectory("vidx-rt-pq").toString
