@@ -26,6 +26,27 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One run of the SCAN-SHAPED I/O canary (round 15). The CPU canary
+    * above is I/O-blind: the r14 driver run had a flat 0.34 s CPU
+    * canary yet a raw sum 27% above the builder's same-tree quiet run,
+    * with the inflation concentrated in scan-heavy text queries —
+    * page-cache / disk contention the generated-in-memory canary
+    * cannot see. This canary re-reads the SAME parquet the queries
+    * read (the widest table and the text corpus), full-width (hash of
+    * every column, so no pruning hides the bytes), through the same
+    * scan path. Reported beside the CPU canary; BASELINE.md requires
+    * BOTH flat before raw cross-round comparison is meaningful. */
+  private def scanCanaryOnce(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions.{hash, sum}
+    val t0 = System.nanoTime()
+    Seq("lineitem", "documents").foreach { t =>
+      val df = spark.read.parquet(s"$sfDir/$t.parquet")
+      df.agg(sum(hash(df.columns.map(df.col): _*).cast("long")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Upper median — the suite's convention throughout. */
   private[graft] def medianOf(xs: Seq[Double]): Double = {
     val s = xs.sorted; s(s.length / 2)
@@ -81,18 +102,26 @@ object Bench {
     // single query's can (119 queries amortize warmup; the canary's
     // few samples don't)
     canaryOnce(spark)
+    scanCanaryOnce(spark, sfDir) // same untimed warmup as the CPU canary
     // THREE canary samples per pass — start, mid, end — so the pass's
     // canary (their median) is measured ADJACENT to the queries it
     // normalizes and tracks load that shifts inside a pass, not just
     // between passes (the round-13 single-sample-per-pass scheme's
-    // documented failure — see [[normalizedSum]])
+    // documented failure — see [[normalizedSum]]). The scan canary is
+    // sampled at the same three instants (I/O-load twin, r15).
     val passCanaries = scala.collection.mutable.Map[Int, List[Double]]()
+      .withDefaultValue(Nil)
+    val passScanCanaries = scala.collection.mutable.Map[Int, List[Double]]()
       .withDefaultValue(Nil)
     val mid = names.length / 2
     for (pass <- 1 to Runs) {
       passCanaries(pass) = canaryOnce(spark) :: passCanaries(pass)
+      passScanCanaries(pass) = scanCanaryOnce(spark, sfDir) :: passScanCanaries(pass)
       for (((name, fn), i) <- names.zipWithIndex) {
-        if (i == mid) passCanaries(pass) = canaryOnce(spark) :: passCanaries(pass)
+        if (i == mid) {
+          passCanaries(pass) = canaryOnce(spark) :: passCanaries(pass)
+          passScanCanaries(pass) = scanCanaryOnce(spark, sfDir) :: passScanCanaries(pass)
+        }
         if (!errors.contains(name)) {
           val t0 = System.nanoTime()
           // noop sink materializes every output column (count() would let
@@ -109,11 +138,16 @@ object Bench {
         }
       }
       passCanaries(pass) = canaryOnce(spark) :: passCanaries(pass)
+      passScanCanaries(pass) = scanCanaryOnce(spark, sfDir) :: passScanCanaries(pass)
     }
     val passCanary: Map[Int, Double] =
       passCanaries.map { case (p, cs) => p -> medianOf(cs) }.toMap
     val allCanaries = passCanaries.values.flatten.toList.sorted
     val canary = medianOf(allCanaries)
+    val passScanCanary: Map[Int, Double] =
+      passScanCanaries.map { case (p, cs) => p -> medianOf(cs) }.toMap
+    val allScanCanaries = passScanCanaries.values.flatten.toList.sorted
+    val scanCanary = medianOf(allScanCanaries)
     val results = names.map { case (name, _) =>
       val sorted = samples(name).map(_._2).sorted
       val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
@@ -159,7 +193,10 @@ object Bench {
     val normSum = normalizedSum(samples.toMap, passCanary)
     val perPass = (1 to Runs)
       .map(p => r2(passCanary.getOrElse(p, 0.0))).mkString("[", ",", "]")
-    println(s"""{"bench_summary":{"n":${results.length},"n_errors":$nErr,"median_sum":${r2(total)},"min_sum":${r2(minSum)},"canary_s":${r2(canary)},"canary_min_s":${r2(canMin)},"canary_per_pass":$perPass,"median_sum_normalized":${r2(normSum)},"top10_by_median_with_min":$top}}""")
+    val scanMin = allScanCanaries.headOption.getOrElse(0.0)
+    val scanPerPass = (1 to Runs)
+      .map(p => r2(passScanCanary.getOrElse(p, 0.0))).mkString("[", ",", "]")
+    println(s"""{"bench_summary":{"n":${results.length},"n_errors":$nErr,"median_sum":${r2(total)},"min_sum":${r2(minSum)},"canary_s":${r2(canary)},"canary_min_s":${r2(canMin)},"canary_per_pass":$perPass,"scan_canary_s":${r2(scanCanary)},"scan_canary_min_s":${r2(scanMin)},"scan_canary_per_pass":$scanPerPass,"median_sum_normalized":${r2(normSum)},"top10_by_median_with_min":$top}}""")
     if (nErr > 0) sys.exit(1)
   }
 }

@@ -179,8 +179,9 @@ object HybridSearchApp {
       // pre-rebucket generation, and pinned queries prune with ITS
       // geometry (Snapshots.bucketCountAt) until the next cycle's
       // advance publishes the re-routed one — the exact sequence
-      // TextIndexRebucketSpec pins. The vector arm has no online count
-      // knob: its geometry is trained (see VectorIndexApp.retrain).
+      // TextIndexRebucketSpec pins. The vector arm's knob is the
+      // autoRetrain consult below (gated on fullVecCorpus): its
+      // geometry is trained, so widening it is a re-train.
       TextIndexApp.autoWiden(spark, textIdx, textBucketTargetBytes)
         .foreach(n => System.err.println(
           s"[graft.hybrid] auto-widened $textIdx -> $n buckets"))

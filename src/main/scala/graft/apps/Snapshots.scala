@@ -223,7 +223,13 @@ private[graft] object Snapshots {
     currentManifest(fs, root).exists { m =>
       val listed = (m.data ++ m.retired ++ m.expiring).toSet
       val adopt = visible(fs, root).exists(f => !listed(f))
-      if (adopt) { commit(fs, root); () }
+      // enforceCeiling = false — the commitPending rationale (r14
+      // ADVICE): a torn append's files are ALREADY published, so
+      // refusing the adoption on an over-ceiling table could only
+      // wedge every subsequent append behind the refusal; adoption
+      // growth is bounded by the one torn batch, and the ceiling
+      // still gates the normal append path that created the files.
+      if (adopt) { commit(fs, root, enforceCeiling = false); () }
       adopt
     }
 

@@ -434,7 +434,15 @@ object SimilarityOps {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
           s => s.getField("c")).as("cvec"))
     }
-    cents
+    // materialize the trained book eagerly: the k-iteration plan NESTS
+    // (each iteration's assignment broadcasts the previous iteration's
+    // aggregate), and every consumer — often several per query: the
+    // corpus assignment, the probe search list, the PQ sub-book union —
+    // re-embeds that whole tree in ITS plan, multiplying Catalyst
+    // planning and codegen over a frame of k rows. The checkpoint
+    // collapses the book to a k-row RDD scan; training itself runs
+    // exactly once (values untouched — deterministic integer k-means).
+    cents.localCheckpoint(true)
   }
 
   /** The (cs desc, cid asc) total-order comparator the IVF cell
@@ -636,17 +644,37 @@ object SimilarityOps {
     require(m > 0 && subDim > 0 && k > 0 && iters > 0,
       s"PQ geometry must be positive (m=$m, subDim=$subDim, k=$k)")
     requirePqGeometry(corpus, m, subDim)
-    val books = (0 until m).map { s =>
-      kmeansCodebook(
-        corpus.select(col("vec_id"),
-          subCol(col("embedding"), s, subDim).as("embedding")),
-        k, iters)
-        .select(lit(s).as("s"), col("cid"), col("cvec"),
-          sqrt(VectorFunctions.norm2(col("cvec"))).as("nc"))
-    }
+    // the m sub-books are INDEPENDENT trainings over orthogonal slices
+    // — run them on concurrent driver threads so their (small) jobs
+    // back-fill each other's scheduling gaps (guide §2.6). Each book
+    // stays deterministic on its own, and the downstream encode/LUT
+    // consumers match entries on (s, cid), never on position, so
+    // completion order cannot change any result.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val books =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence((0 until m).map { s =>
+          scala.concurrent.Future {
+            kmeansCodebook(
+              corpus.select(col("vec_id"),
+                subCol(col("embedding"), s, subDim).as("embedding")),
+              k, iters)
+              .select(lit(s).as("s"), col("cid"), col("cvec"),
+                sqrt(VectorFunctions.norm2(col("cvec"))).as("nc"))
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    // one-row frame, eagerly materialized like [[kmeansCodebook]]'s
+    // return: the m-book union tree (m × k-iteration k-means plans) is
+    // what made every PQ consumer's plan ~10× the query it serves —
+    // encode, LUT build and (in composed pipelines) the cell scan each
+    // embedded it once more. Values untouched; training runs once.
     books.reduce(_ unionByName _)
       .agg(collect_list(struct(col("s"), col("cid"), col("cvec"), col("nc")))
         .as("__cb"))
+      .localCheckpoint(true)
   }
 
   /** [[pqCodebook]]'s one-row frame rebuilt from a PERSISTED entries
@@ -765,9 +793,16 @@ object SimilarityOps {
   def ivfPqAnn(corpus: DataFrame, centroids: DataFrame, isProbe: Column,
                m: Int, subDim: Int, k: Int, iters: Int, topK: Int,
                rerankK: Int, nprobe: Int): DataFrame = {
+    // pqCodebook's own geometry guard has just validated THIS corpus,
+    // so the codes/probes stages skip their re-validation (it exists
+    // for the loaded-codebook path, where training never saw the
+    // frame) — each guard is a full-corpus min/max action, and three
+    // of them per query tripled the pre-work (measured r15)
     val cb = pqCodebook(corpus, m, subDim, k, iters)
-    ivfPqSearchCodes(ivfPqCodes(corpus, centroids, cb, m, subDim),
-      ivfPqProbes(corpus, centroids, cb, isProbe, nprobe, m, subDim, k),
+    ivfPqSearchCodes(
+      ivfPqCodes(corpus, centroids, cb, m, subDim, revalidate = false),
+      ivfPqProbes(corpus, centroids, cb, isProbe, nprobe, m, subDim, k,
+        revalidate = false),
       corpus, isProbe, m, k, topK, rerankK)
   }
 
@@ -775,12 +810,15 @@ object SimilarityOps {
     * reconstruction norm — 16× smaller than v7's int8 codes. What a
     * persistent PQ index materializes, partitioned by `cluster`. */
   def ivfPqCodes(corpus: DataFrame, centroids: DataFrame, cb: DataFrame,
-                 m: Int, subDim: Int): DataFrame = {
+                 m: Int, subDim: Int,
+                 revalidate: Boolean = true): DataFrame = {
     // loaded-codebook path (append encodes against FROZEN books): the
     // training-time guard never saw this frame, so re-validate here —
     // a delta whose embeddings outgrew m·subDim (upstream model change)
-    // would otherwise slice-truncate silently
-    requirePqGeometry(corpus, m, subDim)
+    // would otherwise slice-truncate silently. `revalidate = false` is
+    // for same-query composition where the caller just guarded the
+    // identical frame ([[ivfPqAnn]]).
+    if (revalidate) requirePqGeometry(corpus, m, subDim)
     pqEncode(assignCells(corpus, centroids, nprobe = 1), cb, m, subDim,
         carry = Seq("cluster"))
       .select(col("vec_id") +: col("cluster") +:
@@ -791,10 +829,11 @@ object SimilarityOps {
     * the probe's ADC lookup table. Probes are few — this broadcasts. */
   def ivfPqProbes(corpus: DataFrame, centroids: DataFrame, cb: DataFrame,
                   isProbe: Column, nprobe: Int, m: Int, subDim: Int,
-                  k: Int): DataFrame = {
+                  k: Int, revalidate: Boolean = true): DataFrame = {
     // same loaded-codebook re-validation as ivfPqCodes; an EMPTY probe
     // batch is legal serving input (yields an empty result, not a throw)
-    requirePqGeometry(corpus.filter(isProbe), m, subDim, allowEmpty = true)
+    if (revalidate)
+      requirePqGeometry(corpus.filter(isProbe), m, subDim, allowEmpty = true)
     val probeCells = assignCells(corpus.filter(isProbe), centroids, nprobe)
       .select(col("vec_id").as("q_id"), col("cluster"))
     probeCells.join(pqLuts(corpus.filter(isProbe), cb, m, subDim, k), "q_id")

@@ -896,50 +896,75 @@ object CoreQueries {
   private val PrIters = 10
   private val PrScale = 1000000000000L
   private val g1PageRank: Q = (s, d) => {
-    val pairs = Tables.lineitem(s, d)
+    // both edge directions in ONE map-side fanout: the earlier form
+    // cached the distinct pair frame and UNIONed two reads of it, then
+    // built a SECOND cache attaching the out-degree — two full cache
+    // materializations before the first iteration (measured ~6.5 s of
+    // the query's 9.9 s at sf0.1). The explode needs the join+distinct
+    // once and the only cached frame is the narrow (src, dst) edge
+    // list, pre-partitioned on the join key so the cache's
+    // HashPartitioning serves every iteration exchange-free.
+    // the dedup AND the iteration layout share ONE exchange: after the
+    // repartition on src, HashPartitioning(src) satisfies the
+    // (src, dst) grouping, so the dedup aggregate runs exchange-free in
+    // place (and spills gracefully — no per-key set buffers)
+    val edges = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("cu"),
         (col("l_suppkey") * 2 + 1).as("su"))
-      .distinct()
+      .select(explode(array(
+        struct(col("cu").as("src"), col("su").as("dst")),
+        struct(col("su").as("src"), col("cu").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .repartition(col("src"))
+      .groupBy(col("src"), col("dst")).agg(lit(1)).select("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs.select(col("cu").as("src"), col("su").as("dst"))
-      .unionByName(pairs.select(col("su").as("src"), col("cu").as("dst")))
+    // out-degrees: one aggregate over the cached edges, materialized
+    // once (eager) — re-broadcast per round below without re-scanning
     val odf = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("od"))
-    // the SOURCE's out-degree rides the edge list itself, so an
-    // iteration is truly ONE join + one aggregate and the score frame
-    // stays the narrow (node, s); pre-partitioning the persisted edges
-    // on the join key means the cache's HashPartitioning serves every
-    // iteration — only the score side exchanges per round
-    val edgesW = edges
-      .join(odf, col("src") === col("node"))
-      .select(col("src"), col("dst"), col("od"))
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // node count: one deterministic driver-side long (the teleport and
     // seed constants fold into literals — no per-row broadcast column)
     val n = odf.count()
     require(n > 0, "g1 PageRank over an empty trade graph")
     val teleport = (15L * (PrScale / n)) / 100L
-    var sc = odf.select(col("node"), lit(PrScale / n).as("s"))
+    // the SOURCE's out-degree rides the score state (node, s, od): the
+    // contribution divides by od of the JOINED state row, the big edge
+    // cache stays two longs wide, and od is restored after each
+    // aggregate by a map-side broadcast join against the tiny
+    // materialized odf (never a shuffle)
+    var sc = odf.select(col("node"), lit(PrScale / n).as("s"), col("od"))
       .localCheckpoint(true)
-    for (_ <- 0 until PrIters) {
+    for (i <- 0 until PrIters) {
       // symmetric edges ⇒ every node appears as a dst, so the groupBy
-      // re-emits the full node set and no restoring left join is needed
-      sc = edgesW
-        .join(sc.withColumnRenamed("node", "__sn"),
+      // re-emits the full node set and no restoring left join is needed.
+      // The score side is hinted shuffle_hash: the checkpointed score
+      // frame has no stats, so the planner's default is a sort-merge
+      // join that re-SORTS the cached million-row edge list every one
+      // of the 10 rounds (the edges' cached HashPartitioning spares the
+      // exchange but not the sort); a shuffled-hash build of the narrow
+      // score side streams the edges sort-free, and the per-partition
+      // build is |nodes|/shuffle-partitions rows — scale-safe where a
+      // broadcast of the score frame would not be.
+      sc = edges
+        .join(sc.withColumnRenamed("node", "__sn").hint("shuffle_hash"),
           col("src") === col("__sn"))
         .select(col("dst"), expr("s div od").as("__c"))
         .groupBy(col("dst").as("node"))
         .agg(expr(s"$teleport + (85 * sum(__c)) div 100").as("s"))
-        .localCheckpoint(true)
+        .join(broadcast(odf.select(col("node"), col("od"))), "node")
+      // materialize every SECOND round (and the last): the eager
+      // localCheckpoint truncates lineage so plans don't stack, but
+      // each call is its own job — at depth 2 the plan is still two
+      // joins deep while the job count halves
+      if (i % 2 == 1 || i == PrIters - 1) sc = sc.localCheckpoint(true)
     }
     // the loop's localCheckpoint(true) calls are EAGER, so after it the
-    // final scores are materialized and the cached edge frames have no
-    // remaining consumer — release their executor storage here instead
-    // of letting it accumulate across a 115-query harness run
-    pairs.unpersist()
-    edgesW.unpersist()
+    // final scores are materialized and the cached edge frame has no
+    // remaining consumer — release its executor storage here instead
+    // of letting it accumulate across a 119-query harness run
+    edges.unpersist()
     sc.select((col("node") % 2).cast("int").as("node_type"),
         expr("node div 2").as("key"), col("s").as("score"))
       .orderBy("node_type", "key")

@@ -123,8 +123,12 @@ object SimilarityQueries {
     // Materialize the edge list once — every propagation round references
     // it, and without the persist each round's plan would re-run the
     // whole MinHash pipeline (measured 20× slowdown).
+    // pre-partitioned on the propagation join key: the cache's
+    // HashPartitioning then serves every round's join without an
+    // exchange (g1's discipline — only the label side moves per round)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("id")).distinct()
     // eager localCheckpoint truncates lineage each round — iterative
@@ -134,7 +138,12 @@ object SimilarityQueries {
     var converged = false
     var round = 0
     while (!converged && round < MaxPropagationRounds) {
-      val prop = edges.join(labels, col("src") === col("id"))
+      // label side hinted shuffle_hash: the checkpointed label frame
+      // has no stats, so the default plan sort-merge-joins — re-sorting
+      // the cached edge list every round. A shuffled-hash build of the
+      // narrow (id, lbl) side streams the edges sort-free (see g1).
+      val prop = edges.join(labels.hint("shuffle_hash"),
+          col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
       // carry each id's PREVIOUS label through the aggregate (__old: set on
       // the identity rows, null on propagated ones, min ignores nulls) so

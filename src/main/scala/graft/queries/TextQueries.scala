@@ -846,9 +846,17 @@ object TextQueries {
   private val t15Bm25Search: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val lens = docs.select(col("doc_id"), wordCount(col("text")).as("len"))
+    // the postings frame feeds THREE consumers (the scored posting
+    // join, the df aggregate, the query-term extraction); without the
+    // persist each consumer's plan re-tokenizes and re-aggregates the
+    // whole corpus (two full tokenize passes survived common-subtree
+    // dedup — exchange reuse does not fire across the differing
+    // pushed-filter variants). Bounded by the corpus's (doc, token)
+    // domain — the inverted index a production deployment materializes.
     val tf = docs
       .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val qterms = tf.filter(col("doc_id") < 10)
       .select(col("doc_id").as("q_id"), col("token"))

@@ -591,9 +591,14 @@ object Sinks {
     * ([[recommendedBuckets]], [[graft.apps.TextIndexApp.autoWiden]],
     * [[graft.apps.VectorIndexApp.autoRetrain]]); one definition so the
     * rounding/clamp semantics cannot drift between tiers. */
-  private[graft] def unitsFor(total: Long, perUnit: Long): Int =
-    math.max(1L, (total + perUnit - 1) / perUnit)
-      .min(Int.MaxValue.toLong).toInt
+  private[graft] def unitsFor(total: Long, perUnit: Long): Int = {
+    // overflow-safe ceil-div: `total + perUnit - 1` wraps negative for
+    // totals near Long.MaxValue, which would clamp the recommendation
+    // to 1 — disabling every widening policy exactly when the table is
+    // largest (r14 ADVICE)
+    val ceil = total / perUnit + (if (total % perUnit == 0) 0L else 1L)
+    math.max(1L, ceil).min(Int.MaxValue.toLong).toInt
+  }
 
   /** Recommend a bucket count for a snapshot-managed keyed table from
     * its OWN pinned manifest: the max of a bytes term (total data
