@@ -932,8 +932,11 @@ object CoreQueries {
     // the SOURCE's out-degree rides the score state (node, s, od): the
     // contribution divides by od of the JOINED state row, the big edge
     // cache stays two longs wide, and od is restored after each
-    // aggregate by a map-side broadcast join against the tiny
-    // materialized odf (never a shuffle)
+    // aggregate by a shuffled-hash join against the materialized odf —
+    // node-count-sized, so a broadcast build would be the exact
+    // scale hazard the loop join's shuffle_hash hint avoids; the
+    // aggregate's output is already hash-partitioned on node, so only
+    // the narrow odf side exchanges
     var sc = odf.select(col("node"), lit(PrScale / n).as("s"), col("od"))
       .localCheckpoint(true)
     for (i <- 0 until PrIters) {
@@ -953,7 +956,7 @@ object CoreQueries {
         .select(col("dst"), expr("s div od").as("__c"))
         .groupBy(col("dst").as("node"))
         .agg(expr(s"$teleport + (85 * sum(__c)) div 100").as("s"))
-        .join(broadcast(odf.select(col("node"), col("od"))), "node")
+        .join(odf.select(col("node"), col("od")).hint("shuffle_hash"), "node")
       // materialize every SECOND round (and the last): the eager
       // localCheckpoint truncates lineage so plans don't stack, but
       // each call is its own job — at depth 2 the plan is still two
