@@ -1075,16 +1075,23 @@ object SimilarityOps {
     // is t5_repetition's domain and deliberately NOT counted here)
     val dup = perHash.groupBy("__h")
       .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2).select("__h")
-    val totals = perHash.groupBy("__id").agg(sum(col("__c")).as("total_spans"))
-    val dups = perHash.join(dup, Seq("__h"))
+      .filter(col("__df") >= 2).select("__h").withColumn("__d", lit(1))
+    // ONE pass over the compact frame computes totals AND the
+    // duplicated-span load together: the dup-hash set attaches as a
+    // LEFT join flag, so rows of unduplicated spans still feed
+    // total_spans while the conditional sums see only flagged rows —
+    // the earlier totals/dups split aggregated perHash twice and
+    // joined the document spine twice (two extra corpus-keyed passes
+    // at scale, for identical output).
+    val stats = perHash.join(dup, Seq("__h"), "left")
       .groupBy("__id")
-      .agg(sum(col("__c")).as("dup_spans"),
-        count(lit(1)).as("dup_distinct"))
-    // left joins restore docs shorter than w tokens (zero spans)
+      .agg(sum(col("__c")).as("total_spans"),
+        sum(when(col("__d") === 1, col("__c")).otherwise(lit(0L)))
+          .as("dup_spans"),
+        count(col("__d")).as("dup_distinct"))
+    // left join restores docs shorter than w tokens (zero spans)
     docs.select(id.as("__id"))
-      .join(totals, Seq("__id"), "left")
-      .join(dups, Seq("__id"), "left")
+      .join(stats, Seq("__id"), "left")
       .select(col("__id"),
         coalesce(col("total_spans"), lit(0L)).as("total_spans"),
         coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),

@@ -118,7 +118,16 @@ object SimilarityQueries {
     * graph). Runs on the pair-touched vertex set only; untouched
     * documents join back as singletons. */
   private val MaxPropagationRounds = 50
-  private val d6DedupClusters: Q = (s, d) => {
+  private val d6DedupClusters: Q = (s, d) =>
+    d6Labels(s, d).orderBy("doc_id")
+
+  /** d6's labeled frame WITHOUT the final global sort — d11 consumes
+    * the labels through a join + aggregate that destroy row order, so
+    * routing it through the sorted d6 result paid a full range
+    * exchange + sort of the corpus-sized label table for nothing (at
+    * 100 TB that is an entire wasted global sort). One body serves
+    * both: d6 adds its declared ORDER BY on top. */
+  private def d6Labels(s: SparkSession, d: String): DataFrame = {
     val pairs = minhashPairs(s, d)
     // Materialize the edge list once — every propagation round references
     // it, and without the persist each round's plan would re-run the
@@ -167,7 +176,6 @@ object SimilarityQueries {
       .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
     labels.unionByName(singles)
       .select(col("id").as("doc_id"), col("lbl").as("canonical_id"))
-      .orderBy("doc_id")
   }
 
   /** D4 — SimHash fingerprint groups (16-bit vocabulary fingerprint,
@@ -429,7 +437,7 @@ object SimilarityQueries {
     * (singletons included), so the result is corpus-sized only in the
     * degenerate all-singleton case the aggregate collapses map-side. */
   private val d11BestNeardup: Q = (s, d) => {
-    val labels = d6DedupClusters(s, d)
+    val labels = d6Labels(s, d) // unsorted — the join below destroys order
     val q = Tables.documents(s, d).select(col("doc_id"),
       graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
     labels.join(q, "doc_id")
