@@ -78,22 +78,33 @@ object SimilarityQueries {
     * the signature and the verification, so they are computed once and
     * cached (bounded by documents-per-partition, not corpus size, so the
     * cache is safe at any scale). Feeds d3, d6 and c1. */
-  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val sets = SimilarityOps.shingleSets(docs, col("doc_id"), col("text"), ShingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    minhashPairsFrom(sets)
-  }
+  private[queries] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFrom(SimilarityOps.shingleSets(
+      Tables.documents(s, d), col("doc_id"), col("text"), ShingleN))
 
-  /** [[minhashPairs]] over a PREBUILT (ideally persisted) `(__id, __sh)`
-    * shingle frame — lets a composed pipeline (CorpusReleaseApp) tokenize
-    * and shingle the corpus ONCE and feed both the near-dup and the
-    * decontamination stages. The shingle length must be [[shingleN]]. */
+  /** [[minhashPairs]] over a PREBUILT `(__id, __sh)` shingle frame — lets
+    * a composed pipeline (CorpusReleaseApp) tokenize and shingle the
+    * corpus ONCE and feed both the near-dup and the decontamination
+    * stages. The shingle length must be [[shingleN]].
+    *
+    * Internals (r16, guide §2.3 "shuffle fewer bytes"): the string
+    * shingles hash to 60-bit longs ONCE, and that hashed frame — 8
+    * bytes per shingle instead of the shingle text — is what the
+    * pipeline persists and what BOTH consumers (signature explode,
+    * exact-Jaccard verify) read; band keys are the injectively PACKED
+    * MinHash values (two longs), never md5 hex. The persisted frame is
+    * per-document bounded, so the cache is safe at any corpus scale;
+    * the bench harness clearCache()s it per run, long-lived sessions
+    * inherit the same teardown duty the old string-set persist had. */
   private[graft] def minhashPairsFrom(sets: DataFrame): DataFrame = {
-    val sig = SimilarityOps.minhashSignature(sets, MinhashK)
-    val bands = SimilarityOps.lshBands(sig, MinhashK, BandSize)
-    val pairs = SimilarityOps.candidatePairs(bands)
-    SimilarityOps.jaccardVerify(pairs, sets, JaccardThreshold)
+    val hsets = sets.select(col("__id"),
+        transform(col("__sh"), sh => StableHash.stable60(sh)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = SimilarityOps.minhashSignatureHashed(hsets, MinhashK)
+    val bands = SimilarityOps.minhashBandsPacked(sig, MinhashK, BandSize)
+    val pairs = SimilarityOps.pairsWithinBuckets(bands,
+      SimilarityOps.packedSigKeys(BandSize))
+    SimilarityOps.jaccardVerify(pairs, hsets, JaccardThreshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
   }
 
@@ -479,9 +490,13 @@ object SimilarityQueries {
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** stable60 of a string expression (StableHash.stable60). */
+  private def stable60Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+
   /** stable60 mod Mersenne-31 of a string expression (StableHash.stableMod). */
   private def stableModSql(e: String): String =
-    s"(('0x' || substr(md5($e), 1, 15))::BIGINT % 2147483647)"
+    s"(${stable60Sql(e)} % 2147483647)"
 
   /** Sequential-fold dot product — matches VectorFunctions.dot exactly
     * (DuckDB list_reduce folds left-to-right; 0.0 + x1 == x1). */
@@ -519,23 +534,34 @@ object SimilarityQueries {
     s"MIN(($a * h + $b) % 2147483647) AS mh$i"
   }.mkString(",\n    ")
 
+  /** d3's band keys: the 4 MinHash values of a band packed INJECTIVELY
+    * into two BIGINTs (mh < 2^31 ⇒ mh_a * 2^31 + mh_b < 2^62) — mirrors
+    * [[SimilarityOps.minhashBandsPacked]]; the md5-of-concat form this
+    * replaces hashed the identical tuple, so buckets are unchanged. */
   private val bandSelects = (0 until MinhashK / BandSize).map { bandIdx =>
-    val cols = (bandIdx * BandSize until (bandIdx + 1) * BandSize)
-      .map(i => s"mh$i::VARCHAR").mkString(", ")
-    s"SELECT doc_id, $bandIdx AS band, md5(concat_ws(',', $cols)) AS sig FROM mh"
+    val m = (0 until BandSize).map(i => s"mh${bandIdx * BandSize + i}")
+    s"SELECT doc_id, $bandIdx AS band, (${m(0)} * 2147483648 + ${m(1)}) AS sig1, " +
+      s"(${m(2)} * 2147483648 + ${m(3)}) AS sig2 FROM mh"
   }.mkString("\n  UNION ALL\n  ")
 
-  /** Bucket-capped candidate pairs from a `bands` CTE — the shared
-    * block stage of every banded near-dup oracle (d3, d5, d7), with
-    * the 1000-row flood cap mirroring [[SimilarityOps.candidatePairs]]. */
-  private val candCte =
-    """bsz AS (SELECT band, sig, COUNT(*) AS c FROM bands GROUP BY band, sig),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      |  FROM bands l JOIN bands r
-      |    ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-      |  JOIN bsz ON l.band = bsz.band AND l.sig = bsz.sig
-      |  WHERE bsz.c <= 1000)""".stripMargin
+  /** Bucket-capped candidate pairs from a `bands` CTE over the given
+    * bucket-key columns — the shared block stage of every banded
+    * near-dup oracle (d3, d5, d7), with the 1000-row flood cap
+    * mirroring [[SimilarityOps.pairsWithinBuckets]]. */
+  private def candCteOn(keys: Seq[String]): String = {
+    val grp = keys.mkString(", ")
+    val on = keys.map(k => s"l.$k = r.$k").mkString(" AND ")
+    val bszOn = keys.map(k => s"l.$k = bsz.$k").mkString(" AND ")
+    s"""bsz AS (SELECT $grp, COUNT(*) AS c FROM bands GROUP BY $grp),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON $on AND l.doc_id < r.doc_id
+       |  JOIN bsz ON $bszOn
+       |  WHERE bsz.c <= 1000)""".stripMargin
+  }
+
+  private val candCte = candCteOn(Seq("band", "sig"))
 
   /** Exact-Jaccard verification select over `cand` + `sets` — shared
     * by the d3 and d5 oracles (thresholds differ). */
@@ -563,16 +589,18 @@ object SimilarityQueries {
     * embeddable as a CTE body by d6/c1. */
   private[queries] val d3PairsCore =
     s"""WITH $shinglesCte,
+       |hsh AS (
+       |  SELECT doc_id, ${stable60Sql("s")} AS h60 FROM sh),
        |hv AS (
-       |  SELECT doc_id, ${stableModSql("s")} AS h FROM sh),
+       |  SELECT doc_id, h60 % 2147483647 AS h FROM hsh),
        |mh AS (
        |  SELECT doc_id,
        |    $minhashCols
        |  FROM hv GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
-       |$candCte,
-       |sets AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id)
+       |${candCteOn(Seq("band", "sig1", "sig2"))},
+       |sets AS (SELECT doc_id, list(DISTINCT h60) AS l FROM hsh GROUP BY doc_id)
        |${jaccardSelect(JaccardThreshold)}""".stripMargin
 
   private val d3Sql = s"$d3PairsCore\nORDER BY doc_a, doc_b"
@@ -1041,10 +1069,10 @@ object SimilarityQueries {
        |    MIN((${d5Perms(1)._1} * h + ${d5Perms(1)._2}) % 2147483647) AS mh1
        |  FROM hv5 GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, 0 AS band, md5(concat_ws(',', mh0::VARCHAR)) AS sig FROM mh
+       |  SELECT doc_id, 0 AS band, mh0 AS sig1 FROM mh
        |  UNION ALL
-       |  SELECT doc_id, 1 AS band, md5(concat_ws(',', mh1::VARCHAR)) AS sig FROM mh),
-       |$candCte,
+       |  SELECT doc_id, 1 AS band, mh1 AS sig1 FROM mh),
+       |${candCteOn(Seq("band", "sig1"))},
        |sets AS (SELECT doc_id, list(s) AS l FROM sh GROUP BY doc_id)""".stripMargin
 
   private val d5Sql =

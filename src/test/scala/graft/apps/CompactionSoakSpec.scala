@@ -72,7 +72,7 @@ class CompactionSoakSpec extends SparkSpec {
       .as[(Long, Long, Int, Double)].collect().toSet
 
   test("50-append soak: dirs bounded, merges pure, crash at the compaction commit heals") {
-    assume(!sys.env.contains("GRAFT_FAST"), "soak skipped under GRAFT_FAST=1")
+    assume(sys.env.contains("GRAFT_SOAK"), "soak opt-in: set GRAFT_SOAK=1")
     val Threshold = 4
     val Delta = 10L
     val Base = 200L

@@ -33,7 +33,7 @@ class HybridServingSoakSpec extends SparkSpec {
   private val probeIds = (0L until 4L).toSeq
 
   private def notFast(): Unit =
-    assume(!sys.env.contains("GRAFT_FAST"), "soak skipped under GRAFT_FAST=1")
+    assume(sys.env.contains("GRAFT_SOAK"), "soak opt-in: set GRAFT_SOAK=1")
 
   // deterministic shared-id corpus: overlapping small vocabulary so
   // BM25 is nontrivial; 4-dim embeddings as id-hash rays (the

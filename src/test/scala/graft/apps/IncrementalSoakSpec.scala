@@ -86,7 +86,7 @@ class IncrementalSoakSpec extends SparkSpec {
   }
 
   test("10x soak: five appends, each bands read pruned to the delta; wall tracks the delta") {
-    assume(!sys.env.contains("GRAFT_FAST"), "soak skipped under GRAFT_FAST=1")
+    assume(sys.env.contains("GRAFT_SOAK"), "soak opt-in: set GRAFT_SOAK=1")
     val Base = 2000L      // ~10x the sf0.001 documents fixture
     val Delta = 200L      // each append = a tenth of the base
     // run the whole soak with a compaction threshold LOW enough (3)

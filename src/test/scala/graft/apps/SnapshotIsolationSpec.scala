@@ -154,7 +154,7 @@ class SnapshotIsolationSpec extends SparkSpec {
   }
 
   test("soak: 20 cycles of resolve-before / read-after, never a missing file") {
-    assume(!sys.env.contains("GRAFT_FAST"), "soak skipped under GRAFT_FAST=1")
+    assume(sys.env.contains("GRAFT_SOAK"), "soak opt-in: set GRAFT_SOAK=1")
     val saved = Compaction.DefaultMaxFiles
     Compaction.DefaultMaxFiles = 2
     try {

@@ -34,11 +34,12 @@ class StreamingSoakSpec extends SparkSpec {
     if (xs.isEmpty) 0.0 else xs.sorted.apply(xs.length / 2)
 
   // the soaks are the suite's dominant wall cost (minutes each) by
-  // design — batch COUNT is the variable under test. GRAFT_FAST=1
-  // cancels them for quick dev iteration; default runs keep the full
-  // evidence.
+  // design — batch COUNT is the variable under test. They are OPT-IN
+  // (GRAFT_SOAK=1): a plain `sbt test` must fit a CI/driver time
+  // budget, so the default profile is the fast one and soak evidence
+  // is collected deliberately.
   private def notFast(): Unit =
-    assume(!sys.env.contains("GRAFT_FAST"), "soak skipped under GRAFT_FAST=1")
+    assume(sys.env.contains("GRAFT_SOAK"), "soak opt-in: set GRAFT_SOAK=1")
 
   test("4-way join soak: 60 batches, state plateaus after watermark, latency flat") {
     notFast()

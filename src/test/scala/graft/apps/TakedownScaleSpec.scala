@@ -27,7 +27,7 @@ class TakedownScaleSpec extends SparkSpec {
           + lit(0.01f)): _*).cast("array<float>").as("embedding"))
 
   test("retracting the same id set from a 1x and a 10x index: same jobs, wall tracks hits") {
-    assume(!sys.env.contains("GRAFT_FAST"), "soak skipped under GRAFT_FAST=1")
+    assume(sys.env.contains("GRAFT_SOAK"), "soak opt-in: set GRAFT_SOAK=1")
     val small = Files.createTempDirectory("td-1x").toString
     val big = Files.createTempDirectory("td-10x").toString
     VectorIndexApp.build(spark, vecs(0, 2000), small, kCells = 8, iters = 1)
