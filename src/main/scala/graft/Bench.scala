@@ -40,9 +40,14 @@ object Bench {
     import org.apache.spark.sql.functions.{hash, sum}
     val t0 = System.nanoTime()
     Seq("lineitem", "documents").foreach { t =>
-      val df = spark.read.parquet(s"$sfDir/$t.parquet")
-      df.agg(sum(hash(df.columns.map(df.col): _*).cast("long")))
-        .write.format("noop").mode("overwrite").save()
+      // per-table try/catch, same as Tables.warm: a dataset dir lacking
+      // one canary table must degrade the canary, not abort the whole
+      // bench before a single query is timed (r15 ADVICE)
+      try {
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        df.agg(sum(hash(df.columns.map(df.col): _*).cast("long")))
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
     }
     (System.nanoTime() - t0) / 1e9
   }

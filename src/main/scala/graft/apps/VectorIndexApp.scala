@@ -94,7 +94,8 @@ object VectorIndexApp {
     // trainedgen = generation 0), and stale retrain books must not
     // outlive the manifests that referenced them
     fs.delete(new Path(s"$indexDir/trained"), true)
-    SimilarityOps.kmeansCodebook(corpus, kCells, iters)
+    val sample = trainingSample(corpus, kCells, pq, corpus.count())
+    SimilarityOps.kmeansCodebook(sample, kCells, iters)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
     writeKMeta(spark, kCells, indexDir)
     // encode against the books READ BACK from the index, not the lazy
@@ -108,7 +109,7 @@ object VectorIndexApp {
       fs.delete(new Path(s"$indexDir/pqbook"), true)
       fs.delete(new Path(s"$indexDir/pqmeta"), true)
     }
-    pq.foreach(g => writePqBooks(spark, corpus, g, indexDir))
+    pq.foreach(g => writePqBooks(spark, sample, g, indexDir))
     val codes = pqState(spark, indexDir, gen = 0) match {
       case Some((cb, m, subDim, _)) =>
         SimilarityOps.ivfPqCodes(corpus, cents, cb, m, subDim)
@@ -122,6 +123,38 @@ object VectorIndexApp {
     // deleting a file a planned query still references
     Snapshots.commit(fs, new Path(s"$indexDir/codes"))
     ()
+  }
+
+  /** Training-sample size per requested centroid: Lloyd's iterations
+    * average cluster members, and ~256 points per centroid pin each
+    * mean far past the quantization noise floor — past that, more
+    * training data moves centroids without moving recall (the
+    * standard IVF practice; FAISS trains on samples of this order). */
+  private val SamplePerCell = 256L
+
+  /** Deterministic hash-sampled TRAINING frame (r15 verdict #4): the
+    * coarse k-means and the PQ sub-books train on min(256·kCells, n)
+    * vectors while the ENCODE still covers every vector — training
+    * cost stops scaling with the corpus. Selection is content-free and
+    * deterministic (xxhash64(vec_id) mod keep-rate), so a retrain and
+    * a fresh build over the same corpus at the same geometry train on
+    * the SAME rows and the retrain==rebuild identity gate holds
+    * through sampling. Seed rows (vec_id < the larger of kCells and
+    * the PQ codeword count) always survive: [[SimilarityOps
+    * .kmeansCodebook]] seeds its centroids from the lowest ids, and a
+    * sample that dropped them would train a different (and on tiny
+    * corpora, empty) book. */
+  private[graft] def trainingSample(corpus: DataFrame, kCells: Int,
+                                    pq: Option[PqGeometry],
+                                    n: Long): DataFrame = {
+    val target = SamplePerCell * kCells
+    if (n <= target) corpus
+    else {
+      val seedIds = math.max(kCells.toLong, pq.map(_.k.toLong).getOrElse(0L))
+      val mod = n / target // ≥ 1 here; keeps ≈ target rows
+      corpus.filter(col("vec_id") < seedIds ||
+        pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+    }
   }
 
   /** Persist the REQUESTED cell count beside a trained-state root's
@@ -462,10 +495,11 @@ object VectorIndexApp {
       // a crashed previous attempt's books at this generation are
       // inert (no committed manifest references them) — rebuild them
       fs.delete(new Path(books), true)
-      SimilarityOps.kmeansCodebook(corpus, kCells, iters)
+      val sample = trainingSample(corpus, kCells, effPq, nCorpus)
+      SimilarityOps.kmeansCodebook(sample, kCells, iters)
         .write.mode("overwrite").parquet(s"$books/centroids")
       writeKMeta(spark, kCells, books)
-      effPq.foreach(g => writePqBooks(spark, corpus, g, books))
+      effPq.foreach(g => writePqBooks(spark, sample, g, books))
       if (crashAfterRetrainBooks) throw new IllegalStateException(
         "injected crash: retrain books persisted, codes not re-encoded")
       val cents = spark.read.parquet(s"$books/centroids")

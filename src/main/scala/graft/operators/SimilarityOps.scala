@@ -737,7 +737,18 @@ object SimilarityOps {
     // stays deterministic on its own, and the downstream encode/LUT
     // consumers match entries on (s, cid), never on position, so
     // completion order cannot change any result.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    // daemon threads + shutdownNow-in-finally: if one sub-book training
+    // throws, Await rethrows and the remaining trainings are interrupted
+    // instead of submitting Spark jobs from orphaned non-daemon threads
+    // (r15 ADVICE); pool capped at the core count — more threads than
+    // cores just contend in the scheduler.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m, Runtime.getRuntime.availableProcessors),
+      new java.util.concurrent.ThreadFactory {
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "pq-subbook"); t.setDaemon(true); t
+        }
+      })
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     val books =
@@ -752,7 +763,7 @@ object SimilarityOps {
                 sqrt(VectorFunctions.norm2(col("cvec"))).as("nc"))
           }
         }), scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      finally { pool.shutdownNow(); () }
     // The ENTRIES are eagerly materialized (m·k rows) and the one-row
     // frame re-aggregated on top: the m-book union tree (m ×
     // k-iteration k-means plans) is what made every PQ consumer's plan

@@ -908,6 +908,16 @@ object CoreQueries {
     // repartition on src, HashPartitioning(src) satisfies the
     // (src, dst) grouping, so the dedup aggregate runs exchange-free in
     // place (and spills gracefully — no per-key set buffers)
+    // the SOURCE's out-degree rides the EDGE CACHE (src, dst, od): od
+    // is a static per-src property, so the window below computes it IN
+    // the dedup's src partitioning (no exchange; one one-time sort)
+    // and every iteration reads it off the streamed edge row. The r15
+    // form kept the cache two longs wide and re-attached od to the
+    // score state by a second shuffled-hash join per round — 10 extra
+    // joins plus 10 node-sized odf exchanges; widening the one-time
+    // cache by a long costs storage once and removes all of them
+    // (guide §2.4 — the join existed only to restore a column the
+    // pipeline had already computed).
     val edges = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("cu"),
@@ -918,26 +928,17 @@ object CoreQueries {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .groupBy(col("src"), col("dst")).agg(lit(1)).select("src", "dst")
+      .withColumn("od", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // out-degrees: one aggregate over the cached edges, materialized
-    // once (eager) — re-broadcast per round below without re-scanning
-    val odf = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("od"))
-      .localCheckpoint(true)
     // node count: one deterministic driver-side long (the teleport and
-    // seed constants fold into literals — no per-row broadcast column)
-    val n = odf.count()
+    // seed constants fold into literals — no per-row broadcast column);
+    // symmetric edges ⇒ distinct src IS the node set
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.count()
     require(n > 0, "g1 PageRank over an empty trade graph")
     val teleport = (15L * (PrScale / n)) / 100L
-    // the SOURCE's out-degree rides the score state (node, s, od): the
-    // contribution divides by od of the JOINED state row, the big edge
-    // cache stays two longs wide, and od is restored after each
-    // aggregate by a shuffled-hash join against the materialized odf —
-    // node-count-sized, so a broadcast build would be the exact
-    // scale hazard the loop join's shuffle_hash hint avoids; the
-    // aggregate's output is already hash-partitioned on node, so only
-    // the narrow odf side exchanges
-    var sc = odf.select(col("node"), lit(PrScale / n).as("s"), col("od"))
+    var sc = nodes.select(col("node"), lit(PrScale / n).as("s"))
       .localCheckpoint(true)
     for (i <- 0 until PrIters) {
       // symmetric edges ⇒ every node appears as a dst, so the groupBy
@@ -956,12 +957,13 @@ object CoreQueries {
         .select(col("dst"), expr("s div od").as("__c"))
         .groupBy(col("dst").as("node"))
         .agg(expr(s"$teleport + (85 * sum(__c)) div 100").as("s"))
-        .join(odf.select(col("node"), col("od")).hint("shuffle_hash"), "node")
-      // materialize every SECOND round (and the last): the eager
+      // materialize every THIRD round (and the last): the eager
       // localCheckpoint truncates lineage so plans don't stack, but
-      // each call is its own job — at depth 2 the plan is still two
-      // joins deep while the job count halves
-      if (i % 2 == 1 || i == PrIters - 1) sc = sc.localCheckpoint(true)
+      // each call is its own job — at depth 3 the plan is still three
+      // joins deep (shallow enough that planning stays flat; measured
+      // same per-round wall as depth 2) while the loop runs 4 jobs,
+      // not 10 (r15) or 5 (early r16)
+      if (i % 3 == 2 || i == PrIters - 1) sc = sc.localCheckpoint(true)
     }
     // the loop's localCheckpoint(true) calls are EAGER, so after it the
     // final scores are materialized and the cached edge frame has no

@@ -124,15 +124,31 @@ object TextQueries {
     * resolved by the caller against the fingerprint index). */
   private[graft] def cleanCorpusDocs(docs: DataFrame,
                                      losers: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     docs
-      .withColumn("fp", fingerprint(col("text")))
-      .withColumn("canon_id", min(col("doc_id")).over(Window.partitionBy("fp")))
-      .withColumn("pred_lang", langId(col("text")))
-      .withColumn("quality_score", qualityScore(col("text")))
-      .withColumn("wc", wordCount(col("text")))
-      .filter(col("quality_score") >= 0.5 && col("wc") >= 20 &&
-        col("doc_id") === col("canon_id"))
+      // ALL text-derived columns are computed map-side up front, so
+      // nothing downstream ever touches the document text (§2.3
+      // "project before the exchange").
+      .select(col("doc_id"),
+        fingerprint(col("text")).as("fp"),
+        langId(col("text")).as("pred_lang"),
+        qualityScore(col("text")).as("quality_score"),
+        wordCount(col("text")).as("wc"))
+      // "keep only rows where doc_id == min(doc_id) over fp" IS a
+      // min-struct aggregate (doc_id leads the struct, is unique, and
+      // totally orders it): one groupBy with map-side partial
+      // aggregation replaces the old window — whose exchange carried
+      // every row (text included) and whose frame needed a sort. The
+      // quality/length gates must stay AFTER canonical selection:
+      // canon is the min doc_id over ALL docs sharing a fingerprint,
+      // including low-quality ones.
+      .groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("pred_lang"),
+        col("quality_score"), col("wc"))).as("__m"))
+      .select(col("__m.doc_id").as("doc_id"),
+        col("__m.pred_lang").as("pred_lang"),
+        col("__m.quality_score").as("quality_score"),
+        col("__m.wc").as("wc"))
+      .filter(col("quality_score") >= 0.5 && col("wc") >= 20)
       .join(losers, col("doc_id") === col("doc_b"), "left_anti")
       .select("doc_id", "pred_lang", "quality_score")
       .orderBy("doc_id")
@@ -853,6 +869,11 @@ object TextQueries {
     // dedup — exchange reuse does not fire across the differing
     // pushed-filter variants). Bounded by the corpus's (doc, token)
     // domain — the inverted index a production deployment materializes.
+    // No safe unpersist point before the lazy return (all three
+    // consumers sit inside the one returned plan, like the c2 shingle
+    // frame above); teardown is the CALLER's: the bench clearCache()s
+    // per run, and a long-lived session embedding this query should do
+    // the same or persist a real index (TextIndexApp) instead.
     val tf = docs
       .select(col("doc_id"), explode(tokens(normalized(col("text")))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
